@@ -1,0 +1,63 @@
+"""Text normalization and k-shingling — pure JVM expressions.
+
+The reference's equivalent stage is vector parsing
+(MapReduce-LSH/.../lsh/builder/HashReducer.java:162-184): string -> point.
+Here the "point" is a document's shingle set.  Everything in this module is
+built-in `pyspark.sql.functions` / higher-order SQL functions, so it runs
+inside whole-stage codegen with zero Python in the hot path, and the parquet
+scan underneath keeps column pruning + predicate pushdown.
+
+Normalization contract (must match the NumPy oracle AND the DuckDB oracle
+SQL byte-for-byte):
+    1. lowercase (ASCII semantics — corpus is ASCII by construction)
+    2. every run of chars outside [a-z0-9] becomes a single space
+    3. split on spaces, drop empties
+    4. shingles = all `k`-grams of consecutive tokens joined by one space;
+       a doc with fewer than k tokens yields ONE shingle = the whole token
+       sequence (so short docs still participate)
+    5. the shingle *set* (distinct), hashed with xxhash64 (seed 42), sorted
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Step 1-3 as a reusable SQL fragment.
+_NORMALIZE_SQL = "filter(split(regexp_replace(lower({col}), '[^a-z0-9]+', ' '), ' '), t -> t != '')"
+
+# Step 4: k-grams over the token array; `slice` is 1-based.
+_SHINGLE_SQL = (
+    "CASE WHEN size({toks}) < {k} THEN array(concat_ws(' ', {toks})) "
+    "ELSE transform(sequence(1, size({toks}) - {k} + 1), "
+    "i -> concat_ws(' ', slice({toks}, i, {k}))) END"
+)
+
+
+def normalized_tokens(col: str | Column) -> Column:
+    """array<string> of normalized tokens (JVM, codegen)."""
+    name = col if isinstance(col, str) else col._jc.toString()
+    return F.expr(_NORMALIZE_SQL.format(col=name))
+
+
+def shingle_strings(col: str, k: int) -> Column:
+    """array<string> of word k-shingles of `col` (JVM)."""
+    toks = _NORMALIZE_SQL.format(col=col)
+    return F.expr(_SHINGLE_SQL.format(toks=toks, k=k))
+
+
+def with_shingle_hashes(df: DataFrame, text_col: str = "text", k: int = 5,
+                        out: str = "shingles") -> DataFrame:
+    """Add `out`: sorted distinct array<long> of xxhash64 shingle hashes.
+
+    This array is BOTH the MinHash input and the exact-verification payload:
+    exact Jaccard later = |array_intersect| / |array_union| on two of these,
+    entirely JVM-side (SURVEY.md P4/F1: the reference's exact L2 check,
+    MapReduce-LSH/.../common/LSHTool.java:184-192, becomes exact Jaccard).
+    """
+    toks = _NORMALIZE_SQL.format(col=text_col)
+    sh = _SHINGLE_SQL.format(toks=toks, k=k)
+    return df.withColumn(
+        out,
+        F.expr(f"array_sort(array_distinct(transform({sh}, s -> xxhash64(s))))"),
+    )

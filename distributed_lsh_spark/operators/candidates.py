@@ -1,0 +1,63 @@
+"""LSH candidate-pair generation: the band self-join.
+
+This is the engine's one join, the analogue of the reference's LSH probe
+(SURVEY.md §2.3): where the reference looks up a query's bucket in an
+in-memory HashMap per (radius, table)
+(MapReduce-LSH/.../lsh/searcher/SearchMapper.java:268-311), the dedup graft
+self-joins the band-key DataFrame with itself on (band_id, band_hash) —
+one shuffle over the band-key space; each band is an independent key
+sub-space, the analogue of NDLSH's hash-table blocks
+(Naive-DLSH/.../common/LSH.java:125-142).
+
+Skew hardening (SURVEY.md §4 custom item 1): a boilerplate page repeated
+10^6 times puts 10^6 rows on one (band_id, band_hash) key -> 10^12 pairs
+from a single bucket.  Two guards, both with reference precedent
+(searchThreshold = pruneFactor*L + k, SearchMapper.java:266,340-353):
+
+  * `hot_band_cap`: per-bucket membership is capped at the first `cap` docs
+    by doc_id; a capped bucket still pairs its surviving members, and exact
+    duplicates a capped bucket might miss are recovered by the other b-1
+    bands (and by the exact-hash dedup pass, operators/dedup_exact.py).
+  * AQE skew-join splitting is on session-wide for the residual skew.
+
+Pair dedup across bands (P6, SearchMapper.java:100-106: checkedIndexSet)
+happens BEFORE the expensive exact verification: dropDuplicates on
+(id_a, id_b), a map-side-combinable aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from distributed_lsh_spark.conf import DedupConfig
+
+
+def candidate_pairs(bands: DataFrame, cfg: DedupConfig | None = None,
+                    cap: int | None = None) -> DataFrame:
+    """bands(doc_id, band_id, band_hash) -> (id_a, id_b) with id_a < id_b.
+
+    Distinct pairs across all bands (one row per pair, not per collision).
+    """
+    if cap is None:
+        cap = cfg.hot_band_cap if cfg else None
+
+    if cap is not None:
+        # Deterministic per-bucket cap: keep the `cap` lowest doc_ids.
+        # Window shares the join's (band_id, band_hash) partitioning, so AQE
+        # plans one exchange reused by both sides of the self-join.
+        w = Window.partitionBy("band_id", "band_hash").orderBy("doc_id")
+        bands = (
+            bands.withColumn("_rn", F.row_number().over(w))
+                 .where(F.col("_rn") <= cap)
+                 .drop("_rn")
+        )
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band_id", "band_hash"])
+         .where(F.col("a.doc_id") < F.col("b.doc_id"))
+         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+         .dropDuplicates(["id_a", "id_b"])
+    )

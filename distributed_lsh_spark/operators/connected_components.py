@@ -1,0 +1,93 @@
+"""Distributed union-find: alternating large-star / small-star connected
+components over an edge DataFrame (SURVEY.md C4).
+
+The reference answers per-query k-NN and has no clustering; `north_rule`
+adds duplicate-cluster resolution.  This is the published
+large-star/small-star algorithm (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14) expressed as DataFrame ops:
+
+  large-star(u): for every neighbor v > u, emit (v, min(N+(u)))
+  small-star(u): for every neighbor v <= u (edges oriented high->low),
+                 emit (v, min(N+(u)))
+
+Alternating the two converges in O(log^2 n) rounds to star graphs whose
+centers are the component minima.  The driver loop mirrors the reference's
+radius-expansion loop with persisted intermediate state
+(Naive-DLSH/.../lsh/searcher/LSHSearcher.java:212-252): every iteration
+localCheckpoints the edge set to truncate lineage (Catalyst cannot optimize
+across iterations), and the fixpoint test is an aggregate signature instead
+of `fs.exists(interPath)`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetrize(e: DataFrame) -> DataFrame:
+    return e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    sym = _symmetrize(e)
+    m = (sym.groupBy("src").agg(F.min("dst").alias("_mn"))
+            .select("src", F.least("src", "_mn").alias("m")))
+    return (
+        sym.join(m, "src")
+           .where(F.col("dst") > F.col("src"))
+           .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+           .where(F.col("src") != F.col("dst"))
+           .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    o = e.select(F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst"))
+    m = o.groupBy("src").agg(F.min("dst").alias("m"))
+    return (
+        o.join(m, "src")
+         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+         .union(m.select(F.col("src"), F.col("m").alias("dst")))
+         .where(F.col("src") != F.col("dst"))
+         .distinct()
+    )
+
+
+def _signature(e: DataFrame) -> tuple[int, int]:
+    # Bounded residues keep the ANSI-mode sum overflow-safe up to ~9e9 edges
+    # per signature check; (count, sum) collisions on *consecutive differing*
+    # iterations are the only failure mode and are astronomically unlikely.
+    row = e.agg(F.count("*").alias("n"),
+                F.coalesce(F.sum(F.pmod(F.xxhash64("src", "dst"), F.lit(1_000_000_007))),
+                           F.lit(0)).alias("h")).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 50,
+                         checkpoint: bool = True) -> DataFrame:
+    """pairs(id_a, id_b) -> (doc_id, cluster_id = min doc_id in component).
+
+    Every doc that appears in >=1 edge gets a row (component minima label
+    themselves).  Deterministic.
+    """
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")) \
+             .where(F.col("src") != F.col("dst")).distinct()
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
+
+    prev_sig = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e))
+        if checkpoint:
+            e = e.localCheckpoint(eager=True)
+        sig = _signature(e)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # At fixpoint every edge is (node, component_min); add self-labels for roots.
+    labels = e.select(F.col("src").alias("doc_id"), F.col("dst").alias("cluster_id"))
+    roots = e.select(F.col("dst").alias("doc_id")).distinct() \
+             .withColumn("cluster_id", F.col("doc_id"))
+    return (labels.union(roots)
+            .groupBy("doc_id").agg(F.min("cluster_id").alias("cluster_id")))
