@@ -1,0 +1,442 @@
+"""Driver-contract query catalog: every entry pairs a PySpark DataFrame
+query with an ANSI-SQL oracle DuckDB can run on the same parquet tables.
+
+Conventions that make the driver's (row-count + schema + value-hash)
+comparison robust:
+  * every computed column is aliased identically on both sides;
+  * money aggregates are computed in exact integer cents (no float-sum
+    order dependence);
+  * ratios are small-integer divisions (bit-identical IEEE on both
+    engines), rounded to 6 dp on both sides;
+  * orderings the query exposes are made deterministic with explicit
+    tie-breaks.
+
+The dedup queries are the SURVEY.md §2 operator inventory in executable
+form; each docstring cites the reference operator it re-expresses.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from distributed_lsh_spark.conf import DEFAULT_CONFIG, DedupConfig
+from distributed_lsh_spark.functions.text import with_shingle_hashes, normalized_tokens
+from distributed_lsh_spark.pipeline import build_stages, run_dedup
+
+CFG = DEFAULT_CONFIG
+
+# --------------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect) for the text/dedup oracles
+# --------------------------------------------------------------------------
+
+_DUCK_TOKS = (
+    "list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '), "
+    "t -> t != '')"
+)
+
+
+def _duck_shingle_cte(k: int) -> str:
+    return f"""
+toks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < {k} THEN [array_to_string(t, ' ')]
+              ELSE [array_to_string(t[i:i+{k - 1}], ' ') for i in range(1, len(t) - {k - 2})]
+         END AS grams
+  FROM toks
+),
+shd AS (SELECT doc_id, unnest(list_distinct(grams)) AS g FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM shd a JOIN shd b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id_a, id_b, c * 1.0 / (sa.n + sb.n - c) AS j
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)"""
+
+
+# --------------------------------------------------------------------------
+# dedup / text queries over `documents`
+# --------------------------------------------------------------------------
+
+def q_minhash_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full LSH pipeline: shingle -> MinHash -> band self-join -> exact
+    verify (SURVEY.md J2+P4+P6).  Oracle = brute-force exact Jaccard; they
+    agree because every candidate is exactly verified and the (b=32, r=4)
+    family's miss probability at j>=0.8 is < 1e-12 (reference analogue:
+    L tables OR'ed, MapReduce-LSH/.../common/LSH.java:117-131)."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    v = build_stages(df, CFG).verified
+    return v.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")) \
+            .orderBy("id_a", "id_b")
+
+
+def q_ngram_jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard dedup via inverted shingle index (no LSH):
+    explode shingles -> self-join on shingle hash -> per-pair intersection
+    count -> Jaccard.  100%-recall path; the scalable variant of the
+    brute-force oracle."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = with_shingle_hashes(df.select("doc_id", "text"), k=CFG.shingle_k)
+    shd = docs.select("doc_id", F.explode("shingles").alias("g"))
+    sizes = shd.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = shd.alias("a"), shd.alias("b")
+    inter = (a.join(b, "g")
+              .where(F.col("a.doc_id") < F.col("b.doc_id"))
+              .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+              .agg(F.count("*").alias("c")))
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    j = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .where(j >= CFG.jaccard_threshold)
+            .select("id_a", "id_b", F.round(j, 6).alias("jaccard"))
+            .orderBy("id_a", "id_b"))
+
+
+def _sql_dup_pairs() -> str:
+    return f"""WITH {_duck_shingle_cte(CFG.shingle_k)}
+SELECT id_a, id_b, round(j, 6) AS jaccard FROM jac
+WHERE j >= {CFG.jaccard_threshold}
+ORDER BY id_a, id_b"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH dup pairs -> large-star/small-star connected components
+    (SURVEY.md C4).  Oracle: recursive-CTE transitive closure over the
+    exact-Jaccard pairs, cluster_id = min doc_id in component."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return run_dedup(df, CFG).orderBy("doc_id")
+
+
+def _sql_dedup_clusters() -> str:
+    return f"""WITH RECURSIVE {_duck_shingle_cte(CFG.shingle_k)},
+pairs AS (SELECT id_a, id_b FROM jac WHERE j >= {CFG.jaccard_threshold}),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+FROM reach GROUP BY a ORDER BY doc_id"""
+
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash (hash-groupBy): md5(text) groups with
+    multiplicity; survivor = min doc_id (SURVEY.md A2 analogue)."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (df.groupBy(F.md5(F.col("text").cast("binary")).alias("text_md5"))
+              .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_id"))
+              .where(F.col("n_dups") > 1)
+              .orderBy("text_md5"))
+
+
+_SQL_EXACT_DUP_GROUPS = """
+SELECT md5(text) AS text_md5, count(*) AS n_dups, min(doc_id) AS keep_id
+FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY text_md5"""
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint = md5 of the normalized token stream (stable
+    content identity regardless of whitespace/punctuation)."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = normalized_tokens("text")
+    return (df.select(
+                "doc_id",
+                F.md5(F.array_join(toks, " ").cast("binary")).alias("fingerprint"),
+                F.size(toks).alias("n_tokens"))
+              .orderBy("doc_id"))
+
+
+_SQL_DOC_FINGERPRINTS = f"""
+SELECT doc_id, md5(array_to_string({_DUCK_TOKS}, ' ')) AS fingerprint,
+       len({_DUCK_TOKS}) AS n_tokens
+FROM documents ORDER BY doc_id"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-quality stats: token count, distinct tokens, type-token ratio,
+    mean token length — all integer-derived (SURVEY.md A1 analogue)."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = normalized_tokens("text")
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return (df.select(
+                "doc_id", n.alias("n_tokens"), nd.alias("n_distinct"),
+                F.round(nd / n, 6).alias("ttr"),
+                F.round(total_len / n, 6).alias("mean_tok_len"))
+              .where(n > 0).orderBy("doc_id"))
+
+
+_SQL_TOKEN_STATS = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct,
+       round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS ttr,
+       round(list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks), 6)
+         AS mean_tok_len
+FROM t WHERE len(toks) > 0 ORDER BY doc_id"""
+
+
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "a", "that", "for", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "est", "une", "des", "dans", "que", "pour"],
+    "es": ["el", "la", "los", "y", "es", "una", "las", "en", "que", "por"],
+}
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID (deterministic heuristic): per-language
+    token-hit counts, argmax with fixed priority en>de>fr>es, 'und' when
+    all zero."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = normalized_tokens("text")
+    def _hits(words: list[str]):
+        ws = F.array(*[F.lit(w) for w in words])
+        # single-arg lambda: pyspark treats 2-arg lambdas as (element, index)
+        return F.size(F.filter(toks, lambda t: F.array_contains(ws, t)))
+
+    scores = {lang: _hits(words) for lang, words in _STOPWORDS.items()}
+    best = F.greatest(*scores.values())
+    pred = (F.when(best == 0, "und")
+             .when(scores["en"] == best, "en")
+             .when(scores["de"] == best, "de")
+             .when(scores["fr"] == best, "fr")
+             .otherwise("es"))
+    sel = [F.col("doc_id")] + \
+          [scores[lang].alias(f"hits_{lang}") for lang in _STOPWORDS] + \
+          [pred.alias("pred_lang"), F.col("lang")]
+    return df.select(*sel).orderBy("doc_id")
+
+
+def _sql_lang_id() -> str:
+    hit_exprs = ",\n       ".join(
+        f"len(list_filter(toks, x -> list_contains({words!r}, x))) AS hits_{lang}"
+        for lang, words in _STOPWORDS.items())
+    return f"""
+WITH t AS (SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, lang,
+       {hit_exprs}
+      FROM t),
+b AS (SELECT *, greatest(hits_en, hits_de, hits_fr, hits_es) AS best FROM s)
+SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
+       CASE WHEN best = 0 THEN 'und'
+            WHEN hits_en = best THEN 'en'
+            WHEN hits_de = best THEN 'de'
+            WHEN hits_fr = best THEN 'fr'
+            ELSE 'es' END AS pred_lang,
+       lang
+FROM b ORDER BY doc_id"""
+
+
+# --------------------------------------------------------------------------
+# embedding similarity over `embeddings`
+# --------------------------------------------------------------------------
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors for the 5 lowest-id vectors:
+    the reference's c-k-ANN query re-expressed (SURVEY.md T1/T2 top-k;
+    exact path — the LSH-accelerated variant lives in operators/ann.py).
+    Dot products via F.aggregate/zip_with in double precision (JVM)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    dot = F.aggregate(F.zip_with("qe", "embedding",
+                                 lambda a, b: a.cast("double") * b.cast("double")),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    sim = dot / (norm(F.col("qe")) * norm(F.col("embedding")))
+    scored = (F.broadcast(qv).crossJoin(emb)
+              .where(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", "vec_id", sim.alias("sim")))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 10)
+            .select("query_id", "vec_id", "rank", F.round("sim", 6).alias("sim"))
+            .orderBy("query_id", "rank"))
+
+
+_SQL_EMBEDDING_TOPK = """
+WITH q AS (SELECT vec_id AS query_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_sum(list_transform(list_zip(qe, e.embedding),
+                                 p -> p[1] * CAST(p[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(qe, x -> x * x)))
+            * sqrt(list_sum(list_transform(e.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+  FROM q, embeddings e WHERE e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, rank, round(sim, 6) AS sim
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
+
+
+# --------------------------------------------------------------------------
+# relational queries (TPC-H-ish + events) — operator-inventory breadth
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style grouped aggregation (SURVEY.md A1 partial+final agg).
+    Money in exact integer cents to keep the comparison float-free."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    return (li.where(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+                 F.sum(cents).alias("sum_price_cents"),
+                 F.sum(cents * (100 - disc_pct)).alias("revenue_c4"),
+                 F.count("*").alias("n_rows"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+_SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_c4,
+       count(*) AS n_rows
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""
+
+
+def q_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style 3-way join + agg + deterministic top-10 (SURVEY.md
+    J1 broadcast probe + T1 top-k).  Customer dim is broadcast."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
+                  orders.o_custkey == cust.c_custkey)
+            .where(F.col("o_orderdate") < "1995-03-15")
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(F.sum(cents * (100 - disc_pct)).alias("revenue_c4"))
+            .orderBy(F.col("revenue_c4").desc(), "l_orderkey")
+            .limit(10))
+
+
+_SQL_TOP_UNSHIPPED = """
+SELECT l_orderkey, o_orderdate,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_c4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue_c4 DESC, l_orderkey LIMIT 10"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the events table — the batch twin
+    of the Structured Streaming path (streaming/dedup_stream.py).  Sums in
+    integer cents."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy(F.date_trunc("hour", "ts").alias("hour_ts"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+                 F.countDistinct("user_id").alias("n_users"))
+            .orderBy("hour_ts", "event_type"))
+
+
+_SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*) AS n,
+       sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type"""
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via window functions: a new session starts after a
+    >30-minute gap; per-user session count + max session length (events)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # TIMESTAMP_NTZ refuses a direct long cast under ANSI; unix_timestamp is
+    # tz-safe here (session tz pinned to UTC in conf.spark_conf_pairs).
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = epoch - F.lag(epoch).over(w)
+    sess = F.sum(F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)).over(
+        w.rowsBetween(Window.unboundedPreceding, 0))
+    sessions = ev.select("user_id", "ts").withColumn("session_id", sess)
+    return (sessions.groupBy("user_id", "session_id").agg(F.count("*").alias("n_events"))
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_sessions"), F.max("n_events").alias("max_session_events"))
+            .orderBy("user_id"))
+
+
+_SQL_USER_SESSIONS = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+s AS (SELECT user_id,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g),
+c AS (SELECT user_id, session_id, count(*) AS n_events FROM s GROUP BY 1, 2)
+SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events
+FROM c GROUP BY user_id ORDER BY user_id"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "minhash_lsh_dup_pairs": q_minhash_lsh_dup_pairs,
+    "ngram_jaccard_dup_pairs": q_ngram_jaccard_dup_pairs,
+    "dedup_clusters": q_dedup_clusters,
+    "exact_dup_groups": q_exact_dup_groups,
+    "doc_fingerprints": q_doc_fingerprints,
+    "token_stats": q_token_stats,
+    "lang_id": q_lang_id,
+    "embedding_topk": q_embedding_topk,
+    "pricing_summary": q_pricing_summary,
+    "top_unshipped_orders": q_top_unshipped_orders,
+    "events_hourly": q_events_hourly,
+    "user_sessions": q_user_sessions,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "minhash_lsh_dup_pairs": _sql_dup_pairs(),
+    "ngram_jaccard_dup_pairs": _sql_dup_pairs(),
+    "dedup_clusters": _sql_dedup_clusters(),
+    "exact_dup_groups": _SQL_EXACT_DUP_GROUPS,
+    "doc_fingerprints": _SQL_DOC_FINGERPRINTS,
+    "token_stats": _SQL_TOKEN_STATS,
+    "lang_id": _sql_lang_id(),
+    "embedding_topk": _SQL_EMBEDDING_TOPK,
+    "pricing_summary": _SQL_PRICING_SUMMARY,
+    "top_unshipped_orders": _SQL_TOP_UNSHIPPED,
+    "events_hourly": _SQL_EVENTS_HOURLY,
+    "user_sessions": _SQL_USER_SESSIONS,
+}
