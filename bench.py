@@ -1,0 +1,74 @@
+"""Benchmark harness — run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+`value` is total wall-clock over the headline queries (lower is better);
+`queries` carries per-query seconds; extra context keys (docs/sec dedup
+throughput) ride along for BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from distributed_lsh_spark.session import get_spark
+    from distributed_lsh_spark.entry_queries import QUERIES
+
+    headline = [
+        "minhash_lsh_dup_pairs",
+        "dedup_clusters",
+        "ngram_jaccard_dup_pairs",
+        "exact_dup_groups",
+        "embedding_topk",
+        "pricing_summary",
+        "top_unshipped_orders",
+        "events_hourly",
+        "user_sessions",
+    ]
+
+    spark = get_spark(app_name="bench", cores=cores, shuffle_partitions=cores)
+    # Warm the JVM / whole-stage-codegen / shuffle paths with a full pipeline
+    # pass at the smallest sf, so timed numbers are steady-state (BASELINE.md:
+    # "measured on steady-state stage time excluding session startup").
+    QUERIES["minhash_lsh_dup_pairs"](spark, "/root/testdata/sf0.001").count()
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in headline:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        # count() forces full execution without driver-side result transfer
+        fn(spark, sf_dir).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    dedup_sec = times["minhash_lsh_dup_pairs"] + times["dedup_clusters"]
+    docs_per_sec = round(2 * n_docs / dedup_sec, 1) if dedup_sec else None
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cores": cores,
+        "n_docs": n_docs,
+        "dedup_docs_per_sec": docs_per_sec,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -76,7 +76,7 @@ def q_minhash_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     family's miss probability at j>=0.8 is < 1e-12 (reference analogue:
     L tables OR'ed, MapReduce-LSH/.../common/LSH.java:117-131)."""
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    v = build_stages(df, CFG).verified
+    v = build_stages(df, CFG, persist=True).verified
     return v.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")) \
             .orderBy("id_a", "id_b")
 

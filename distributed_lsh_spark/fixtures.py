@@ -1,0 +1,139 @@
+"""Deterministic synthetic `pages` corpus with planted duplicate clusters
+(FIXTURES.md §1).  Pure Python/`random.Random` so the oracle and the Spark
+engine see identical bytes; no wall clock, no external data.
+
+Schema (BASELINE.json input_hint):
+    url:string, warc_ts:timestamp, html:binary, text:string, lang:string
+plus generation metadata (kind, base_id) used only by tests.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass
+from datetime import datetime, timedelta
+
+VOCab_SIZE = 5000
+_BASE_TS = datetime(2026, 1, 1, 0, 0, 0)
+
+
+@dataclass
+class PagesCorpus:
+    rows: list[dict]                      # url, warc_ts, html, text, lang, kind, base_id
+    truth_pairs: set[tuple[int, int]]     # planted dup pairs by row index (exact + near)
+    hot_text: str                         # the boilerplate stub text (hot-key trap)
+
+    def texts_by_id(self) -> dict[int, str]:
+        return {i: r["text"] for i, r in enumerate(self.rows)}
+
+
+def _html_wrap(text: str, title: str) -> bytes:
+    return (f"<html><head><title>{title}</title></head>"
+            f"<body><p>{text}</p></body></html>").encode("utf-8")
+
+
+def _mutate(tokens: list[str], rng: random.Random, rate: float,
+            vocab: list[str]) -> list[str]:
+    out = list(tokens)
+    n_edits = max(1, int(len(tokens) * rate))
+    for _ in range(n_edits):
+        pos = rng.randrange(len(out))
+        if rng.random() < 0.7 or len(out) < 10:
+            out[pos] = rng.choice(vocab)     # substitution
+        else:
+            del out[pos]                     # deletion
+    return out
+
+
+def make_pages_corpus(n_rows: int = 200, seed: int = 42,
+                      hot_copies: int | None = None) -> PagesCorpus:
+    """Plant: ~10% exact-dup members (cluster size 2-5), ~10% near-dups
+    (0.3-1% token edits, Jaccard >= ~0.9), ~3% borderline (15-25% edits,
+    must NOT pair), one hot-key stub repeated `hot_copies` times, ~0.5%
+    long-repeat docs (shared 200-token span inside distinct docs), rest
+    unique."""
+    rng = random.Random(f"pages:{seed}:{n_rows}")
+    vocab = [f"tok{i:04d}" for i in range(VOCab_SIZE)]
+    if hot_copies is None:
+        hot_copies = max(8, n_rows // 10) if n_rows <= 400 else 50
+
+    def base_doc() -> list[str]:
+        length = rng.randint(50, 400)
+        return [rng.choice(vocab) for _ in range(length)]
+
+    rows: list[dict] = []
+    truth: set[tuple[int, int]] = set()
+    langs = ["de", "fr", "es"]
+
+    def add_row(tokens: list[str], kind: str, base_id: int | None) -> int:
+        i = len(rows)
+        text = " ".join(tokens)
+        rows.append({
+            "url": f"https://site{rng.randrange(10000):04d}.example/p/{i}",
+            "warc_ts": _BASE_TS + timedelta(seconds=37 * i),
+            "html": _html_wrap(text, f"page {i}"),
+            "text": text,
+            "lang": "en" if i % 10 < 9 else langs[i % 3],
+            "kind": kind,
+            "base_id": base_id,
+        })
+        return i
+
+    n_exact = int(n_rows * 0.10)
+    n_near = int(n_rows * 0.10)
+    n_border = int(n_rows * 0.03)
+    n_longrep = max(2, int(n_rows * 0.005) * 2)
+
+    # exact-dup clusters
+    placed = 0
+    while placed < n_exact:
+        size = min(rng.randint(2, 5), n_exact - placed + 1)
+        if size < 2:
+            break
+        toks = base_doc()
+        ids = [add_row(toks, "exact", None) for _ in range(size)]
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                truth.add((a, b))
+        placed += size
+
+    # near-dup pairs (base + mutated copy)
+    for _ in range(n_near // 2):
+        toks = base_doc()
+        a = add_row(toks, "near_base", None)
+        b = add_row(_mutate(toks, rng, rng.uniform(0.003, 0.01), vocab), "near", a)
+        truth.add((a, b) if a < b else (b, a))
+
+    # borderline: heavy edits, must NOT pair at jaccard >= 0.8
+    for _ in range(n_border // 2):
+        toks = base_doc()
+        a = add_row(toks, "border_base", None)
+        add_row(_mutate(toks, rng, rng.uniform(0.15, 0.25), vocab), "border", a)
+
+    # hot-key trap: identical boilerplate stub
+    hot_toks = [vocab[i % 50] for i in range(60)]
+    hot_ids = [add_row(hot_toks, "hot", None) for _ in range(hot_copies)]
+    for i, a in enumerate(hot_ids):
+        for b in hot_ids[i + 1:]:
+            truth.add((a, b))
+
+    # long-repeat: a shared 200-token span inside otherwise-distinct docs
+    span = [rng.choice(vocab) for _ in range(200)]
+    for _ in range(n_longrep):
+        toks = base_doc() + span + base_doc()
+        add_row(toks, "longrep", None)
+
+    while len(rows) < n_rows:
+        add_row(base_doc(), "unique", None)
+
+    return PagesCorpus(rows=rows, truth_pairs=truth, hot_text=" ".join(hot_toks))
+
+
+def pages_spark_df(spark, corpus: PagesCorpus):
+    """Corpus -> Spark DataFrame with the authoritative pages schema +
+    doc_id = row index (tests join on it; production uses xxhash64(url))."""
+    data = [(i, r["url"], r["warc_ts"], bytearray(r["html"]), r["text"], r["lang"])
+            for i, r in enumerate(corpus.rows)]
+    return spark.createDataFrame(
+        data, "doc_id long, url string, warc_ts timestamp, html binary, "
+              "text string, lang string")

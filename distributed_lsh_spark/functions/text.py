@@ -54,10 +54,15 @@ def with_shingle_hashes(df: DataFrame, text_col: str = "text", k: int = 5,
     exact Jaccard later = |array_intersect| / |array_union| on two of these,
     entirely JVM-side (SURVEY.md P4/F1: the reference's exact L2 check,
     MapReduce-LSH/.../common/LSHTool.java:184-192, becomes exact Jaccard).
+
+    Tokens are materialized into a temp column first: inlining the
+    tokenizer SQL into the shingle expression makes Spark re-evaluate the
+    regexp+split per reference (~20x slowdown measured at sf0.1).
     """
     toks = _NORMALIZE_SQL.format(col=text_col)
-    sh = _SHINGLE_SQL.format(toks=toks, k=k)
-    return df.withColumn(
-        out,
-        F.expr(f"array_sort(array_distinct(transform({sh}, s -> xxhash64(s))))"),
+    sh = _SHINGLE_SQL.format(toks="_toks", k=k)
+    return (
+        df.withColumn("_toks", F.expr(toks))
+          .withColumn(out, F.expr(f"array_sort(array_distinct(transform({sh}, s -> xxhash64(s))))"))
+          .drop("_toks")
     )

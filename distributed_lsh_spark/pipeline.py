@@ -34,14 +34,23 @@ class DedupStages:
 
 def build_stages(df: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
                  id_col: str = "doc_id", text_col: str = "text",
-                 minhash_impl: str = "expr", with_simhash_col: bool = False) -> DedupStages:
+                 minhash_impl: str = "expr", with_simhash_col: bool = False,
+                 persist: bool = False) -> DedupStages:
+    """`persist=True` caches the shingled docs (consumed by both verify-join
+    sides) and the band keys (consumed by both self-join sides) so the
+    signature chain is computed once, not ~4x.  On a cluster run the
+    CheckpointedPipeline materializes these to Parquet/Iceberg instead."""
     docs = with_shingle_hashes(
         df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
         text_col="text", k=cfg.shingle_k)
+    if persist:
+        docs = docs.persist()
     sigs = with_minhash(docs, cfg, impl=minhash_impl)
     if with_simhash_col:
         sigs = with_simhash(sigs, cfg)
     bands = band_keys(sigs, cfg)
+    if persist:
+        bands = bands.persist()
     pairs = candidate_pairs(bands, cfg)
     verified = verify_pairs(pairs, docs, cfg)
     return DedupStages(docs=docs, signatures=sigs, bands=bands,
@@ -51,7 +60,7 @@ def build_stages(df: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
 def run_dedup(df: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Full pipeline -> clusters(doc_id, cluster_id). Lazy until CC loop."""
-    st = build_stages(df, cfg, id_col=id_col, text_col=text_col)
+    st = build_stages(df, cfg, id_col=id_col, text_col=text_col, persist=True)
     # The verified edge set is reused by every CC iteration — persist it once
     # (the reference persists splitCand/ between jobs for the same reason,
     # Naive-DLSH/.../lsh/searcher/LSHSearcher.java:327).

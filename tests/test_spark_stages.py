@@ -1,0 +1,81 @@
+"""Spark-stage vs oracle parity on deterministic micro-tables
+(SURVEY.md §5 item 2)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from distributed_lsh_spark.conf import DEFAULT_CONFIG as CFG
+from distributed_lsh_spark.oracle.dedup import DedupOracle
+from distributed_lsh_spark.pipeline import build_stages
+
+
+@pytest.fixture(scope="module")
+def micro(spark):
+    docs = {
+        1: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        2: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        3: "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+        4: "totally different words entirely here nothing shared at all ok",
+        5: "",
+        6: "short doc",
+        7: "Punct!!! only,,, tokens??? here... alpha BETA gamma DELTA epsilon zeta eta theta iota kappa",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    st = build_stages(df, CFG, with_simhash_col=True)
+    oc = DedupOracle(CFG, docs)
+    return st, oc
+
+
+def test_shingles_match_oracle(micro):
+    st, oc = micro
+    got = {r["doc_id"]: list(r["shingles"]) for r in st.docs.collect()}
+    assert got == oc.shingles
+
+
+def test_minhash_expr_matches_oracle(micro):
+    st, oc = micro
+    got = {r["doc_id"]: list(r["minhash"])
+           for r in st.signatures.select("doc_id", "minhash").collect()}
+    assert got == oc.sigs
+
+
+def test_minhash_pandas_udf_matches_expr(spark, micro):
+    st, oc = micro
+    from distributed_lsh_spark.functions.hashing import with_minhash
+
+    got = {r["doc_id"]: list(r["minhash"])
+           for r in with_minhash(st.docs, CFG, impl="pandas").collect()}
+    assert got == oc.sigs
+
+
+def test_simhash_matches_oracle(micro):
+    st, oc = micro
+    got = {r["doc_id"]: r["simhash"]
+           for r in st.signatures.select("doc_id", "simhash").collect()}
+    assert got == oc.simhashes
+
+
+def test_candidates_and_verified_match_oracle(micro):
+    st, oc = micro
+    got_pairs = {(r["id_a"], r["id_b"]) for r in st.pairs.collect()}
+    assert got_pairs == oc.candidate_pairs()
+    got_ver = {(r["id_a"], r["id_b"]): r["jaccard"] for r in st.verified.collect()}
+    expect = oc.verified_pairs()
+    assert set(got_ver) == set(expect)
+    for k, v in expect.items():
+        assert math.isclose(got_ver[k], v, rel_tol=1e-12)
+
+
+def test_hamming_pairs_match_oracle(spark, micro):
+    st, oc = micro
+    from distributed_lsh_spark.operators.verify import hamming_pairs
+
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in hamming_pairs(st.pairs, st.signatures, CFG).collect()}
+    # engine checks only LSH candidates; oracle simhash_pairs is brute-force
+    brute = oc.simhash_pairs()
+    for k, h in got.items():
+        assert brute[k] == h
