@@ -1,0 +1,135 @@
+"""CLI — the spark-submit entry point.
+
+Preserves the reference's verb structure (DistributedLSH.java:32-37:
+-b build, -s search, -bs both) re-targeted at the dedup graft:
+
+    spark-submit --py-files dist/distributed_lsh_spark.zip \\
+        -m distributed_lsh_spark.cli dedup \\
+        --input /data/pages --output /runs/r7 --run-id r7
+
+verbs:
+  dedup   pages table -> signatures -> dup pairs -> clusters, checkpointed
+          per stage (resumable: rerun with the same --run-id skips
+          completed stages)
+  query   c-k-ANN over an integer-vector table (reference parity mode)
+  bench   the scaling protocol at two parallelism levels (local mode only)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _add_spark_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--cores", type=int, default=None,
+                   help="local[N] cores (ignored under spark-submit on a cluster)")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+
+
+def cmd_dedup(args: argparse.Namespace) -> None:
+    from distributed_lsh_spark.conf import DedupConfig
+    from distributed_lsh_spark.functions.extract import with_extracted_text
+    from distributed_lsh_spark.pipeline import build_stages
+    from distributed_lsh_spark.operators.connected_components import connected_components
+    from distributed_lsh_spark.session import get_spark
+    from distributed_lsh_spark.sources.checkpoint import CheckpointManager
+    from pyspark.sql import functions as F
+
+    cfg = DedupConfig(shingle_k=args.shingle_k, num_perm=args.num_perm,
+                      num_bands=args.bands, rows_per_band=args.num_perm // args.bands,
+                      jaccard_threshold=args.threshold, seed=args.seed)
+    spark = get_spark("dedup", cores=args.cores,
+                      shuffle_partitions=args.shuffle_partitions)
+    ckpt = CheckpointManager(spark, args.output, run_id=args.run_id,
+                             config_echo=cfg.__dict__)
+
+    pages = spark.read.parquet(args.input)
+    if "text" not in pages.columns:
+        pages = with_extracted_text(pages)
+    if "doc_id" not in pages.columns:
+        pages = pages.withColumn("doc_id", F.xxhash64("url"))
+
+    t0 = time.time()
+    sigs = ckpt.stage("signatures",
+                      lambda: build_stages(pages, cfg).signatures)
+    st = None
+
+    def _pairs():
+        from distributed_lsh_spark.functions.hashing import band_keys
+        from distributed_lsh_spark.operators.candidates import candidate_pairs
+        from distributed_lsh_spark.operators.verify import verify_pairs
+        bands = band_keys(sigs, cfg)
+        return verify_pairs(candidate_pairs(bands, cfg), sigs, cfg)
+
+    verified = ckpt.stage("verified_pairs", _pairs)
+    clusters = ckpt.stage(
+        "clusters", lambda: connected_components(verified.select("id_a", "id_b")))
+    n_docs, n_pairs, n_clustered = pages.count(), verified.count(), clusters.count()
+    dt = time.time() - t0
+    print(json.dumps({
+        "run_id": args.run_id, "n_docs": n_docs, "n_dup_pairs": n_pairs,
+        "n_clustered_docs": n_clustered, "wall_sec": round(dt, 2),
+        "docs_per_sec": round(n_docs / dt, 1),
+    }))
+    spark.stop()
+
+
+def cmd_query(args: argparse.Namespace) -> None:
+    from distributed_lsh_spark.oracle.reference_lsh import ReferenceLSHModel
+    from distributed_lsh_spark.operators.ann import ann_search_spark
+    from distributed_lsh_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark("ann_query", cores=args.cores,
+                      shuffle_partitions=args.shuffle_partitions)
+    pts = spark.read.parquet(args.input)
+    qs = spark.read.parquet(args.queries)
+    stats = pts.agg(
+        F.count("*").alias("n"),
+        F.max(F.expr("array_max(transform(vec, x -> abs(x)))")).alias("t"),
+        F.max(F.size("vec")).alias("d")).collect()[0]
+    model = ReferenceLSHModel(dim=stats["d"], max_coordinate=stats["t"],
+                              cardinality=stats["n"], ratio=args.ratio,
+                              seed=args.seed)
+    out = ann_search_spark(spark, pts, qs, model, k=args.k)
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"queries": qs.count(), "results": out.count(),
+                      "m": model.m, "L": model.L, "n_radii": model.n_radii}))
+    spark.stop()
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(prog="distributed_lsh_spark")
+    sub = ap.add_subparsers(dest="verb", required=True)
+
+    d = sub.add_parser("dedup", help="near-duplicate detection + clustering")
+    d.add_argument("--input", required=True)
+    d.add_argument("--output", required=True)
+    d.add_argument("--run-id", default="run0")
+    d.add_argument("--shingle-k", type=int, default=5)
+    d.add_argument("--num-perm", type=int, default=128)
+    d.add_argument("--bands", type=int, default=32)
+    d.add_argument("--threshold", type=float, default=0.8)
+    d.add_argument("--seed", type=int, default=42)
+    _add_spark_args(d)
+    d.set_defaults(fn=cmd_dedup)
+
+    q = sub.add_parser("query", help="c-k-ANN over integer vectors")
+    q.add_argument("--input", required=True, help="parquet with (id, vec)")
+    q.add_argument("--queries", required=True, help="parquet with (query_id, vec)")
+    q.add_argument("--output", required=True)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--ratio", type=int, default=2)
+    q.add_argument("--seed", type=int, default=42)
+    _add_spark_args(q)
+    q.set_defaults(fn=cmd_query)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -84,6 +84,10 @@ def spark_conf_pairs(shuffle_partitions: int = 32) -> list[tuple[str, str]]:
     sized to cluster cores x 2-3 on a real deployment).
     """
     return [
+        # legacy arithmetic: the shingle rolling-poly hash relies on 64-bit
+        # wraparound multiplication (== numpy uint64); ANSI mode (Spark 4
+        # default) would throw ARITHMETIC_OVERFLOW instead of wrapping.
+        ("spark.sql.ansi.enabled", "false"),
         ("spark.sql.shuffle.partitions", str(shuffle_partitions)),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),

@@ -86,8 +86,10 @@ def q_ngram_jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode shingles -> self-join on shingle hash -> per-pair intersection
     count -> Jaccard.  100%-recall path; the scalable variant of the
     brute-force oracle."""
+    from distributed_lsh_spark.functions.signature import with_signatures
+
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    docs = with_shingle_hashes(df.select("doc_id", "text"), k=CFG.shingle_k)
+    docs = with_signatures(df.select("doc_id", "text"), CFG)
     shd = docs.select("doc_id", F.explode("shingles").alias("g"))
     sizes = shd.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = shd.alias("a"), shd.alias("b")
@@ -407,6 +409,89 @@ SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events
 FROM c GROUP BY user_id ORDER BY user_id"""
 
 
+def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash path: LSH candidates verified by exact 64-bit Hamming
+    distance <= 3 (FIXTURES.md §3).  Non-SQL-expressible (bit-level
+    fingerprint); covered by the NumPy-oracle pytest instead."""
+    from distributed_lsh_spark.functions.hashing import with_simhash
+    from distributed_lsh_spark.operators.verify import hamming_pairs
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    st = build_stages(df, CFG, with_simhash_col=True, persist=True)
+    return (hamming_pairs(st.pairs, st.signatures, CFG)
+            .orderBy("id_a", "id_b"))
+
+
+def q_substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed-fingerprint exact-substring dedup (long repeated spans,
+    SURVEY.md §7 step 7).  Non-SQL-expressible (xxhash64 winnowing);
+    covered by the pure-Python-oracle pytest."""
+    from distributed_lsh_spark.operators.substring import substring_dup_pairs
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (substring_dup_pairs(df.select("doc_id", "text"),
+                                window=20, guarantee=5, min_shared=1)
+            .orderBy("id_a", "id_b"))
+
+
+def q_balance_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets aggregation over a 3-way dim join (region->nation->
+    customer): per-(region, nation) and per-region customer counts +
+    account balance in exact cents.  NULL grouping keys coalesced to
+    'ALL' on both sides so the value-hash comparison is total."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    j = (cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+             .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey))
+    rolled = (j.rollup("r_name", "n_name")
+               .agg(F.count("*").alias("n_customers"),
+                    F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+                     .alias("balance_cents")))
+    return (rolled.select(
+                F.coalesce("r_name", F.lit("ALL")).alias("region"),
+                F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+                "n_customers", "balance_cents")
+            .orderBy("region", "nation"))
+
+
+_SQL_BALANCE_ROLLUP = """
+SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+       count(*) AS n_customers,
+       sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS balance_cents
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY region, nation"""
+
+
+def q_part_supplier_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti-join composition (SURVEY.md J4): parts that appear in some
+    order line (EXISTS) but are never supplied by supplier 1..3
+    (NOT EXISTS), with order-line count."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    hot = li.where(F.col("l_suppkey") <= 3).select("l_partkey")
+    eligible = (part.join(li.select("l_partkey").distinct(),
+                          part.p_partkey == li.l_partkey, "left_semi")
+                    .join(hot, part.p_partkey == hot.l_partkey, "left_anti"))
+    counts = li.groupBy("l_partkey").agg(F.count("*").alias("n_lines"))
+    return (eligible.join(counts, eligible.p_partkey == counts.l_partkey)
+            .select("p_partkey", "p_brand", "n_lines")
+            .orderBy("p_partkey"))
+
+
+_SQL_PART_SEMI_ANTI = """
+SELECT p_partkey, p_brand,
+       (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey) AS n_lines
+FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p_partkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p_partkey
+                  AND l.l_suppkey <= 3)
+ORDER BY p_partkey"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -424,6 +509,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_unshipped_orders": q_top_unshipped_orders,
     "events_hourly": q_events_hourly,
     "user_sessions": q_user_sessions,
+    "simhash_hamming_pairs": q_simhash_hamming_pairs,
+    "substring_dup_pairs": q_substring_dup_pairs,
+    "balance_rollup": q_balance_rollup,
+    "part_semi_anti": q_part_supplier_semi_anti,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -439,4 +528,9 @@ ORACLE_SQL: dict[str, str] = {
     "top_unshipped_orders": _SQL_TOP_UNSHIPPED,
     "events_hourly": _SQL_EVENTS_HOURLY,
     "user_sessions": _SQL_USER_SESSIONS,
+    # simhash_hamming_pairs / substring_dup_pairs: intentionally no SQL
+    # oracle (bit-level fingerprints) — driver records rows-only; exact
+    # parity is asserted by the NumPy/pure-Python oracle in tests/.
+    "balance_rollup": _SQL_BALANCE_ROLLUP,
+    "part_semi_anti": _SQL_PART_SEMI_ANTI,
 }

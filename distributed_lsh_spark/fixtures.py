@@ -129,6 +129,38 @@ def make_pages_corpus(n_rows: int = 200, seed: int = 42,
     return PagesCorpus(rows=rows, truth_pairs=truth, hot_text=" ".join(hot_toks))
 
 
+@dataclass
+class VectorsFixture:
+    """ANN-parity fixture mirroring the reference input format (FIXTURES.md
+    §2: 1-based id + d integer coordinates, MapReduce-LSH/.../lsh/builder/
+    HashReducer.java:162-184)."""
+
+    points: "np.ndarray"          # (n, d) int64, row i has id i+1
+    queries: "np.ndarray"         # (nq, d) int64
+    ground_truth: "np.ndarray"    # (nq, max_k) float64 exact L2, ascending
+
+
+def make_vectors_fixture(n: int = 1000, d: int = 16, t: int = 255,
+                         n_queries: int = 50, max_k: int = 100,
+                         seed: int = 42) -> VectorsFixture:
+    import numpy as np
+
+    rng = np.random.default_rng(seed + 1)
+    points = rng.integers(0, t + 1, size=(n, d), dtype=np.int64)
+    # half the queries near data points (guaranteed neighbors), half uniform
+    near = points[rng.choice(n, n_queries // 2, replace=False)] + \
+        rng.integers(-2, 3, size=(n_queries // 2, d))
+    near = np.clip(near, 0, t)
+    uni = rng.integers(0, t + 1, size=(n_queries - n_queries // 2, d), dtype=np.int64)
+    queries = np.concatenate([near, uni]).astype(np.int64)
+
+    diffs = points[None, :, :].astype(np.float64) - queries[:, None, :].astype(np.float64)
+    dists = np.sqrt((diffs ** 2).sum(axis=2))       # (nq, n)
+    dists.sort(axis=1)
+    return VectorsFixture(points=points, queries=queries,
+                          ground_truth=dists[:, :max_k])
+
+
 def pages_spark_df(spark, corpus: PagesCorpus):
     """Corpus -> Spark DataFrame with the authoritative pages schema +
     doc_id = row index (tests join on it; production uses xxhash64(url))."""

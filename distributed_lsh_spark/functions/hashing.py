@@ -52,22 +52,28 @@ def minhash_params(num_perm: int, seed: int) -> tuple[tuple[int, ...], tuple[int
 # ---------------------------------------------------------------- MinHash
 
 def minhash_expr(shingles_col: str, cfg: DedupConfig) -> Column:
-    """array<long> signature, length cfg.num_perm — pure JVM expression.
+    """array<long> signature, length cfg.num_perm — pure JVM expression
+    over a PRE-REDUCED column of pmod(h, P) values (see with_minhash: the
+    reduction is materialized once instead of once per permutation).
 
-    sig[i] = min_h pmod(a_i * pmod(h, P) + b_i, P) over the doc's shingle
-    hashes h; empty shingle set -> array of P (sentinel max, never collides
-    with a real doc's band unless both are empty — matching the oracle).
+    sig[i] = min_h pmod(a_i * h31 + b_i, P); empty shingle set -> array of
+    P (sentinel max, never collides with a real doc's band unless both are
+    empty — matching the oracle).
     """
     a, b = minhash_params(cfg.num_perm, cfg.seed)
     a_lit = "array(" + ",".join(f"{x}L" for x in a) + ")"
     b_lit = "array(" + ",".join(f"{x}L" for x in b) + ")"
     p = PRIME_31
+    # NOTE: _h31 is referenced twice on purpose: CollapseProject keeps a
+    # non-cheap projection materialized only when it has >1 reference;
+    # with a single reference Catalyst inlines it INSIDE the 128-iteration
+    # lambda and re-evaluates it per permutation (measured 3x slowdown).
     return F.expr(
-        f"""CASE WHEN size({shingles_col}) = 0
+        f"""CASE WHEN size(_h31) = 0
               THEN array_repeat(CAST({p} AS BIGINT), {cfg.num_perm})
             ELSE transform(sequence(0, {cfg.num_perm - 1}),
-              i -> array_min(transform({shingles_col},
-                h -> pmod(element_at({a_lit}, i + 1) * pmod(h, {p})
+              i -> array_min(transform(_h31,
+                h -> pmod(element_at({a_lit}, i + 1) * h
                           + element_at({b_lit}, i + 1), {p}))))
             END"""
     )
@@ -105,7 +111,12 @@ def minhash_pandas_udf(cfg: DedupConfig):
 def with_minhash(df: DataFrame, cfg: DedupConfig, shingles_col: str = "shingles",
                  out: str = "minhash", impl: str = "expr") -> DataFrame:
     if impl == "expr":
-        return df.withColumn(out, minhash_expr(shingles_col, cfg))
+        return (
+            df.withColumn("_h31", F.expr(
+                f"transform({shingles_col}, h -> pmod(h, {PRIME_31}))"))
+              .withColumn(out, minhash_expr(shingles_col, cfg))
+              .drop("_h31")
+        )
     return df.withColumn(out, minhash_pandas_udf(cfg)(F.col(shingles_col)))
 
 

@@ -33,6 +33,9 @@ _SHINGLE_SQL = (
     "i -> concat_ws(' ', slice({toks}, i, {k}))) END"
 )
 
+# FNV-ish rolling-poly constant shared with functions.signature / the oracle.
+_FNV = 1099511628211
+
 
 def normalized_tokens(col: str | Column) -> Column:
     """array<string> of normalized tokens (JVM, codegen)."""
@@ -48,21 +51,38 @@ def shingle_strings(col: str, k: int) -> Column:
 
 def with_shingle_hashes(df: DataFrame, text_col: str = "text", k: int = 5,
                         out: str = "shingles") -> DataFrame:
-    """Add `out`: sorted distinct array<long> of xxhash64 shingle hashes.
+    """Add `out`: sorted distinct array<long> shingle hashes — JVM
+    reference path for the contract implemented fast in
+    functions.signature (tok_h = crc32(utf8), rolling poly x FNV with
+    64-bit wraparound; Java long overflow == numpy uint64 wraparound, so
+    the two agree bit-for-bit — tests pin this).
 
-    This array is BOTH the MinHash input and the exact-verification payload:
-    exact Jaccard later = |array_intersect| / |array_union| on two of these,
-    entirely JVM-side (SURVEY.md P4/F1: the reference's exact L2 check,
+    Spark's higher-order array functions evaluate interpreted (no
+    codegen), so this path is ~10-30x slower than with_signatures; it
+    exists for cross-validation and small inputs.
+
+    The array is BOTH the MinHash input and the exact-verification
+    payload: exact Jaccard = |array_intersect| / |array_union|, JVM-side
+    (SURVEY.md P4/F1: the reference's exact L2 check,
     MapReduce-LSH/.../common/LSHTool.java:184-192, becomes exact Jaccard).
 
-    Tokens are materialized into a temp column first: inlining the
-    tokenizer SQL into the shingle expression makes Spark re-evaluate the
-    regexp+split per reference (~20x slowdown measured at sf0.1).
+    Tokens/token-hashes are materialized into temp columns first:
+    inlining the tokenizer SQL makes Catalyst re-evaluate the regexp+split
+    per reference (~20x slowdown measured at sf0.1).
     """
     toks = _NORMALIZE_SQL.format(col=text_col)
-    sh = _SHINGLE_SQL.format(toks="_toks", k=k)
+    poly = (f"aggregate(slice(_tokh, i, {k}), CAST(0 AS BIGINT), "
+            f"(acc, t) -> acc * {_FNV}L + t)")
+    whole = f"aggregate(_tokh, CAST(0 AS BIGINT), (acc, t) -> acc * {_FNV}L + t)"
     return (
         df.withColumn("_toks", F.expr(toks))
-          .withColumn(out, F.expr(f"array_sort(array_distinct(transform({sh}, s -> xxhash64(s))))"))
-          .drop("_toks")
+          .withColumn("_tokh", F.expr(
+              "transform(_toks, t -> crc32(encode(t, 'UTF-8')))"))
+          .withColumn(out, F.expr(
+              f"array_sort(array_distinct(CASE "
+              f"WHEN size(_tokh) = 0 THEN array(CAST(0 AS BIGINT)) "
+              f"WHEN size(_tokh) < {k} THEN array({whole}) "
+              f"ELSE transform(sequence(1, size(_tokh) - {k} + 1), i -> {poly}) "
+              f"END))"))
+          .drop("_toks", "_tokh")
     )

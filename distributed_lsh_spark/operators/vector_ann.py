@@ -1,0 +1,99 @@
+"""Approximate nearest neighbors over float embedding columns.
+
+Two paths (SURVEY.md: "similarity search" component):
+  * `cosine_topk_exact` — brute-force baseline: broadcast the (small) query
+    side, JVM zip_with/aggregate dot products, window top-k.  O(n*q); the
+    correctness oracle and the right choice when q is tiny.
+  * `cosine_topk_lsh` — scale path: sign-random-projection (SRP) bucketing
+    (Charikar'02, the cosine analogue of the reference's p-stable family):
+    `tables` independent hash tables of `bits`-bit signs; candidates =
+    bucket collisions in any table; exact cosine re-ranking of candidates
+    only; per-query top-k.  Recall is tunable via (tables, bits) exactly
+    like the reference's (L, m) — AND of bits, OR of tables
+    (MapReduce-LSH/.../common/LSH.java:117-131).
+
+Hyperplanes are drawn from a seeded NumPy generator and ride pandas-UDF
+closures (no per-row Python; one matmul per Arrow batch).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_DOT = ("aggregate(zip_with(qe, emb, (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+_NORM = "sqrt(aggregate(transform({c}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+
+
+def _cosine_col() -> "F.Column":
+    return F.expr(f"{_DOT} / ({_NORM.format(c='qe')} * {_NORM.format(c='emb')})")
+
+
+def cosine_topk_exact(points: DataFrame, queries: DataFrame, k: int = 10,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      query_id_col: str = "query_id") -> DataFrame:
+    """Brute force: (query_id, vec_id, sim, rank<=k), deterministic ties."""
+    p = points.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb"))
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).alias("qe"))
+    scored = (F.broadcast(q).crossJoin(p)
+              .where(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", "vec_id", _cosine_col().alias("sim")))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def _srp_udf(dim: int, tables: int, bits: int, seed: int):
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((tables * bits, dim))
+    weights = (1 << np.arange(bits, dtype=np.int64))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(vecs: pd.Series) -> pd.Series:
+        m = np.asarray(list(vecs), dtype=np.float64)          # (n, dim)
+        signs = (m @ planes.T) > 0                            # (n, tables*bits)
+        per_table = signs.reshape(len(m), tables, bits)
+        codes = (per_table * weights).sum(axis=2)             # (n, tables)
+        return pd.Series(list(codes))
+
+    return _sig
+
+
+def cosine_topk_lsh(points: DataFrame, queries: DataFrame, k: int = 10,
+                    dim: int | None = None, tables: int = 8, bits: int = 12,
+                    seed: int = 42, id_col: str = "vec_id",
+                    vec_col: str = "embedding", query_id_col: str = "query_id",
+                    cap_per_bucket: int = 5000) -> DataFrame:
+    """SRP-LSH candidates -> exact cosine re-rank -> per-query top-k.
+
+    At 10^9+ vectors this replaces the O(n*q) cross join with one shuffle
+    on (table_id, code); `cap_per_bucket` is the hot-bucket guard
+    (searchThreshold analogue, SearchMapper.java:266)."""
+    if dim is None:
+        dim = len(points.select(vec_col).first()[0])
+    sig = _srp_udf(dim, tables, bits, seed)
+
+    p = points.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb"))
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).alias("qe"))
+    pb = p.select("vec_id", F.posexplode(sig(F.col("emb"))).alias("table_id", "code"))
+    qb = q.select("query_id", F.posexplode(sig(F.col("qe"))).alias("table_id", "code"))
+
+    if cap_per_bucket:
+        wcap = Window.partitionBy("table_id", "code").orderBy("vec_id")
+        pb = (pb.withColumn("_rn", F.row_number().over(wcap))
+                .where(F.col("_rn") <= cap_per_bucket).drop("_rn"))
+
+    cands = (pb.join(F.broadcast(qb), ["table_id", "code"])
+             .select("query_id", "vec_id").dropDuplicates()
+             .where(F.col("vec_id") != F.col("query_id")))
+    scored = (cands.join(p, "vec_id").join(F.broadcast(q), "query_id")
+              .select("query_id", "vec_id", _cosine_col().alias("sim")))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

@@ -17,25 +17,49 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
+import zlib
+
 from distributed_lsh_spark.conf import PRIME_31, DedupConfig
 from distributed_lsh_spark.functions.hashing import minhash_params
-from distributed_lsh_spark.oracle.xxh64 import spark_xxhash64_string
 
 _NON_ALNUM = re.compile(r"[^a-z0-9]+")
+_FNV = 1099511628211
+_M64 = (1 << 64) - 1
 
 
 def normalize_tokens(text: str) -> list[str]:
     return [t for t in _NON_ALNUM.sub(" ", text.lower()).split(" ") if t]
 
 
+def _to_signed(u: int) -> int:
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def poly_shingle(tok_hashes: list[int]) -> int:
+    """H = ((H * FNV) + tok_h) mod 2^64 over the window (signed-64 view) —
+    the spec mirrored by functions.signature (NumPy uint64 wraparound) and
+    functions.text (JVM long wraparound)."""
+    h = 0
+    for t in tok_hashes:
+        h = (h * _FNV + t) & _M64
+    return h
+
+
 def shingle_set(text: str, k: int) -> list[int]:
-    """Sorted distinct signed-64 xxhash64 shingle hashes (= engine column)."""
+    """Sorted distinct signed-64 shingle hashes (= engine `shingles` column).
+
+    tok_h = crc32(utf8(token)); k-gram hash = rolling poly of tok_h;
+    docs with 0 < n < k tokens get one whole-doc shingle; empty docs {0}.
+    """
     toks = normalize_tokens(text)
-    if len(toks) < k:
-        grams = [" ".join(toks)]
+    th = [zlib.crc32(t.encode("utf-8")) for t in toks]
+    if not th:
+        vals = {0}
+    elif len(th) < k:
+        vals = {poly_shingle(th)}
     else:
-        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
-    return sorted({spark_xxhash64_string(g) for g in grams})
+        vals = {poly_shingle(th[i:i + k]) for i in range(len(th) - k + 1)}
+    return sorted(_to_signed(v) for v in vals)
 
 
 def minhash_sig(shingles: list[int], cfg: DedupConfig) -> list[int]:

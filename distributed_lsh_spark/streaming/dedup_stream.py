@@ -1,0 +1,123 @@
+"""Structured Streaming: incremental near-dup detection for continuously
+arriving pages.
+
+The reference is strictly batch (SURVEY.md §2.8); this module is the
+streaming extension a Common-Crawl-style ingest needs: new pages arrive as
+files, each micro-batch is signed with the SAME stateless signature
+functions as the batch pipeline (shingles/MinHash/bands are pure per-row
+transforms, so batch/stream parity is exact), then `foreachBatch` joins the
+batch's band keys against the accumulated band index and appends:
+
+    band_index/   (doc_id, band_id, band_hash)   — grows per batch
+    dup_pairs/    (id_a, id_b, jaccard)          — new-vs-old + new-vs-new
+
+foreachBatch (not a streaming join) because the index side must be
+unbounded and self-growing — Spark's stream-stream join would force
+watermark-bounded state, but dedup must match against ALL history.
+Exactly-once: the sink dirs are partitioned by batch_id; re-run of a batch
+overwrites its own partition (idempotent).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_lsh_spark.conf import DedupConfig, DEFAULT_CONFIG
+from distributed_lsh_spark.functions.hashing import band_keys
+from distributed_lsh_spark.functions.signature import with_signatures
+from distributed_lsh_spark.operators.verify import verify_pairs
+
+
+def _sign(df: DataFrame, cfg: DedupConfig) -> DataFrame:
+    return with_signatures(df.select("doc_id", "text"), cfg)
+
+
+def incremental_dedup_stream(spark: SparkSession, input_dir: str, state_dir: str,
+                             cfg: DedupConfig = DEFAULT_CONFIG,
+                             schema: str = "doc_id long, text string",
+                             available_now: bool = True):
+    """Start (or run-to-completion with availableNow) the incremental dedup
+    stream over parquet files appearing in `input_dir`.
+
+    Returns the StreamingQuery. State layout under `state_dir`:
+      checkpoint/  — Spark streaming checkpoint (offsets, commits)
+      sigs/        — accumulated signatures (doc_id, shingles, minhash)
+      pairs/       — verified dup pairs with batch_id lineage
+    """
+    sigs_dir = os.path.join(state_dir, "sigs")
+    pairs_dir = os.path.join(state_dir, "pairs")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "16")
+              .parquet(input_dir))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        new_sigs = _sign(batch_df, cfg).withColumn("batch_id", F.lit(batch_id))
+        new_sigs.persist()
+        try:
+            new_bands = band_keys(new_sigs, cfg)
+            has_history = os.path.exists(os.path.join(sigs_dir, "_SUCCESS")) or any(
+                f.startswith("batch_id=") for f in
+                (os.listdir(sigs_dir) if os.path.isdir(sigs_dir) else []))
+            if has_history:
+                old_sigs = spark.read.parquet(sigs_dir).where(F.col("batch_id") < batch_id)
+                all_sigs = old_sigs.unionByName(new_sigs)
+                old_bands = band_keys(old_sigs, cfg)
+                # new-vs-old: join new band keys against historical index;
+                # new-vs-new: self-join within the batch
+                cross = (new_bands.alias("a")
+                         .join(old_bands.alias("b"), ["band_id", "band_hash"])
+                         .select(F.least("a.doc_id", "b.doc_id").alias("id_a"),
+                                 F.greatest("a.doc_id", "b.doc_id").alias("id_b")))
+            else:
+                all_sigs = new_sigs
+                cross = spark.createDataFrame([], "id_a long, id_b long")
+            a, b = new_bands.alias("a"), new_bands.alias("b")
+            within = (a.join(b, ["band_id", "band_hash"])
+                      .where(F.col("a.doc_id") < F.col("b.doc_id"))
+                      .select("a.doc_id", "b.doc_id")
+                      .toDF("id_a", "id_b"))
+            pairs = cross.unionByName(within) \
+                         .where(F.col("id_a") != F.col("id_b")) \
+                         .dropDuplicates(["id_a", "id_b"])
+            verified = verify_pairs(pairs, all_sigs, cfg) \
+                .withColumn("batch_id", F.lit(batch_id))
+
+            (verified.write.mode("overwrite")
+             .partitionBy("batch_id")
+             .option("partitionOverwriteMode", "dynamic")
+             .parquet(pairs_dir))
+            (new_sigs.write.mode("overwrite")
+             .partitionBy("batch_id")
+             .option("partitionOverwriteMode", "dynamic")
+             .parquet(sigs_dir))
+        finally:
+            new_sigs.unpersist()
+
+    writer = (stream.writeStream
+              .foreachBatch(process_batch)
+              .option("checkpointLocation", os.path.join(state_dir, "checkpoint")))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_hourly_counts(spark: SparkSession, input_dir: str,
+                            schema: str = ("event_id long, ts timestamp, user_id long, "
+                                           "event_type string, value double"),
+                            watermark: str = "2 hours"):
+    """Watermarked tumbling-window aggregation (late data dropped after
+    `watermark`): the streaming twin of entry_queries.q_events_hourly.
+    Returns the unstarted writer so callers pick sink + trigger."""
+    ev = (spark.readStream.schema(schema).parquet(input_dir)
+          .withWatermark("ts", watermark))
+    return (ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+              .agg(F.count("*").alias("n"),
+                   F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"))
+              .select(F.col("win.start").alias("hour_ts"), "event_type", "n",
+                      "sum_value_cents"))

@@ -1,0 +1,100 @@
+"""ANN parity: Spark engine == bit-faithful reference-LSH oracle on the
+vectors fixture (SURVEY.md §5 item 3, reference ANN-query test cases)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from distributed_lsh_spark.fixtures import make_vectors_fixture
+from distributed_lsh_spark.oracle.reference_lsh import (
+    ReferenceLSHModel, ann_search, avg_ratio, build_hash_tables,
+)
+from distributed_lsh_spark.plans.planner import reference_parameters
+
+
+@pytest.fixture(scope="module")
+def fx():
+    return make_vectors_fixture(n=400, d=16, t=255, n_queries=12, max_k=20)
+
+
+@pytest.fixture(scope="module")
+def model(fx):
+    return ReferenceLSHModel(dim=16, max_coordinate=255,
+                             cardinality=len(fx.points), ratio=2, seed=42)
+
+
+def test_reference_parameter_derivation():
+    """Pin m/L/nRadii against hand-computed values of the reference's
+    formulas (LSH.java:84-104, Statistician.java:132-134)."""
+    p = reference_parameters(n=1000, d=16, t=255, c=2.0)
+    assert abs(p.p1 - 0.8005) < 1e-3
+    assert abs(p.p2 - 0.6095) < 1e-3
+    assert p.m == math.ceil(math.log(1000) / math.log(1 / p.p2))
+    assert p.L == math.ceil(1 / p.p1 ** p.m)
+    assert p.n_radii == 1 + int(math.floor(math.log2(math.sqrt(16) * 255)))
+
+
+def test_bucket_fold_matches_java_semantics(model, fx):
+    """The 64->32 fold (x & MASK) + 5*(x>>32) mod PRIME stays in int32 range
+    and is deterministic (LSH.java:260-269)."""
+    b1 = model.bucket_ids(0, 1, fx.points[:50])
+    b2 = model.bucket_ids(0, 1, fx.points[:50])
+    assert (b1 == b2).all()
+    assert (b1 >= 0).all() and (b1 < (1 << 31) - 1).all()
+    # different tables hash differently
+    b3 = model.bucket_ids(1, 1, fx.points[:50])
+    assert (b1 != b3).any()
+
+
+def test_hash_table_construction(model, fx):
+    tables = build_hash_tables(model, fx.points)
+    assert len(tables) == model.n_radii * model.L
+    # every point appears exactly once per (radius, table)
+    for (rid, tid) in [(0, 0), (model.n_radii - 1, model.L - 1)]:
+        total = sum(len(v) for v in tables[(rid, tid)].values())
+        assert total == len(fx.points)
+
+
+def test_oracle_accuracy_vs_ground_truth(model, fx):
+    """The reference's own evaluation: avgRatio >= 1 (found dists can't beat
+    exact), small; finished queries return exactly k ascending dists."""
+    k = 5
+    res = ann_search(model, fx.points, fx.queries, k=k)
+    ratio, missing = avg_ratio(res, fx.ground_truth, k=k)
+    finished = [r for r in res if len(r.neighbors) == k]
+    assert finished, "no query finished — family too weak for fixture"
+    assert ratio >= 1.0 - 1e-9
+    assert ratio < 1.6
+    for r in finished:
+        dists = [d for d, _ in r.neighbors]
+        assert dists == sorted(dists)
+
+
+def test_spark_ann_matches_oracle(spark, model, fx):
+    from distributed_lsh_spark.operators.ann import ann_search_spark
+
+    k = 5
+    pts = spark.createDataFrame(
+        [(i, fx.points[i].tolist()) for i in range(len(fx.points))],
+        "id long, vec array<int>")
+    qs = spark.createDataFrame(
+        [(i, fx.queries[i].tolist()) for i in range(len(fx.queries))],
+        "query_id long, vec array<int>")
+    got = ann_search_spark(spark, pts, qs, model, k=k).collect()
+
+    oracle = ann_search(model, fx.points, fx.queries, k=k)
+    expect = {}
+    for r in oracle:
+        if len(r.neighbors) == k:
+            for rank, (dist, idx) in enumerate(r.neighbors, start=1):
+                expect[(r.query_id, rank)] = (idx, dist)
+
+    got_map = {(r["query_id"], r["rank"]): (r["point_id"], r["dist"]) for r in got}
+    assert set(got_map) == set(expect)
+    for key, (idx, dist) in expect.items():
+        gi, gd = got_map[key]
+        assert gi == idx
+        assert math.isclose(gd, dist, rel_tol=1e-9)

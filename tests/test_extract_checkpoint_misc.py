@@ -1,0 +1,125 @@
+"""Extraction byte-parity, checkpoint/resume idempotence, planner, and
+multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from distributed_lsh_spark.functions.extract import extract_text, with_extracted_text
+from distributed_lsh_spark.plans.planner import minhash_collision_prob, plan_bands
+
+
+# ------------------------------------------------------------- extraction
+
+def test_extract_text_deterministic_and_sane():
+    html = (b"<html><head><title>T</title><script>var x=1;</script>"
+            b"<style>p{}</style></head><body><p>Hello &amp; world</p>"
+            b"<div>line2</div><!-- comment --></body></html>")
+    out = extract_text(html)
+    assert out == extract_text(html)                 # byte-stable
+    assert "Hello & world" in out
+    assert "var x" not in out and "comment" not in out
+    assert extract_text(b"") == ""
+    assert extract_text("&#65;&#x42;") == "AB"
+    assert extract_text(b"\xff\xfeplain") != ""      # bad UTF-8 -> replacement
+
+
+def test_extract_udf_matches_python(spark, tiny_corpus):
+    rows = [(i, r["html"]) for i, r in enumerate(tiny_corpus.rows[:50])]
+    df = spark.createDataFrame(
+        [(i, bytearray(h)) for i, h in rows], "doc_id long, html binary")
+    got = {r["doc_id"]: r["text"] for r in with_extracted_text(df).collect()}
+    expect = {i: extract_text(h) for i, h in rows}
+    assert got == expect                              # byte-identical per url
+
+
+def test_extract_recovers_fixture_text(tiny_corpus):
+    """The fixture html wraps text in a known template; extraction must
+    recover the title + body exactly (invertibility by construction)."""
+    r = tiny_corpus.rows[0]
+    out = extract_text(r["html"])
+    assert r["text"] in out
+
+
+# ------------------------------------------------------------- checkpoint
+
+def test_checkpoint_resume_skips_completed(spark, tmp_path):
+    from distributed_lsh_spark.sources.checkpoint import CheckpointManager
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(100).withColumnRenamed("id", "doc_id")
+
+    ckpt = CheckpointManager(spark, str(tmp_path), run_id="r1",
+                             config_echo={"k": 5})
+    df1 = ckpt.stage("sigs", build)
+    assert calls["n"] == 1 and df1.count() == 100
+    # resume: same run_id -> build skipped
+    ckpt2 = CheckpointManager(spark, str(tmp_path), run_id="r1")
+    df2 = ckpt2.stage("sigs", build)
+    assert calls["n"] == 1 and df2.count() == 100
+    # new run_id -> rebuild
+    ckpt3 = CheckpointManager(spark, str(tmp_path), run_id="r2")
+    ckpt3.stage("sigs", build)
+    assert calls["n"] == 2
+
+    with open(os.path.join(str(tmp_path), "r1", "sigs", "manifest.json")) as f:
+        m = json.load(f)
+    assert m["status"] == "complete" and m["rows"] == 100
+    assert m["config_echo"] == {"k": 5}
+
+    counters = ckpt.partition_counters("sigs")
+    assert counters.agg({"rows": "sum"}).collect()[0][0] == 100
+
+
+# ------------------------------------------------------------- planner
+
+def test_plan_bands_reaches_recall():
+    b, r = plan_bands(128, target_jaccard=0.8, min_recall=0.99)
+    assert b * r == 128
+    assert minhash_collision_prob(0.8, b, r) >= 0.99
+    # frozen config (32, 4) satisfies the same constraint
+    assert minhash_collision_prob(0.8, 32, 4) >= 0.99
+
+
+def test_plan_bands_impossible_raises():
+    with pytest.raises(ValueError):
+        plan_bands(4, target_jaccard=0.05, min_recall=0.999)
+
+
+# ------------------------------------------------------------- multimodal
+
+def test_media_features_plumbing(spark):
+    from distributed_lsh_spark.functions.multimodal import (
+        FEATURE_DIM, frame_sample, media_features,
+    )
+
+    rows = [(i, "image" if i % 2 else "video", "application/octet-stream",
+             64, 64, 3000, bytearray(bytes([i % 256]) * 100)) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, mime string, width int, "
+              "height int, duration_ms int, payload binary")
+    feats = media_features(df).collect()
+    assert len(feats) == 10
+    assert all(len(r["feature"]) == FEATURE_DIM for r in feats)
+    # deterministic across runs
+    feats2 = media_features(df).collect()
+    assert {r["media_id"]: r["feature"] for r in feats} == \
+           {r["media_id"]: r["feature"] for r in feats2}
+
+    frames = frame_sample(df, every_ms=1000).collect()
+    n_videos = sum(1 for r in rows if r[1] == "video")
+    assert len(frames) == n_videos * 3
+    assert {r["frame_ts_ms"] for r in frames} == {0, 1000, 2000}
+
+
+def test_media_decode_stub_raises_for_real_path():
+    from distributed_lsh_spark.functions.multimodal import _decode_image
+
+    with pytest.raises(NotImplementedError):
+        _decode_image(b"abc", fake=False)

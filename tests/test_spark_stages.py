@@ -51,6 +51,21 @@ def test_minhash_pandas_udf_matches_expr(spark, micro):
     assert got == oc.sigs
 
 
+def test_jvm_shingle_path_matches_fused(spark, micro):
+    """The slow JVM HOF path (with_shingle_hashes + minhash_expr) and the
+    fused Arrow stage implement ONE contract — cross-validate bit-for-bit
+    (Java long wraparound == numpy uint64 wraparound)."""
+    st, oc = micro
+    from distributed_lsh_spark.functions.hashing import with_minhash
+    from distributed_lsh_spark.functions.text import with_shingle_hashes
+
+    base = st.docs.select("doc_id", "text")
+    jvm = with_minhash(with_shingle_hashes(base, k=CFG.shingle_k), CFG, impl="expr")
+    got = {r["doc_id"]: (list(r["shingles"]), list(r["minhash"]))
+           for r in jvm.collect()}
+    assert got == {d: (oc.shingles[d], oc.sigs[d]) for d in oc.docs}
+
+
 def test_simhash_matches_oracle(micro):
     st, oc = micro
     got = {r["doc_id"]: r["simhash"]

@@ -1,0 +1,38 @@
+"""Structured Streaming: incremental dedup over arriving files matches the
+batch pipeline on the same corpus (batch/stream parity)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from distributed_lsh_spark.conf import DEFAULT_CONFIG as CFG
+from distributed_lsh_spark.oracle.dedup import DedupOracle
+from distributed_lsh_spark.streaming.dedup_stream import incremental_dedup_stream
+
+
+def test_incremental_dedup_matches_batch(spark, tiny_corpus, tmp_path):
+    docs = tiny_corpus.texts_by_id()
+    ids = sorted(docs)
+    input_dir = str(tmp_path / "incoming")
+    state_dir = str(tmp_path / "state")
+    os.makedirs(input_dir)
+
+    # two file drops (two micro-batches): first half, then the rest
+    half = len(ids) // 2
+    spark.createDataFrame([(i, docs[i]) for i in ids[:half]],
+                          "doc_id long, text string") \
+         .coalesce(1).write.parquet(os.path.join(input_dir, "drop1"))
+    spark.createDataFrame([(i, docs[i]) for i in ids[half:]],
+                          "doc_id long, text string") \
+         .coalesce(1).write.parquet(os.path.join(input_dir, "drop2"))
+
+    q = incremental_dedup_stream(
+        spark, input_dir + "/*", state_dir, CFG, available_now=True)
+    q.awaitTermination(240)
+
+    got = {(r["id_a"], r["id_b"])
+           for r in spark.read.parquet(os.path.join(state_dir, "pairs")).collect()}
+    oracle = DedupOracle(CFG, docs)
+    assert got == set(oracle.verified_pairs())

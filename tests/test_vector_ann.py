@@ -1,0 +1,61 @@
+"""Embedding ANN: exact top-k baseline correctness + SRP-LSH recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(7)
+    # clustered vectors so neighbors are meaningful
+    centers = rng.standard_normal((10, 32)) * 3
+    vecs = np.concatenate([c + rng.standard_normal((40, 32)) * 0.3
+                           for c in centers])
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>")
+    return df, vecs
+
+
+def _brute_topk(vecs: np.ndarray, qids: list[int], k: int):
+    norms = np.linalg.norm(vecs, axis=1)
+    out = {}
+    for qid in qids:
+        sims = vecs @ vecs[qid] / (norms * norms[qid])
+        order = sorted(range(len(vecs)),
+                       key=lambda i: (-sims[i], i))
+        out[qid] = [(i, sims[i]) for i in order if i != qid][:k]
+    return out
+
+
+def test_exact_topk_matches_numpy(emb):
+    from distributed_lsh_spark.operators.vector_ann import cosine_topk_exact
+
+    df, vecs = emb
+    qids = [0, 40, 80]
+    q = df.where(df.vec_id.isin(qids)).withColumnRenamed("vec_id", "query_id")
+    got = cosine_topk_exact(df, q, k=5).collect()
+    expect = _brute_topk(vecs, qids, k=5)
+    for r in got:
+        ei, es = expect[r["query_id"]][r["rank"] - 1]
+        assert r["vec_id"] == ei
+        assert abs(r["sim"] - es) < 1e-9
+
+
+def test_lsh_topk_high_recall(emb):
+    from distributed_lsh_spark.operators.vector_ann import cosine_topk_lsh
+
+    df, vecs = emb
+    qids = [0, 40, 80, 120]
+    q = df.where(df.vec_id.isin(qids)).withColumnRenamed("vec_id", "query_id")
+    got = cosine_topk_lsh(df, q, k=5, tables=16, bits=8, seed=42).collect()
+    expect = _brute_topk(vecs, qids, k=5)
+    hits = total = 0
+    for qid in qids:
+        truth = {i for i, _ in expect[qid]}
+        found = {r["vec_id"] for r in got if r["query_id"] == qid}
+        hits += len(truth & found)
+        total += len(truth)
+    assert hits / total >= 0.8, f"SRP-LSH recall too low: {hits}/{total}"
