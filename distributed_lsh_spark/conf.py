@@ -93,6 +93,9 @@ def spark_conf_pairs(shuffle_partitions: int = 32) -> list[tuple[str, str]]:
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        # bound pandas-UDF batch memory (text rows can be KBs each; 32
+        # concurrent python workers x 10k-row default batches OOM'd)
+        ("spark.sql.execution.arrow.maxRecordsPerBatch", "4096"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.ui.enabled", "false"),
         ("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)),

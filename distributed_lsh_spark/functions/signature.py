@@ -139,11 +139,24 @@ def signature_pandas_udf(cfg: DedupConfig):
         dv, offsets = _distinct_per_segment(values, counts)
         dv_signed = dv.view(np.int64)
 
-        # minhash: permute the 31-bit residues, segment-min via reduceat
+        # minhash: permute the 31-bit residues, segment-min via reduceat.
+        # Chunked over doc ranges so the (num_perm x shingles) work matrix
+        # stays ~128 MB regardless of batch size (an unchunked outer() was
+        # ~2 GB/worker at 10k-row batches -> 32 workers OOM'd the host).
         h31 = (dv_signed % np.int64(PRIME_31)).astype(np.uint64)  # floored mod == Spark pmod
-        perm = (np.outer(a_np, h31) + b_np[:, None]) % p          # (perm, total)
-        mins = np.minimum.reduceat(perm, offsets[:-1], axis=1)    # (perm, docs)
-        minhash = mins.T.astype(np.int64)
+        minhash = np.empty((n_docs, num_perm), dtype=np.int64)
+        budget = max(1 << 17, 2 * int((np.diff(offsets)).max(initial=1)))
+        d0 = 0
+        while d0 < n_docs:
+            d1 = d0
+            while d1 < n_docs and offsets[d1 + 1] - offsets[d0] <= budget:
+                d1 += 1
+            d1 = max(d1, d0 + 1)
+            lo, hi = offsets[d0], offsets[d1]
+            perm = (np.outer(a_np, h31[lo:hi]) + b_np[:, None]) % p
+            mins = np.minimum.reduceat(perm, (offsets[d0:d1] - lo), axis=1)
+            minhash[d0:d1] = mins.T.astype(np.int64)
+            d0 = d1
         # reduceat quirk: empty segments copy the start element — none here
         # (every doc has >= 1 shingle by construction)
 
