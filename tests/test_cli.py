@@ -1,0 +1,49 @@
+"""CLI smoke: dedup verb end-to-end with checkpoint resume, query verb on a
+small vectors table."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from distributed_lsh_spark.cli import main
+
+
+def test_cli_dedup_and_resume(spark, tmp_path, capsys):
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+         .select("doc_id", "text").write.parquet(src)
+
+    args = ["dedup", "--input", src, "--output", out, "--run-id", "t1",
+            "--cores", "8"]
+    main(args)
+    r1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r1["n_dup_pairs"] > 0 and r1["n_clustered_docs"] > 0
+
+    # resume: all stages complete -> same numbers, much less work
+    main(args)
+    r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert (r1["n_dup_pairs"], r1["n_clustered_docs"]) == \
+           (r2["n_dup_pairs"], r2["n_clustered_docs"])
+    assert os.path.exists(os.path.join(out, "t1", "clusters", "manifest.json"))
+
+
+def test_cli_query_ann(spark, tmp_path, capsys):
+    from distributed_lsh_spark.fixtures import make_vectors_fixture
+
+    fx = make_vectors_fixture(n=200, d=8, t=63, n_queries=5, max_k=10)
+    pts = str(tmp_path / "pts")
+    qs = str(tmp_path / "qs")
+    out = str(tmp_path / "res")
+    spark.createDataFrame([(i, fx.points[i].tolist()) for i in range(len(fx.points))],
+                          "id long, vec array<int>").write.parquet(pts)
+    spark.createDataFrame([(i, fx.queries[i].tolist()) for i in range(len(fx.queries))],
+                          "query_id long, vec array<int>").write.parquet(qs)
+    main(["query", "--input", pts, "--queries", qs, "--output", out,
+          "--k", "3", "--cores", "8"])
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["queries"] == 5
+    got = spark.read.parquet(out)
+    assert got.count() == r["results"]
+    assert set(got.columns) == {"query_id", "point_id", "dist", "rank"}
