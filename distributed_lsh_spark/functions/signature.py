@@ -51,20 +51,38 @@ SIG_SCHEMA = T.StructType([
 
 
 def _token_hashes(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    """All docs' token hashes flattened -> (tok_h uint64, doc_lens int64)."""
-    toks = (texts.fillna("").str.lower()
-            .str.replace(_NONALNUM, " ", regex=True)
-            .str.split())
-    lens = toks.str.len().fillna(0).astype(np.int64).to_numpy()
-    flat = [t for lst in toks for t in (lst or ())]
-    if flat:
-        codes, uniques = pd.factorize(pd.Series(flat, dtype=object))
-        uh = np.fromiter((zlib.crc32(u.encode("utf-8")) for u in uniques),
-                         dtype=np.uint64, count=len(uniques))
-        tok_h = uh[codes]
-    else:
-        tok_h = np.empty(0, dtype=np.uint64)
-    return tok_h, lens
+    """All docs' token hashes flattened -> (tok_h uint64, doc_lens int64).
+
+    All string work stays in Arrow C++ (lower/regex/split/flatten/
+    dictionary-encode); Python touches only the per-batch token VOCABULARY
+    (one crc32 per distinct token).  A pandas/object-dtype version of this
+    (per-token Python string objects + factorize over tens of millions of
+    objects) was ~10x slower and allocation-bound.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.Array.from_pandas(texts.astype(object))
+    clean = pc.replace_substring_regex(pc.utf8_lower(arr), _NONALNUM, " ")
+    toks = pc.utf8_split_whitespace(clean)
+    lens0 = np.asarray(pc.list_value_length(toks).fill_null(0)).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    if len(flat) == 0:
+        return np.empty(0, dtype=np.uint64), lens0
+    enc = pc.dictionary_encode(flat)
+    idx = np.asarray(enc.indices).astype(np.int64)
+    uniques = enc.dictionary.to_pylist()
+    uh = np.fromiter((zlib.crc32(u.encode("utf-8")) for u in uniques),
+                     dtype=np.uint64, count=len(uniques))
+    # split_whitespace emits empty tokens at string edges — drop them and
+    # recompute per-doc lengths
+    empty_ids = [i for i, u in enumerate(uniques) if u == ""]
+    if empty_ids:
+        doc_of = np.repeat(np.arange(len(texts), dtype=np.int64), lens0)
+        keep = idx != empty_ids[0]
+        idx = idx[keep]
+        lens0 = np.bincount(doc_of[keep], minlength=len(texts)).astype(np.int64)
+    return uh[idx], lens0
 
 
 def _shingle_hashes(tok_h: np.ndarray, lens: np.ndarray, k: int,
@@ -86,21 +104,26 @@ def _shingle_hashes(tok_h: np.ndarray, lens: np.ndarray, k: int,
     offsets = np.zeros(len(lens) + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets[1:])
     counts = np.maximum(lens - k + 1, 1)
-    out = np.empty(int(counts.sum()), dtype=np.uint64)
-    pos = 0
-    for d in range(len(lens)):
-        n = int(lens[d])
-        c = int(counts[d])
-        if n >= k:
-            out[pos:pos + c] = H[offsets[d]:offsets[d] + c]
-        elif n > 0:   # short doc: one whole-doc shingle (Python ints: the
-            h = 0     # wraparound is explicit, no numpy overflow warnings)
-            for t in tok_h[offsets[d]:offsets[d] + n]:
-                h = (h * 1099511628211 + int(t)) & ((1 << 64) - 1)
-            out[pos] = np.uint64(h)
-        else:         # empty doc
-            out[pos] = np.uint64(0)
-        pos += c
+    out = np.zeros(int(counts.sum()), dtype=np.uint64)
+    out_offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(counts, out=out_offsets[1:])
+
+    # long docs (n >= k): their windows are exactly the global windows that
+    # do not cross a doc boundary — one vectorized masked assignment
+    long_docs = lens >= k
+    if len(H) and long_docs.any():
+        doc_of_tok = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        valid = doc_of_tok[:len(H)] == doc_of_tok[k - 1:]
+        out[np.repeat(long_docs, counts)] = H[valid]
+
+    # short docs (0 < n < k): one whole-doc rolling hash each (rare; Python
+    # ints make the 64-bit wraparound explicit, no numpy overflow warnings)
+    for d in np.nonzero((lens > 0) & ~long_docs)[0]:
+        h = 0
+        for t in tok_h[offsets[d]:offsets[d] + int(lens[d])]:
+            h = (h * 1099511628211 + int(t)) & ((1 << 64) - 1)
+        out[out_offsets[d]] = np.uint64(h)
+    # empty docs keep the zero the array was initialized with
     return out, counts
 
 
@@ -177,11 +200,17 @@ def signature_pandas_udf(cfg: DedupConfig):
         # reduceat quirk: empty segments copy the start element — none here
         # (every doc has >= 1 shingle by construction)
 
-        # simhash: per-bit majority over each doc's distinct shingles
-        bits = np.unpackbits(dv.view(np.uint8).reshape(-1, 8), axis=1,
-                             bitorder="little").astype(np.int64)   # (total, 64)
+        # simhash: per-bit majority over each doc's distinct shingles.
+        # One bit at a time (64 cheap passes over a 1-D array) — an
+        # unpackbits (total, 64) int64 matrix was 2+ GB and 15x slower.
         seg_counts = np.diff(offsets)
-        sums = np.add.reduceat(bits, offsets[:-1], axis=0)         # (docs, 64)
+        sums = np.empty((n_docs, 64), dtype=np.int64)
+        tmp = np.empty(len(dv), dtype=np.uint64)
+        one = np.uint64(1)
+        for j in range(64):
+            np.right_shift(dv, np.uint64(j), out=tmp)
+            np.bitwise_and(tmp, one, out=tmp)
+            sums[:, j] = np.add.reduceat(tmp, offsets[:-1])
         votes = 2 * sums - seg_counts[:, None]
         fp_bits = (votes > 0).astype(np.uint8)
         simhash = np.packbits(fp_bits, axis=1, bitorder="little") \
