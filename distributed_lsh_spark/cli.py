@@ -74,7 +74,8 @@ def cmd_dedup(args: argparse.Namespace) -> None:
         "n_clustered_docs": n_clustered, "wall_sec": round(dt, 2),
         "docs_per_sec": round(n_docs / dt, 1),
     }))
-    spark.stop()
+    # NOTE: no spark.stop() — the session may be shared (tests, notebooks);
+    # process exit tears it down for CLI runs
 
 
 def cmd_query(args: argparse.Namespace) -> None:
@@ -98,7 +99,6 @@ def cmd_query(args: argparse.Namespace) -> None:
     out.write.mode("overwrite").parquet(args.output)
     print(json.dumps({"queries": qs.count(), "results": out.count(),
                       "m": model.m, "L": model.L, "n_radii": model.n_radii}))
-    spark.stop()
 
 
 def main(argv: list[str] | None = None) -> None:
