@@ -434,6 +434,20 @@ def q_substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
+def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for similarity search: sign-random-projection LSH
+    candidates -> exact cosine re-rank (operators/vector_ann.py).  The
+    result is approximate (recall tested vs brute force in pytest), so no
+    SQL oracle — driver records rows-only."""
+    from distributed_lsh_spark.operators.vector_ann import cosine_topk_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    return (cosine_topk_lsh(emb, q, k=10, tables=16, bits=8, seed=42)
+            .select("query_id", "vec_id", "rank", F.round("sim", 6).alias("sim"))
+            .orderBy("query_id", "rank"))
+
+
 def q_balance_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets aggregation over a 3-way dim join (region->nation->
     customer): per-(region, nation) and per-region customer counts +
@@ -511,6 +525,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_sessions": q_user_sessions,
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
     "substring_dup_pairs": q_substring_dup_pairs,
+    "embedding_topk_lsh": q_embedding_topk_lsh,
     "balance_rollup": q_balance_rollup,
     "part_semi_anti": q_part_supplier_semi_anti,
 }
