@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from distributed_lsh_spark.conf import DedupConfig, DEFAULT_CONFIG
@@ -78,13 +78,40 @@ def build_stages(df: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
 
 
 def run_dedup(df: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
-              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Full pipeline -> clusters(doc_id, cluster_id). Lazy until CC loop."""
-    st = build_stages(df, cfg, id_col=id_col, text_col=text_col, persist=True)
+              id_col: str = "doc_id", text_col: str = "text",
+              exact_first: bool = True) -> DataFrame:
+    """Full pipeline -> clusters(doc_id, cluster_id). Lazy until CC loop.
+
+    `exact_first=True` removes byte-identical texts BEFORE the LSH stages:
+    group by md5(text), run signatures/banding/verify over one
+    representative (min doc_id) per group, and reconnect members with
+    (member, rep) edges.  Identical-page families are the canonical hot
+    key at web scale (SCALE.md): this collapses them ahead of the band
+    self-join instead of capping them inside it, and skips signature CPU
+    for every duplicate byte-copy.  Cluster output is identical either way
+    (identical docs have identical signatures, so they pair through every
+    band when not collapsed)."""
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+
+    exact_edges = None
+    if exact_first:
+        mapping = base.withColumn(
+            "rep", F.min("doc_id").over(
+                Window.partitionBy(F.md5(F.col("text").cast("binary")))))
+        exact_edges = (mapping.where(F.col("doc_id") != F.col("rep"))
+                       .select(F.col("rep").alias("id_a"),
+                               F.col("doc_id").alias("id_b")))
+        base = mapping.where(F.col("doc_id") == F.col("rep")) \
+                      .select("doc_id", "text")
+
+    st = build_stages(base, cfg, persist=True)
     # The verified edge set is reused by every CC iteration — persist it once
     # (the reference persists splitCand/ between jobs for the same reason,
     # Naive-DLSH/.../lsh/searcher/LSHSearcher.java:327).
-    edges = st.verified.select("id_a", "id_b").localCheckpoint(eager=False)
+    edges = st.verified.select("id_a", "id_b")
+    if exact_edges is not None:
+        edges = edges.unionByName(exact_edges)
+    edges = edges.localCheckpoint(eager=False)
     return connected_components(edges)
 
 
