@@ -12,14 +12,15 @@ verbs:
           per stage (resumable: rerun with the same --run-id skips
           completed stages)
   query   c-k-ANN over an integer-vector table (reference parity mode)
-  bench   the scaling protocol at two parallelism levels (local mode only)
+
+(the two-parallelism scaling protocol lives in bench_scaling.py at the
+repo root; the headline-query benchmark in bench.py)
 """
 
 from __future__ import annotations
 
 import argparse
 import json
-import sys
 import time
 
 
@@ -55,7 +56,6 @@ def cmd_dedup(args: argparse.Namespace) -> None:
     t0 = time.time()
     sigs = ckpt.stage("signatures",
                       lambda: build_stages(pages, cfg).signatures)
-    st = None
 
     def _pairs():
         from distributed_lsh_spark.functions.hashing import band_keys
