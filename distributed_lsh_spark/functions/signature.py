@@ -70,7 +70,9 @@ def _token_hashes(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     if len(flat) == 0:
         return np.empty(0, dtype=np.uint64), lens0
     enc = pc.dictionary_encode(flat)
-    idx = np.asarray(enc.indices).astype(np.int64)
+    # to_numpy(zero_copy_only=False) is the int32 fast path; np.asarray on
+    # a pyarrow index array takes a slow element-wise route
+    idx = enc.indices.to_numpy(zero_copy_only=False)
     uniques = enc.dictionary.to_pylist()
     uh = np.fromiter((zlib.crc32(u.encode("utf-8")) for u in uniques),
                      dtype=np.uint64, count=len(uniques))
