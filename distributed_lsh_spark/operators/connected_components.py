@@ -80,7 +80,9 @@ def connected_components(pairs: DataFrame, max_iter: int = 50,
     for _ in range(max_iter):
         e = _small_star(_large_star(e))
         if checkpoint:
-            e = e.localCheckpoint(eager=True)
+            # lazy: the signature aggregate right below is the action that
+            # materializes the checkpoint — one job per iteration, not two
+            e = e.localCheckpoint(eager=False)
         sig = _signature(e)
         if sig == prev_sig:
             break
