@@ -192,6 +192,35 @@ SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct,
 FROM t WHERE len(toks) > 0 ORDER BY doc_id"""
 
 
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, two ways (training-data pipeline requirement):
+    whitespace tokens and a BPE-ish regex segmentation (letter runs /
+    digit runs / punctuation runs — lookahead-free so Java regex and RE2
+    agree), plus bytes-per-BPE-token."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ws = F.size(normalized_tokens("text"))
+    bpe = F.size(F.expr(
+        "regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
+    return (df.select(
+                "doc_id", ws.alias("n_ws_tokens"), bpe.alias("n_bpe_tokens"),
+                F.length("text").alias("n_chars"),
+                F.round(F.length("text") / F.greatest(bpe, F.lit(1)), 6)
+                 .alias("chars_per_bpe_token"))
+              .orderBy("doc_id"))
+
+
+_SQL_BPE_TOKEN_COUNTS = f"""
+WITH t AS (
+  SELECT doc_id, text, {_DUCK_TOKS} AS ws,
+         regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS bpe
+  FROM documents
+)
+SELECT doc_id, len(ws) AS n_ws_tokens, len(bpe) AS n_bpe_tokens,
+       length(text) AS n_chars,
+       round(length(text) * 1.0 / greatest(len(bpe), 1), 6) AS chars_per_bpe_token
+FROM t ORDER BY doc_id"""
+
+
 _STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "a", "that", "for", "it"],
     "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"],
@@ -517,6 +546,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dup_groups": q_exact_dup_groups,
     "doc_fingerprints": q_doc_fingerprints,
     "token_stats": q_token_stats,
+    "bpe_token_counts": q_bpe_token_counts,
     "lang_id": q_lang_id,
     "embedding_topk": q_embedding_topk,
     "pricing_summary": q_pricing_summary,
@@ -537,6 +567,7 @@ ORACLE_SQL: dict[str, str] = {
     "exact_dup_groups": _SQL_EXACT_DUP_GROUPS,
     "doc_fingerprints": _SQL_DOC_FINGERPRINTS,
     "token_stats": _SQL_TOKEN_STATS,
+    "bpe_token_counts": _SQL_BPE_TOKEN_COUNTS,
     "lang_id": _sql_lang_id(),
     "embedding_topk": _SQL_EMBEDDING_TOPK,
     "pricing_summary": _SQL_PRICING_SUMMARY,
