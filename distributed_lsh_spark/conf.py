@@ -37,6 +37,12 @@ class DedupConfig:
     # --- MinHash signature ---------------------------------------------
     num_perm: int = 128         # signature length (FIXTURES.md §3)
     seed: int = 42              # master seed for all hash parameter draws
+    # "kxl" = classic k-independent permutations (O(num_perm x shingles),
+    #         exactly the reference's AND/OR family shape);
+    # "oph" = one-permutation hashing with rotation densification
+    #         (Li et al. NIPS'12; Shrivastava & Li ICML'14) — O(shingles),
+    #         the at-scale scheme (SCALE.md)
+    minhash_scheme: str = "kxl"
 
     # --- LSH banding -----------------------------------------------------
     num_bands: int = 32         # b

@@ -63,11 +63,41 @@ def shingle_set(text: str, k: int) -> list[int]:
 
 
 def minhash_sig(shingles: list[int], cfg: DedupConfig) -> list[int]:
+    if cfg.minhash_scheme == "oph":
+        return oph_sig(shingles, cfg)
     if not shingles:
         return [PRIME_31] * cfg.num_perm
     a, b = minhash_params(cfg.num_perm, cfg.seed)
     hs = [h % PRIME_31 for h in shingles]  # Python % == Spark pmod (floored)
     return [min((a[i] * h + b[i]) % PRIME_31 for h in hs) for i in range(cfg.num_perm)]
+
+
+def oph_sig(shingles: list[int], cfg: DedupConfig) -> list[int]:
+    """One-permutation hashing with right-rotation densification
+    (Shrivastava & Li '14): ONE universal hash g(s), num_perm range bins,
+    bin value = min g in bin; an empty bin borrows from the nearest
+    non-empty bin to its right (circular) at value + d*P so borrowed
+    entries collide only with equally-borrowed entries."""
+    k = cfg.num_perm
+    if not shingles:
+        return [PRIME_31] * k
+    a, b = minhash_params(k, cfg.seed)
+    bins: list[int | None] = [None] * k
+    for h in shingles:
+        g = (a[0] * (h % PRIME_31) + b[0]) % PRIME_31
+        i = g % k
+        if bins[i] is None or g < bins[i]:
+            bins[i] = g
+    out = []
+    for i in range(k):
+        if bins[i] is not None:
+            out.append(bins[i])
+        else:
+            d = 1
+            while bins[(i + d) % k] is None:
+                d += 1
+            out.append(bins[(i + d) % k] + d * PRIME_31)
+    return out
 
 
 def simhash_fp(shingles: list[int], bits: int = 64) -> int:
