@@ -343,12 +343,15 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("l_returnflag", "l_linestatus"))
 
 
+#  DuckDB sum(BIGINT) yields HUGEINT (-> float64 in pandas), which breaks the
+#  driver's value-hash even when values agree; every top-level sum() is
+#  therefore CAST back to BIGINT to match Spark's long.
 _SQL_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_c4,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c4,
        count(*) AS n_rows
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""
@@ -374,8 +377,8 @@ def q_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_TOP_UNSHIPPED = """
 SELECT l_orderkey, o_orderdate,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_c4
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c4
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -398,7 +401,7 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_EVENTS_HOURLY = """
 SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*) AS n,
-       sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
        count(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type"""
 
@@ -501,7 +504,7 @@ def q_balance_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_BALANCE_ROLLUP = """
 SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
        count(*) AS n_customers,
-       sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS balance_cents
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS balance_cents
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey

@@ -33,6 +33,10 @@ def compare(name: str, spark_df, duck_df) -> list[str]:
     dp = dp.sort_values(sorted(s_cols)).reset_index(drop=True)
     for c in sorted(s_cols):
         a, b = sp[c], dp[c]
+        # the driver's value-hash is dtype-sensitive (int64 vs HUGEINT->float64
+        # mismatched in round 1 even when values printed identically)
+        if a.dtype.kind != b.dtype.kind and {a.dtype.kind, b.dtype.kind} & {"f", "i", "u"}:
+            problems.append(f"{name}.{c}: dtype kind mismatch spark={a.dtype} duck={b.dtype}")
         if a.dtype.kind == "f" or b.dtype.kind == "f":
             bad = [(i, x, y) for i, (x, y) in enumerate(zip(a, b))
                    if not (pd.isna(x) and pd.isna(y)) and not math.isclose(float(x), float(y), rel_tol=1e-9, abs_tol=1e-9)]
