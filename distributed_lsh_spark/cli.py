@@ -33,7 +33,7 @@ def _add_spark_args(p: argparse.ArgumentParser) -> None:
 def cmd_dedup(args: argparse.Namespace) -> None:
     from distributed_lsh_spark.conf import DedupConfig
     from distributed_lsh_spark.functions.extract import with_extracted_text
-    from distributed_lsh_spark.pipeline import build_stages
+    from distributed_lsh_spark.pipeline import build_stages, exact_collapse
     from distributed_lsh_spark.operators.connected_components import connected_components
     from distributed_lsh_spark.session import get_spark
     from distributed_lsh_spark.sources.checkpoint import CheckpointManager
@@ -54,8 +54,15 @@ def cmd_dedup(args: argparse.Namespace) -> None:
         pages = pages.withColumn("doc_id", F.xxhash64("url"))
 
     t0 = time.time()
+    # byte-identical collapse FIRST (pipeline.exact_collapse): identical-page
+    # families are the canonical hot key; without this a >hot_band_cap
+    # identical family would lose members from every capped band bucket
+    base = pages.select("doc_id", "text")
+    exact_edges = ckpt.stage("exact_edges",
+                             lambda: exact_collapse(base)[1])
+    reps = ckpt.stage("exact_reps", lambda: exact_collapse(base)[0])
     sigs = ckpt.stage("signatures",
-                      lambda: build_stages(pages, cfg).signatures)
+                      lambda: build_stages(reps, cfg).signatures)
 
     def _pairs():
         from distributed_lsh_spark.functions.hashing import band_keys
@@ -66,7 +73,8 @@ def cmd_dedup(args: argparse.Namespace) -> None:
 
     verified = ckpt.stage("verified_pairs", _pairs)
     clusters = ckpt.stage(
-        "clusters", lambda: connected_components(verified.select("id_a", "id_b")))
+        "clusters", lambda: connected_components(
+            verified.select("id_a", "id_b").unionByName(exact_edges)))
     n_docs, n_pairs, n_clustered = pages.count(), verified.count(), clusters.count()
     dt = time.time() - t0
     print(json.dumps({

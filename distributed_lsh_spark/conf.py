@@ -12,13 +12,6 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field, replace
 
-# Mersenne prime 2^61 - 1: universal-hash modulus for MinHash permutations.
-# Large enough that 32-bit shingle hashes permute without collision bias;
-# small enough that a * x + b stays in range for numpy uint64 / Spark
-# DECIMAL-free arithmetic (we use Python ints in the oracle and a
-# multiply-mod trick on the Spark side).
-MERSENNE_61 = (1 << 61) - 1
-
 # The reference folds 64-bit hash accumulators into [0, 2^31-1) with
 # PRIME = 2147483647 (MapReduce-LSH/.../common/LSH.java:21,260-269).  We keep
 # the same prime for the 32-bit shingle-hash domain so the ANN-parity oracle

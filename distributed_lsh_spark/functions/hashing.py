@@ -51,6 +51,18 @@ def minhash_params(num_perm: int, seed: int) -> tuple[tuple[int, ...], tuple[int
 
 # ---------------------------------------------------------------- MinHash
 
+def _require_kxl(cfg: DedupConfig, where: str) -> None:
+    """This module implements only the classic kxl permutations; the OPH
+    at-scale scheme lives in the fused UDF (functions/signature.py) and the
+    oracle (oracle/dedup.py).  Failing loudly beats silently computing kxl
+    for a config that asked for oph."""
+    if cfg.minhash_scheme != "kxl":
+        raise ValueError(
+            f"{where} implements only minhash_scheme='kxl' "
+            f"(got {cfg.minhash_scheme!r}); use the fused signature UDF "
+            "(functions.signature.with_signatures) for 'oph'")
+
+
 def minhash_expr(shingles_col: str, cfg: DedupConfig) -> Column:
     """array<long> signature, length cfg.num_perm — pure JVM expression
     over a PRE-REDUCED column of pmod(h, P) values (see with_minhash: the
@@ -60,6 +72,7 @@ def minhash_expr(shingles_col: str, cfg: DedupConfig) -> Column:
     P (sentinel max, never collides with a real doc's band unless both are
     empty — matching the oracle).
     """
+    _require_kxl(cfg, "minhash_expr")
     a, b = minhash_params(cfg.num_perm, cfg.seed)
     a_lit = "array(" + ",".join(f"{x}L" for x in a) + ")"
     b_lit = "array(" + ",".join(f"{x}L" for x in b) + ")"
@@ -81,6 +94,7 @@ def minhash_expr(shingles_col: str, cfg: DedupConfig) -> Column:
 
 def minhash_pandas_udf(cfg: DedupConfig):
     """Arrow-vectorized alternative: one np.minimum.reduceat per batch."""
+    _require_kxl(cfg, "minhash_pandas_udf")
     a, b = minhash_params(cfg.num_perm, cfg.seed)
     a_np = np.asarray(a, dtype=np.uint64)
     b_np = np.asarray(b, dtype=np.uint64)

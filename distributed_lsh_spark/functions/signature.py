@@ -146,13 +146,70 @@ def _distinct_per_segment(values: np.ndarray, counts: np.ndarray,
     return dv, offsets
 
 
+def _mersenne_fold(x: np.ndarray, p: np.uint64) -> np.ndarray:
+    """In-place x mod (2^31-1) for x < 2^62 without integer division (the
+    uint64 % has no SIMD path).  Two folds bring x <= P+1, one conditional
+    subtract finishes."""
+    c31 = np.uint64(31)
+    y = x >> c31
+    x &= p
+    x += y                                           # < 2^32
+    y = x >> c31
+    x &= p
+    x += y                                           # <= P+1
+    np.subtract(x, p, out=x, where=x >= p)
+    return x
+
+
+def _oph_minhash(dv_signed: np.ndarray, offsets: np.ndarray,
+                 a0: np.uint64, b0: np.uint64, num_perm: int) -> np.ndarray:
+    """One-permutation hashing with right-rotation densification
+    (Li et al. NIPS'12; Shrivastava & Li ICML'14) — O(shingles) instead of
+    kxl's O(num_perm x shingles); bit-identical to oracle.dedup.oph_sig.
+
+    ONE universal hash g(s) = (a_0 * (s mod P) + b_0) mod P; num_perm
+    residue bins g mod num_perm; bin value = min g in bin; an empty bin
+    borrows from the nearest non-empty bin to its right (circular, distance
+    d) at value + d*P so borrowed entries collide only with equally-borrowed
+    entries."""
+    p = np.uint64(PRIME_31)
+    n_docs = len(offsets) - 1
+    k = num_perm
+    g = (dv_signed % np.int64(PRIME_31)).astype(np.uint64)
+    g *= a0
+    g += b0
+    _mersenne_fold(g, p)
+    seg = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(offsets))
+    key = seg * k + (g % np.uint64(k)).astype(np.int64)
+    # scatter-min into the dense (doc, bin) table: numpy's indexed-loop
+    # fast path makes minimum.at ~16x cheaper than a lexsort+reduceat here
+    EMPTY = np.int64(np.iinfo(np.int64).max)
+    vals = np.full(n_docs * k, EMPTY, dtype=np.int64)
+    np.minimum.at(vals, key, g.astype(np.int64))
+    vals = vals.reshape(n_docs, k)
+    filled = vals != EMPTY
+    # densify: nearest filled bin at-or-right of j over the doubled row
+    # (circular); nf via reversed cumulative min of (col if filled else BIG)
+    col2 = np.arange(2 * k, dtype=np.int64)
+    A = np.where(np.concatenate([filled, filled], axis=1), col2, np.int64(2 * k))
+    nf = np.minimum.accumulate(A[:, ::-1], axis=1)[:, ::-1][:, :k]
+    # every doc has >= 1 shingle, so every row has >= 1 filled bin
+    vals2 = np.concatenate([vals, vals], axis=1)
+    dist = nf - np.arange(k, dtype=np.int64)
+    return np.take_along_axis(vals2, nf, axis=1) + dist * np.int64(PRIME_31)
+
+
 def signature_pandas_udf(cfg: DedupConfig):
+    if cfg.minhash_scheme not in ("kxl", "oph"):
+        raise ValueError(f"unknown minhash_scheme {cfg.minhash_scheme!r} "
+                         "(engine implements 'kxl' and 'oph')")
     a, b = minhash_params(cfg.num_perm, cfg.seed)
     a_np = np.asarray(a, dtype=np.uint64)
     b_np = np.asarray(b, dtype=np.uint64)
     p = np.uint64(PRIME_31)
     k = cfg.shingle_k
     num_perm = cfg.num_perm
+    scheme = cfg.minhash_scheme
 
     @F.pandas_udf(SIG_SCHEMA)
     def _sig(text: pd.Series) -> pd.DataFrame:
@@ -164,7 +221,11 @@ def signature_pandas_udf(cfg: DedupConfig):
         dv, offsets = _distinct_per_segment(values, counts)
         dv_signed = dv.view(np.int64)
 
-        # minhash: permute the 31-bit residues, segment-min via reduceat.
+        if scheme == "oph":
+            minhash = _oph_minhash(dv_signed, offsets, a_np[0], b_np[0], num_perm)
+            return _assemble(dv, dv_signed, offsets, minhash, n_docs)
+
+        # kxl minhash: permute the 31-bit residues, segment-min via reduceat.
         # Chunked over doc ranges so the (num_perm x shingles) work matrix
         # stays ~128 MB regardless of batch size (an unchunked outer() was
         # ~2 GB/worker at 10k-row batches -> 32 workers OOM'd the host).
@@ -201,32 +262,38 @@ def signature_pandas_udf(cfg: DedupConfig):
             d0 = d1
         # reduceat quirk: empty segments copy the start element — none here
         # (every doc has >= 1 shingle by construction)
-
-        # simhash: per-bit majority over each doc's distinct shingles.
-        # One bit at a time (64 cheap passes over a 1-D array) — an
-        # unpackbits (total, 64) int64 matrix was 2+ GB and 15x slower.
-        seg_counts = np.diff(offsets)
-        sums = np.empty((n_docs, 64), dtype=np.int64)
-        tmp = np.empty(len(dv), dtype=np.uint64)
-        one = np.uint64(1)
-        for j in range(64):
-            np.right_shift(dv, np.uint64(j), out=tmp)
-            np.bitwise_and(tmp, one, out=tmp)
-            sums[:, j] = np.add.reduceat(tmp, offsets[:-1])
-        votes = 2 * sums - seg_counts[:, None]
-        fp_bits = (votes > 0).astype(np.uint8)
-        simhash = np.packbits(fp_bits, axis=1, bitorder="little") \
-            .view(np.uint64).ravel().astype(np.int64)
-
-        shingles_col = [dv_signed[offsets[d]:offsets[d + 1]]
-                        for d in range(n_docs)]
-        return pd.DataFrame({
-            "shingles": shingles_col,
-            "minhash": list(minhash),
-            "simhash": simhash,
-        })
+        return _assemble(dv, dv_signed, offsets, minhash, n_docs)
 
     return _sig
+
+
+def _assemble(dv: np.ndarray, dv_signed: np.ndarray, offsets: np.ndarray,
+              minhash: np.ndarray, n_docs: int) -> pd.DataFrame:
+    """Shared tail of the signature UDF: SimHash + output assembly.
+
+    simhash: per-bit majority over each doc's distinct shingles.  One bit at
+    a time (64 cheap passes over a 1-D array) — an unpackbits (total, 64)
+    int64 matrix was 2+ GB and 15x slower."""
+    seg_counts = np.diff(offsets)
+    sums = np.empty((n_docs, 64), dtype=np.int64)
+    tmp = np.empty(len(dv), dtype=np.uint64)
+    one = np.uint64(1)
+    for j in range(64):
+        np.right_shift(dv, np.uint64(j), out=tmp)
+        np.bitwise_and(tmp, one, out=tmp)
+        sums[:, j] = np.add.reduceat(tmp, offsets[:-1])
+    votes = 2 * sums - seg_counts[:, None]
+    fp_bits = (votes > 0).astype(np.uint8)
+    simhash = np.packbits(fp_bits, axis=1, bitorder="little") \
+        .view(np.uint64).ravel().astype(np.int64)
+
+    shingles_col = [dv_signed[offsets[d]:offsets[d + 1]]
+                    for d in range(n_docs)]
+    return pd.DataFrame({
+        "shingles": shingles_col,
+        "minhash": list(minhash),
+        "simhash": simhash,
+    })
 
 
 def with_signatures(df: DataFrame, cfg: DedupConfig,

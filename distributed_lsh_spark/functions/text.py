@@ -15,7 +15,9 @@ SQL byte-for-byte):
     4. shingles = all `k`-grams of consecutive tokens joined by one space;
        a doc with fewer than k tokens yields ONE shingle = the whole token
        sequence (so short docs still participate)
-    5. the shingle *set* (distinct), hashed with xxhash64 (seed 42), sorted
+    5. the shingle *set* (distinct), hashed as a rolling 64-bit polynomial
+       (x FNV, wraparound) over crc32 token hashes, sorted signed ascending
+       — see functions/signature.py and oracle/dedup.py for the spec
 """
 
 from __future__ import annotations

@@ -14,10 +14,16 @@ Skew hardening (SURVEY.md §4 custom item 1): a boilerplate page repeated
 from a single bucket.  Two guards, both with reference precedent
 (searchThreshold = pruneFactor*L + k, SearchMapper.java:266,340-353):
 
-  * `hot_band_cap`: per-bucket membership is capped at the first `cap` docs
-    by doc_id; a capped bucket still pairs its surviving members, and exact
-    duplicates a capped bucket might miss are recovered by the other b-1
-    bands (and by the exact-hash dedup pass, operators/dedup_exact.py).
+  * `hot_band_cap`: per-bucket membership is capped at `cap` docs, ordered
+    by a BAND-DEPENDENT hash xxhash64(band_id, doc_id) (deterministic).  The
+    ordering must vary per band: byte-identical docs share every band
+    bucket, so a fixed doc_id ordering would starve the same members in all
+    b bands; with per-band orderings each band keeps a different cap-sized
+    subset, and the union of those subsets' pair cliques keeps a >cap
+    identical family connected.  Byte-identical families are additionally
+    collapsed BEFORE banding by run_dedup's exact-first md5 pre-pass
+    (pipeline.py), which is the primary defense; the cap guards
+    near-duplicate (non-identical) hot buckets.
   * AQE skew-join splitting is on session-wide for the residual skew.
 
 Pair dedup across bands (P6, SearchMapper.java:100-106: checkedIndexSet)
@@ -43,13 +49,15 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig | None = None,
         cap = cfg.hot_band_cap if cfg else None
 
     if cap is not None:
-        # Deterministic per-bucket cap: keep the `cap` lowest doc_ids.
-        # Window shares the join's (band_id, band_hash) partitioning, so AQE
-        # plans one exchange reused by both sides of the self-join.  (A
-        # two-path variant — count buckets, window only the oversized ones —
-        # was A/B'd and measured SLOWER: it recomputes the band table three
-        # times and adds two joins, while this sort is one cheap exchange.)
-        w = Window.partitionBy("band_id", "band_hash").orderBy("doc_id")
+        # Deterministic per-bucket cap with a band-dependent ordering (see
+        # module docstring: a fixed ordering starves the same docs in every
+        # band).  Window shares the join's (band_id, band_hash) partitioning,
+        # so AQE plans one exchange reused by both sides of the self-join.
+        # (A two-path variant — count buckets, window only the oversized
+        # ones — was A/B'd and measured SLOWER: it recomputes the band table
+        # three times and adds two joins, while this sort is one exchange.)
+        w = Window.partitionBy("band_id", "band_hash") \
+                  .orderBy(F.xxhash64("band_id", "doc_id"), "doc_id")
         bands = (
             bands.withColumn("_rn", F.row_number().over(w))
                  .where(F.col("_rn") <= cap)

@@ -65,11 +65,18 @@ def _signature(e: DataFrame) -> tuple[int, int]:
 
 
 def connected_components(pairs: DataFrame, max_iter: int = 50,
-                         checkpoint: bool = True) -> DataFrame:
+                         checkpoint: bool = True, probe_every: int = 2) -> DataFrame:
     """pairs(id_a, id_b) -> (doc_id, cluster_id = min doc_id in component).
 
     Every doc that appears in >=1 edge gets a row (component minima label
     themselves).  Deterministic.
+
+    `probe_every`: run the fixpoint probe (a collect) every N iterations.
+    Labels are monotonically non-increasing under large-star/small-star, so
+    equal signatures N apart imply nothing changed in between — the test
+    stays sound.  N=2 halves the driver-side job count (the constant cost
+    that dominated end-to-end scaling at small corpora, BENCH/BASELINE.md);
+    the price is up to N-1 extra no-op iterations after convergence.
     """
     e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")) \
              .where(F.col("src") != F.col("dst")).distinct()
@@ -77,12 +84,15 @@ def connected_components(pairs: DataFrame, max_iter: int = 50,
         e = e.localCheckpoint(eager=True)
 
     prev_sig = None
-    for _ in range(max_iter):
+    for it in range(1, max_iter + 1):
         e = _small_star(_large_star(e))
         if checkpoint:
-            # lazy: the signature aggregate right below is the action that
-            # materializes the checkpoint — one job per iteration, not two
+            # lazy: the next probe is the action that materializes the
+            # checkpoint (skipped iterations materialize chained, in the
+            # same job) — one job per probe, not two per iteration
             e = e.localCheckpoint(eager=False)
+        if it % probe_every and it != max_iter:
+            continue
         sig = _signature(e)
         if sig == prev_sig:
             break

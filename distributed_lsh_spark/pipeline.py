@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from distributed_lsh_spark.conf import DedupConfig, DEFAULT_CONFIG
@@ -77,6 +77,30 @@ def build_stages(df: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
                        pairs=pairs, verified=verified)
 
 
+def exact_collapse(base: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Byte-identical dedup pre-pass: (reps(doc_id, text),
+    exact_edges(id_a=rep, id_b=member)).
+
+    groupBy instead of a Window over md5(text): min/first are partially
+    aggregable, so byte-identical copies collapse map-side BEFORE the
+    shuffle (the window variant shuffled+sorted every text byte).
+    first(text) is well-defined: equal md5 => equal bytes.  The member->rep
+    edges come from the PROJECTED (md5, doc_id) frame only — those two
+    shuffles move ~40 B/row, never text."""
+    hashed = base.withColumn("_h", F.md5(F.col("text").cast("binary")))
+    m = hashed.select("_h", "doc_id")
+    reps_ids = m.groupBy("_h").agg(F.min("doc_id").alias("id_a"))
+    exact_edges = (m.withColumnRenamed("doc_id", "id_b")
+                   .join(reps_ids, "_h")
+                   .where(F.col("id_a") != F.col("id_b"))
+                   .select("id_a", "id_b"))
+    reps = (hashed.groupBy("_h")
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.first("text").alias("text"))
+            .select("doc_id", "text"))
+    return reps, exact_edges
+
+
 def run_dedup(df: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
               id_col: str = "doc_id", text_col: str = "text",
               exact_first: bool = True) -> DataFrame:
@@ -95,14 +119,7 @@ def run_dedup(df: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
 
     exact_edges = None
     if exact_first:
-        mapping = base.withColumn(
-            "rep", F.min("doc_id").over(
-                Window.partitionBy(F.md5(F.col("text").cast("binary")))))
-        exact_edges = (mapping.where(F.col("doc_id") != F.col("rep"))
-                       .select(F.col("rep").alias("id_a"),
-                               F.col("doc_id").alias("id_b")))
-        base = mapping.where(F.col("doc_id") == F.col("rep")) \
-                      .select("doc_id", "text")
+        base, exact_edges = exact_collapse(base)
 
     st = build_stages(base, cfg, persist=True)
     # The verified edge set is reused by every CC iteration — persist it once

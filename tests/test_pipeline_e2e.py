@@ -65,10 +65,14 @@ def test_clusters_match_oracle(spark, corpus_df, oracle):
 
 def test_hot_key_cap_limits_pairs(spark, tiny_corpus):
     """With the cap ON and below the hot-bucket size, pair count from the
-    hot bucket is bounded ~cap^2/2 instead of n^2/2 (A4/T4 analogue)."""
+    hot bucket is bounded by num_bands * C(cap, 2) instead of C(n, 2)
+    (A4/T4 analogue) — and, because the cap ordering is BAND-DEPENDENT,
+    the union of the per-band capped cliques still covers and connects
+    every member of the identical-doc family."""
     from distributed_lsh_spark.functions.hashing import band_keys, with_minhash
     from distributed_lsh_spark.functions.text import with_shingle_hashes
     from distributed_lsh_spark.operators.candidates import candidate_pairs
+    from distributed_lsh_spark.oracle.dedup import UnionFind
 
     df = pages_spark_df(spark, tiny_corpus)
     docs = with_shingle_hashes(df.select("doc_id", "text"), k=CFG.shingle_k)
@@ -78,9 +82,17 @@ def test_hot_key_cap_limits_pairs(spark, tiny_corpus):
     cap = 5
     capped = candidate_pairs(bands, CFG, cap=cap)
     hot_ids = {i for i, r in enumerate(tiny_corpus.rows) if r["kind"] == "hot"}
-    hot_pairs = [r for r in capped.collect()
+    hot_pairs = [(r["id_a"], r["id_b"]) for r in capped.collect()
                  if r["id_a"] in hot_ids and r["id_b"] in hot_ids]
-    assert len(hot_pairs) <= cap * (cap - 1) // 2
+    assert len(hot_pairs) <= CFG.num_bands * cap * (cap - 1) // 2
+    assert len(hot_pairs) < hot_n * (hot_n - 1) // 2 or hot_n <= cap
+    # the per-band subsets differ, so the capped union connects the family
+    uf = UnionFind()
+    for a, b in hot_pairs:
+        uf.union(a, b)
+    touched = {d for p in hot_pairs for d in p}
+    assert touched == hot_ids, "band-dependent cap must cover every member"
+    assert len({uf.find(d) for d in hot_ids}) == 1, "family must stay connected"
     # uncapped finds all hot pairs
     full = candidate_pairs(bands, CFG, cap=None)
     hot_full = [r for r in full.collect()

@@ -66,6 +66,43 @@ def test_jvm_shingle_path_matches_fused(spark, micro):
     assert got == {d: (oc.shingles[d], oc.sigs[d]) for d in oc.docs}
 
 
+def test_oph_engine_matches_oracle(spark, micro, tiny_corpus):
+    """OPH (one-permutation hashing + rotation densification) in the fused
+    UDF must match oracle.dedup.oph_sig bit-for-bit — micro docs (edge
+    cases) plus the 200-doc fixture corpus (dup clusters, hot keys)."""
+    st, oc = micro
+    cfg = CFG.with_(minhash_scheme="oph")
+    docs = dict(oc.docs)
+    docs.update({1000 + i: t for i, t in tiny_corpus.texts_by_id().items()})
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {r["doc_id"]: list(r["minhash"])
+           for r in build_stages(df, cfg).signatures
+                    .select("doc_id", "minhash").collect()}
+    assert got == DedupOracle(cfg, docs).sigs
+
+
+def test_oph_pipeline_verified_matches_oracle(spark, tiny_corpus):
+    """Full band->verify pipeline under OPH agrees with the oracle's
+    band-slice candidate generation + exact verification."""
+    cfg = CFG.with_(minhash_scheme="oph")
+    docs = tiny_corpus.texts_by_id()
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"])
+           for r in build_stages(df, cfg).verified.collect()}
+    assert got == set(DedupOracle(cfg, docs).verified_pairs())
+
+
+def test_kxl_only_paths_reject_oph():
+    import pytest as _pytest
+    from distributed_lsh_spark.functions.hashing import minhash_expr
+    cfg = CFG.with_(minhash_scheme="oph")
+    with _pytest.raises(ValueError, match="kxl"):
+        minhash_expr("shingles", cfg)
+    with _pytest.raises(ValueError, match="kxl|oph"):
+        from distributed_lsh_spark.functions.signature import signature_pandas_udf
+        signature_pandas_udf(CFG.with_(minhash_scheme="bogus"))
+
+
 def test_simhash_matches_oracle(micro):
     st, oc = micro
     got = {r["doc_id"]: r["simhash"]
