@@ -442,28 +442,77 @@ FROM c GROUP BY user_id ORDER BY user_id"""
 
 
 def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash path: LSH candidates verified by exact 64-bit Hamming
-    distance <= 3 (FIXTURES.md §3).  Non-SQL-expressible (bit-level
-    fingerprint); covered by the NumPy-oracle pytest instead."""
-    from distributed_lsh_spark.functions.hashing import with_simhash
-    from distributed_lsh_spark.operators.verify import hamming_pairs
+    """SimHash path: ALL pairs within Hamming distance <= 3, found EXACTLY
+    via the pigeonhole chunk-LSH join (operators/simhash_exact.py) —
+    4 bit-chunks of the 64-bit fingerprint, any pair within distance 3
+    matches >= 1 chunk, so the banded join equals brute force.  Fingerprint
+    chain is md5_h64-based so DuckDB replays it (the oracle below is the
+    brute-force form).  The internal crc32-SimHash over MinHash-band
+    candidates stays pytest-pinned (operators/verify.hamming_pairs)."""
+    from distributed_lsh_spark.operators.simhash_exact import simhash_dup_pairs
 
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    st = build_stages(df, CFG, with_simhash_col=True, persist=True)
-    return (hamming_pairs(st.pairs, st.signatures, CFG)
+    return (simhash_dup_pairs(df.select("doc_id", "text"),
+                              k=CFG.shingle_k, hamming_threshold=3)
             .orderBy("id_a", "id_b"))
 
 
+def _sql_simhash_hamming_pairs() -> str:
+    from distributed_lsh_spark.functions.md5hash import duck_h64
+
+    return f"""WITH {_duck_shingle_cte(CFG.shingle_k)},
+gh AS (SELECT doc_id, {duck_h64('g')} AS h FROM shd),
+bits AS (SELECT doc_id, j, sum((h >> j) & 1) AS c, count(*) AS n
+         FROM gh, range(64) r(j) GROUP BY 1, 2),
+fpu AS (SELECT doc_id,
+               sum(CASE WHEN 2 * c > n THEN (1::HUGEINT << j)
+                        ELSE 0::HUGEINT END) AS fu
+        FROM bits GROUP BY doc_id),
+fps AS (SELECT doc_id,
+               (CASE WHEN fu >= 9223372036854775808::HUGEINT
+                     THEN fu - 18446744073709551616::HUGEINT
+                     ELSE fu END)::BIGINT AS fp
+        FROM fpu)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 3
+ORDER BY id_a, id_b"""
+
+
 def q_substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowed-fingerprint exact-substring dedup (long repeated spans,
-    SURVEY.md §7 step 7).  Non-SQL-expressible (xxhash64 winnowing);
-    covered by the pure-Python-oracle pytest."""
+    """True-winnowing (SWA SIGMOD'03) exact-substring dedup over md5_h64
+    window fingerprints (long repeated spans, SURVEY.md §7 step 7); the
+    DuckDB oracle replays tokenize -> window-hash -> winnow -> fp-join."""
     from distributed_lsh_spark.operators.substring import substring_dup_pairs
 
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (substring_dup_pairs(df.select("doc_id", "text"),
                                 window=20, guarantee=5, min_shared=1)
             .orderBy("id_a", "id_b"))
+
+
+def _sql_substring_dup_pairs(W: int = 20, g: int = 5, min_shared: int = 1) -> str:
+    from distributed_lsh_spark.functions.md5hash import duck_h64
+
+    win = duck_h64(f"array_to_string(t[i:i+{W - 1}], ' ')")
+    geff = "least({g}, len(wh))".format(g=g)
+    lcap = (f"len(list_filter(range(1, {geff} + 1), m -> m < {geff} "
+            f"AND i - m >= 1 AND wh[i] <= list_min(wh[i-m:i-1])))")
+    rcap = (f"len(list_filter(range(1, {geff} + 1), m -> m < {geff} "
+            f"AND i + m <= len(wh) AND wh[i] < list_min(wh[i+1:i+m])))")
+    return f"""WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+w AS (SELECT doc_id, t FROM toks WHERE len(t) >= {W}),
+whs AS (SELECT doc_id, [{win} for i in range(1, len(t) - {W - 2})] AS wh FROM w),
+sel AS (SELECT doc_id, list_distinct(
+          [wh[i] for i in range(1, len(wh) + 1)
+           if {lcap} + {rcap} >= {geff} - 1]) AS fpl
+        FROM whs),
+fpd AS (SELECT doc_id, unnest(fpl) AS fp FROM sel)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_fps
+FROM fpd a JOIN fpd b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+ORDER BY id_a, id_b"""
 
 
 def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -577,9 +626,11 @@ ORACLE_SQL: dict[str, str] = {
     "top_unshipped_orders": _SQL_TOP_UNSHIPPED,
     "events_hourly": _SQL_EVENTS_HOURLY,
     "user_sessions": _SQL_USER_SESSIONS,
-    # simhash_hamming_pairs / substring_dup_pairs: intentionally no SQL
-    # oracle (bit-level fingerprints) — driver records rows-only; exact
-    # parity is asserted by the NumPy/pure-Python oracle in tests/.
+    "simhash_hamming_pairs": _sql_simhash_hamming_pairs(),
+    "substring_dup_pairs": _sql_substring_dup_pairs(),
+    # embedding_topk_lsh: intentionally no SQL oracle (approximate by
+    # design) — driver records rows-only; recall vs brute force is
+    # asserted in tests/test_vector_ann.py.
     "balance_rollup": _SQL_BALANCE_ROLLUP,
     "part_semi_anti": _SQL_PART_SEMI_ANTI,
 }

@@ -5,17 +5,30 @@ Whole-doc MinHash misses a 500-token span copied verbatim into an otherwise
 distinct page (global Jaccard stays low).  This stage detects such spans:
 
   1. tokenize (same normalizer as the shingle stage)
-  2. hash every W-token window (W = `window`): h_i = xxhash64(window_i)
-  3. winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03 — public algorithm):
-     within every run of `guarantee` consecutive window hashes keep the
-     minimum; guarantees any shared span of >= W + guarantee - 1 tokens
-     contributes at least one identical fingerprint on both sides
+  2. hash every W-token window (W = `window`): wh_i = md5_h64(window_i)
+     (functions/md5hash.py — the one hash Spark, DuckDB, and Python share,
+     so the driver's DuckDB oracle can replay the whole chain)
+  3. TRUE winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03): for every run
+     of `guarantee` consecutive window hashes select the RIGHTMOST minimum;
+     the selected set is the union over runs.  Per-position form (what the
+     code evaluates): position i is selected iff L(i) + R(i) >= g - 1,
+     where L(i) = length of the maximal run left of i with wh >= wh[i] and
+     R(i) = length of the maximal run right of i with wh > wh[i] (both
+     capped at g-1); docs with fewer than g window hashes use
+     g_eff = n_windows (one run covering everything = its rightmost min).
+     Guarantee: any span of >= W + guarantee - 1 tokens shared verbatim by
+     two docs contributes at least one identical fingerprint to BOTH.
   4. explode (doc_id, fingerprint, pos); equi-join fingerprints across docs
      (same shape as the LSH band join, with the same hot-key cap)
-  5. pairs ranked by number of shared fingerprints (>= `min_shared`)
+  5. pairs ranked by number of shared distinct fingerprints (>= `min_shared`)
 
-Everything JVM-side (higher-order functions + xxhash64); the oracle
-re-implements steps 1-5 in pure Python for exact parity tests.
+Everything JVM-side; the oracle re-implements steps 1-5 in pure Python for
+exact parity tests, and entry_queries mirrors them in DuckDB SQL for the
+driver's correctness gate.
+
+Scale note: the HOF window-hash build is O(n_tokens * W) string bytes per
+doc; at 100-TB scale swap step 2 for the rolling-poly hash inside a fused
+Arrow UDF (functions/signature.py pattern) and keep steps 3-5 unchanged.
 """
 
 from __future__ import annotations
@@ -23,27 +36,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from distributed_lsh_spark.functions.md5hash import py_md5_h64, spark_h64
 from distributed_lsh_spark.functions.text import _NORMALIZE_SQL
-from distributed_lsh_spark.oracle.xxh64 import spark_xxhash64_string
+
+
+def _winnow_select_sql(wh: str, g: int) -> str:
+    """SQL expr: 1-based positions of `wh` selected by true winnowing."""
+    geff = f"least({g}, size({wh}))"
+    lcap = (f"size(filter(sequence(1, {geff}), m -> m < {geff} "
+            f"AND i - m >= 1 "
+            f"AND {wh}[i-1] <= array_min(slice({wh}, i - m, m))))")
+    rcap = (f"size(filter(sequence(1, {geff}), m -> m < {geff} "
+            f"AND i + m <= size({wh}) "
+            f"AND {wh}[i-1] < array_min(slice({wh}, i + 1, m))))")
+    return (f"filter(sequence(1, size({wh})), "
+            f"i -> {lcap} + {rcap} >= {geff} - 1)")
 
 
 def window_fingerprints(df: DataFrame, text_col: str = "text",
                         window: int = 50, guarantee: int = 10) -> DataFrame:
-    """-> (doc_id, pos, fp): winnowed fingerprints of W-token windows."""
+    """-> (doc_id, pos, fp): winnowed fingerprints of W-token windows.
+    Docs with fewer than `window` tokens yield no fingerprints."""
     toks = _NORMALIZE_SQL.format(col=text_col)
+    win_str = f"concat_ws(' ', slice(_toks, i, {window}))"
+    wh_expr = (f"transform(sequence(1, size(_toks) - {window} + 1), "
+               f"i -> {spark_h64(win_str)})")
     return (
         df.withColumn("_toks", F.expr(toks))
           .where(F.size("_toks") >= window)
-          # window hashes: one per start position (1-based slice)
-          .withColumn("_wh", F.expr(
-              f"transform(sequence(1, size(_toks) - {window} + 1), "
-              f"i -> xxhash64(concat_ws(' ', slice(_toks, i, {window}))))"))
-          # winnowing: keep position i iff _wh[i] is the min of the
-          # guarantee-length run ending at i (ties keep rightmost == this one)
-          .withColumn("_sel", F.expr(
-              f"filter(sequence(1, size(_wh)), "
-              f"i -> _wh[i-1] <= array_min(slice(_wh, greatest(1, i - {guarantee} + 1), "
-              f"least(i, {guarantee}))))"))
+          .withColumn("_wh", F.expr(wh_expr))
+          .withColumn("_sel", F.expr(_winnow_select_sql("_wh", guarantee)))
           .select("doc_id",
                   F.explode(F.expr("transform(_sel, i -> struct(i AS pos, _wh[i-1] AS fp))"))
                    .alias("w"))
@@ -74,6 +96,24 @@ def substring_dup_pairs(df: DataFrame, text_col: str = "text",
 
 # ---------------------------------------------------------------- oracle
 
+def oracle_winnow_positions(wh: list[int], guarantee: int) -> list[int]:
+    """True winnowing by DEFINITION (not the per-position formula the
+    engine uses): slide every g-window, record its rightmost minimum;
+    1-based positions.  Docs with < g hashes form one run."""
+    n = len(wh)
+    if n == 0:
+        return []
+    g = min(guarantee, n)
+    picked: set[int] = set()
+    for w0 in range(n - g + 1):
+        run = wh[w0:w0 + g]
+        mn = min(run)
+        # rightmost occurrence of the minimum
+        idx = w0 + max(j for j, v in enumerate(run) if v == mn)
+        picked.add(idx + 1)
+    return sorted(picked)
+
+
 def oracle_window_fingerprints(text: str, window: int = 50,
                                guarantee: int = 10) -> list[tuple[int, int]]:
     """Pure-Python mirror of window_fingerprints: [(pos_1based, fp)]."""
@@ -81,15 +121,9 @@ def oracle_window_fingerprints(text: str, window: int = 50,
     toks = [t for t in re.sub(r"[^a-z0-9]+", " ", text.lower()).split(" ") if t]
     if len(toks) < window:
         return []
-    wh = [spark_xxhash64_string(" ".join(toks[i:i + window]))
+    wh = [py_md5_h64(" ".join(toks[i:i + window]))
           for i in range(len(toks) - window + 1)]
-    out = []
-    for i in range(1, len(wh) + 1):
-        lo = max(1, i - guarantee + 1)
-        run = wh[lo - 1:lo - 1 + min(i, guarantee)]
-        if wh[i - 1] <= min(run):
-            out.append((i, wh[i - 1]))
-    return out
+    return [(i, wh[i - 1]) for i in oracle_winnow_positions(wh, guarantee)]
 
 
 def oracle_substring_pairs(docs: dict[int, str], window: int = 50,
