@@ -61,8 +61,12 @@ def cmd_dedup(args: argparse.Namespace) -> None:
     exact_edges = ckpt.stage("exact_edges",
                              lambda: exact_collapse(base)[1])
     reps = ckpt.stage("exact_reps", lambda: exact_collapse(base)[0])
+    # bucket(64, doc_id): on an Iceberg-enabled cluster the verify stage's
+    # payload joins become storage-partitioned (co-located) — the pairing
+    # for verify_pairs(broadcast_pairs=False); Parquet fallback ignores it
     sigs = ckpt.stage("signatures",
-                      lambda: build_stages(reps, cfg).signatures)
+                      lambda: build_stages(reps, cfg).signatures,
+                      bucket_by=(64, "doc_id"))
 
     def _pairs():
         from distributed_lsh_spark.functions.hashing import band_keys
@@ -88,8 +92,9 @@ def cmd_dedup(args: argparse.Namespace) -> None:
 
 def cmd_query(args: argparse.Namespace) -> None:
     from distributed_lsh_spark.oracle.reference_lsh import ReferenceLSHModel
-    from distributed_lsh_spark.operators.ann import ann_search_spark
+    from distributed_lsh_spark.operators.ann import ann_search_spark, build_hash_tables
     from distributed_lsh_spark.session import get_spark
+    from distributed_lsh_spark.sources.checkpoint import CheckpointManager
     from pyspark.sql import functions as F
 
     spark = get_spark("ann_query", cores=args.cores,
@@ -103,10 +108,21 @@ def cmd_query(args: argparse.Namespace) -> None:
     model = ReferenceLSHModel(dim=stats["d"], max_coordinate=stats["t"],
                               cardinality=stats["n"], ratio=args.ratio,
                               seed=args.seed)
-    out = ann_search_spark(spark, pts, qs, model, k=args.k)
+    # reference -b/-s split: hash tables are BUILT once per (input, model)
+    # and checkpointed; later `query` invocations (new query sets, same
+    # run-id) hit the manifest and skip straight to the search
+    ckpt = CheckpointManager(spark, args.output + "_state", run_id=args.run_id,
+                             config_echo={"input": args.input, "ratio": args.ratio,
+                                          "seed": args.seed, "m": model.m,
+                                          "L": model.L, "n_radii": model.n_radii})
+    tables_built = ckpt.is_complete("ann_tables")
+    tables = ckpt.stage("ann_tables", lambda: build_hash_tables(pts, model),
+                        partition_by=["radius_id"], bucket_by=(64, "point_id"))
+    out = ann_search_spark(spark, pts, qs, model, k=args.k, tables=tables)
     out.write.mode("overwrite").parquet(args.output)
     print(json.dumps({"queries": qs.count(), "results": out.count(),
-                      "m": model.m, "L": model.L, "n_radii": model.n_radii}))
+                      "m": model.m, "L": model.L, "n_radii": model.n_radii,
+                      "tables_reused": tables_built}))
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -129,6 +145,7 @@ def main(argv: list[str] | None = None) -> None:
     q.add_argument("--input", required=True, help="parquet with (id, vec)")
     q.add_argument("--queries", required=True, help="parquet with (query_id, vec)")
     q.add_argument("--output", required=True)
+    q.add_argument("--run-id", default="run0")
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--ratio", type=int, default=2)
     q.add_argument("--seed", type=int, default=42)

@@ -82,27 +82,18 @@ def q_minhash_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram-Jaccard dedup via inverted shingle index (no LSH):
-    explode shingles -> self-join on shingle hash -> per-pair intersection
-    count -> Jaccard.  100%-recall path; the scalable variant of the
-    brute-force oracle."""
+    """Exact n-gram-Jaccard dedup via a df-capped inverted shingle index
+    (operators/ngram.py): explode shingles -> drop shingles with document
+    frequency > cap (hot-key guard; candidate discovery only) -> self-join
+    -> exact Jaccard over the full shingle sets.  100%-recall path; the
+    scalable variant of the brute-force oracle."""
     from distributed_lsh_spark.functions.signature import with_signatures
+    from distributed_lsh_spark.operators.ngram import ngram_jaccard_pairs
 
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     docs = with_signatures(df.select("doc_id", "text"), CFG)
-    shd = docs.select("doc_id", F.explode("shingles").alias("g"))
-    sizes = shd.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = shd.alias("a"), shd.alias("b")
-    inter = (a.join(b, "g")
-              .where(F.col("a.doc_id") < F.col("b.doc_id"))
-              .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-              .agg(F.count("*").alias("c")))
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
-    j = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
-    return (inter.join(sa, "id_a").join(sb, "id_b")
-            .where(j >= CFG.jaccard_threshold)
-            .select("id_a", "id_b", F.round(j, 6).alias("jaccard"))
+    v = ngram_jaccard_pairs(docs, CFG, df_cap=CFG.hot_band_cap)
+    return (v.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
             .orderBy("id_a", "id_b"))
 
 

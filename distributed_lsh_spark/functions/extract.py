@@ -1,21 +1,32 @@
-"""HTML -> text extraction: pure, versioned, byte-stable.
+"""HTML -> text extraction: pure, versioned, byte-stable, batch-vectorized.
 
 BASELINE.json input_hint mandates "byte-identical extracted text per url"
-between engine and oracle, so extraction is ONE pure-Python function
-(`extract_text`, EXTRACTOR_VERSION-stamped) used by BOTH:
-  * the Spark side wraps it in an Arrow-vectorized pandas UDF (string in /
-    string out; the per-row function is pure string processing — regex state
-    machines, not per-row Python object churn);
-  * the oracle calls it directly.
+between engine and oracle, so extraction is ONE spec (`extract_text`,
+EXTRACTOR_VERSION-stamped) evaluated two ways:
+  * `extract_text` — pure-Python reference (the oracle calls it directly);
+  * `extract_text_batch` — the SAME regex pass sequence executed batch-wise
+    in Arrow C++ (pyarrow.compute.replace_substring_regex / RE2), used by
+    the Spark UDF; per-row Python survives only for (a) the utf-8 decode
+    (a C call per row) and (b) numeric character references, which need a
+    chr() callback and run ONLY on the rows that still contain "&#" after
+    entity decoding.
+
+Parity by construction: every pattern is written with EXPLICIT character
+classes — no \\b, \\s, or \\w, whose unicode semantics differ between
+Python re and RE2 — and the identical pattern source strings are compiled
+by both engines.  (v2.0.0: \\b after tag names became [^A-Za-z0-9_>]-style
+classes and str.strip() became an explicit python-whitespace-class regex;
+output bytes change only for HTML with non-ASCII letters glued to tag
+names or exotic unicode whitespace at line edges.)
 
 No environment-dependent libraries (bs4/lxml would tie bytes to lib
-versions).  The algorithm is a small deterministic state machine:
+versions).  The algorithm is a small deterministic pass sequence:
   1. decode UTF-8 (errors -> U+FFFD, deterministic)
   2. drop <script>/<style>/<!-- --> blocks (case-insensitive)
   3. <br>, </p>, </div>, </li>, </tr>, </h1..6> emit '\\n'; other tags a space
-  4. decode the 5 XML entities + numeric charrefs
+  4. decode the 6 named entities, then numeric charrefs
   5. collapse runs of spaces/tabs to one space, strip line edges, collapse
-     blank lines to one '\\n'
+     blank lines to one '\\n', strip the whole string
 """
 
 from __future__ import annotations
@@ -26,19 +37,40 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EXTRACTOR_VERSION = "1.0.0"
+EXTRACTOR_VERSION = "2.0.0"
 
-_DROP_BLOCKS = re.compile(
-    r"<script\b.*?</script\s*>|<style\b.*?</style\s*>|<!--.*?-->",
-    re.IGNORECASE | re.DOTALL)
-_BREAK_TAGS = re.compile(
-    r"<\s*(?:br|/p|/div|/li|/tr|/h[1-6])\b[^>]*>", re.IGNORECASE)
-_ANY_TAG = re.compile(r"<[^>]*>")
+# Exactly the set str.isspace() is true for (so the class-regex strip ==
+# str.strip()); enumerated once, pinned by a test.
+PY_WHITESPACE = "".join(chr(c) for c in (
+    [0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x1C, 0x1D, 0x1E, 0x1F, 0x20, 0x85, 0xA0,
+     0x1680] + list(range(0x2000, 0x200B)) +
+    [0x2028, 0x2029, 0x202F, 0x205F, 0x3000]))
+_WS = PY_WHITESPACE                     # incl. newline
+_WSNN = _WS.replace("\n", "")           # excl. newline (per-line strip)
+_NW = "[^A-Za-z0-9_>]"                  # "word boundary, then not >"
+
+# Pattern SOURCE strings shared verbatim by Python re and RE2.
+P_DROP_BLOCKS = (rf"(?is)<script(?:{_NW}[^>]*)?>.*?</script[{_WS}]*>"
+                 rf"|<style(?:{_NW}[^>]*)?>.*?</style[{_WS}]*>"
+                 r"|<!--.*?-->")
+P_BREAK_TAGS = (rf"(?i)<[{_WS}]*(?:br|/p|/div|/li|/tr|/h[1-6])"
+                rf"(?:{_NW}[^>]*)?>")
+P_ANY_TAG = r"<[^>]*>"
+P_SPACE_RUN = r"[ \t\r\f\v]+"
+P_LINE_EDGES = rf"(?m)^[{_WSNN}]+|[{_WSNN}]+$"
+P_BLANK_LINES = r"\n\n+"
+P_FULL_EDGES = rf"^[{_WS}]+|[{_WS}]+$"
+
+_DROP_BLOCKS = re.compile(P_DROP_BLOCKS)
+_BREAK_TAGS = re.compile(P_BREAK_TAGS)
+_ANY_TAG = re.compile(P_ANY_TAG)
+_SPACE_RUN = re.compile(P_SPACE_RUN)
+_LINE_EDGES = re.compile(P_LINE_EDGES)
+_BLANK_LINES = re.compile(P_BLANK_LINES)
+_FULL_EDGES = re.compile(P_FULL_EDGES)
 _NUM_REF = re.compile(r"&#(x[0-9a-fA-F]+|[0-9]+);")
 _ENTITIES = {"&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"',
              "&apos;": "'", "&nbsp;": " "}
-_SPACE_RUN = re.compile(r"[ \t\r\f\v]+")
-_BLANK_LINES = re.compile(r"\n\s*\n+")
 
 
 def _decode_numref(m: re.Match) -> str:
@@ -51,7 +83,8 @@ def _decode_numref(m: re.Match) -> str:
 
 
 def extract_text(html: bytes | str) -> str:
-    """Deterministic text extraction (see module docstring)."""
+    """Deterministic text extraction — the pure-Python reference for the
+    byte-identity contract (see module docstring)."""
     s = html.decode("utf-8", errors="replace") if isinstance(html, (bytes, bytearray)) else html
     s = _DROP_BLOCKS.sub(" ", s)
     s = _BREAK_TAGS.sub("\n", s)
@@ -60,14 +93,46 @@ def extract_text(html: bytes | str) -> str:
         s = s.replace(ent, ch)
     s = _NUM_REF.sub(_decode_numref, s)
     s = _SPACE_RUN.sub(" ", s)
-    s = "\n".join(line.strip() for line in s.split("\n"))
+    s = _LINE_EDGES.sub("", s)
     s = _BLANK_LINES.sub("\n", s)
-    return s.strip()
+    s = _FULL_EDGES.sub("", s)
+    return s
+
+
+def extract_text_batch(html: pd.Series) -> pd.Series:
+    """Arrow/RE2 evaluation of the same pass sequence (hot path: the tag
+    regexes run over raw HTML, ~10x the size of the output text)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    decoded = [b.decode("utf-8", errors="replace")
+               if isinstance(b, (bytes, bytearray)) else b
+               for b in html]
+    arr = pa.array(decoded, type=pa.string())
+    arr = pc.replace_substring_regex(arr, pattern=P_DROP_BLOCKS, replacement=" ")
+    arr = pc.replace_substring_regex(arr, pattern=P_BREAK_TAGS, replacement="\n")
+    arr = pc.replace_substring_regex(arr, pattern=P_ANY_TAG, replacement=" ")
+    for ent, ch in _ENTITIES.items():
+        arr = pc.replace_substring(arr, pattern=ent, replacement=ch)
+    # numeric charrefs need a chr() callback -> Python, but ONLY for rows
+    # still containing "&#" (rare in real corpora)
+    flagged = pc.match_substring(arr, "&#")
+    if pc.any(flagged).as_py():
+        vals = arr.to_pylist()
+        for i, hit in enumerate(flagged.to_pylist()):
+            if hit:
+                vals[i] = _NUM_REF.sub(_decode_numref, vals[i])
+        arr = pa.array(vals, type=pa.string())
+    arr = pc.replace_substring_regex(arr, pattern=P_SPACE_RUN, replacement=" ")
+    arr = pc.replace_substring_regex(arr, pattern=P_LINE_EDGES, replacement="")
+    arr = pc.replace_substring_regex(arr, pattern=P_BLANK_LINES, replacement="\n")
+    arr = pc.replace_substring_regex(arr, pattern=P_FULL_EDGES, replacement="")
+    return arr.to_pandas()
 
 
 @F.pandas_udf(T.StringType())
 def extract_text_udf(html: pd.Series) -> pd.Series:
-    return html.map(extract_text)
+    return extract_text_batch(html)
 
 
 def with_extracted_text(df, html_col: str = "html", out: str = "text"):

@@ -60,14 +60,40 @@ _L2 = ("sqrt(aggregate(zip_with(q_vec, p_vec, (a, b) -> "
        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))")
 
 
+def build_hash_tables(points: DataFrame, model: ReferenceLSHModel) -> DataFrame:
+    """The reference's `-b` build verb: persistable hash tables
+    (point_id, radius_id, table_id, bucket) for EVERY radius — the
+    DataFrame form of the per-(radius, table) BucketTable files the
+    reference writes once and searches repeatedly
+    (MapReduce-LSH/.../lsh/builder/HashTableBuilder.java:47-61, tables
+    persisted at HashReducer.java:189-209).  Checkpoint via
+    CheckpointManager and pass to ann_search_spark(tables=...) to skip the
+    point-side bucket computation on every query invocation."""
+    pts = points.select(F.col("id").alias("point_id"), F.col("vec").alias("p_vec"))
+    per_radius = [
+        _exploded_buckets(pts, "point_id", "p_vec", model, radius)
+        .select("point_id", F.lit(rid).alias("radius_id"), "table_id", "bucket")
+        for rid, radius in enumerate(model.radii())
+    ]
+    out = per_radius[0]
+    for df in per_radius[1:]:
+        out = out.unionByName(df)
+    return out
+
+
 def ann_search_spark(spark: SparkSession, points: DataFrame, queries: DataFrame,
-                     model: ReferenceLSHModel, k: int) -> DataFrame:
+                     model: ReferenceLSHModel, k: int,
+                     tables: DataFrame | None = None) -> DataFrame:
     """points(id, vec array<int>), queries(query_id, vec) ->
     (query_id, point_id, dist, rank) — top-k per finished query.
 
     Unfinished queries (threshold never produced k accepted candidates in
     any radius) yield no rows, matching the reference's missing-query
     behavior (MapReduce-LSH/.../lsh/searcher/LSHSearcher.java:289-293).
+
+    `tables`: a prebuilt/checkpointed build_hash_tables frame — the
+    reference's -b/-s split; when given, the per-radius point buckets are
+    read from it instead of recomputed.
     """
     search_threshold = model.prune_factor * model.L + k
     points = points.select(F.col("id").alias("point_id"), F.col("vec").alias("p_vec"))
@@ -85,7 +111,11 @@ def ann_search_spark(spark: SparkSession, points: DataFrame, queries: DataFrame,
             break
         ratio_radius = model.ratio * radius
 
-        p_buckets = _exploded_buckets(points, "point_id", "p_vec", model, radius)
+        if tables is not None:
+            p_buckets = tables.where(F.col("radius_id") == rid) \
+                              .select("point_id", "table_id", "bucket")
+        else:
+            p_buckets = _exploded_buckets(points, "point_id", "p_vec", model, radius)
         q_buckets = _exploded_buckets(remaining, "query_id", "q_vec", model, radius)
         # probe: tiny query side broadcast (S4/J1)
         cands = (p_buckets.join(F.broadcast(q_buckets), ["table_id", "bucket"])

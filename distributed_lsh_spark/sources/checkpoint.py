@@ -56,12 +56,14 @@ class CheckpointManager:
     """
 
     def __init__(self, spark: SparkSession, root: str, run_id: str,
-                 config_echo: dict | None = None) -> None:
+                 config_echo: dict | None = None,
+                 iceberg_namespace: str = "dedup_ckpt") -> None:
         self.spark = spark
         self.root = root
         self.run_id = run_id
         self.config_echo = config_echo or {}
         self.use_iceberg = _iceberg_available(spark)
+        self.iceberg_namespace = iceberg_namespace
         os.makedirs(root, exist_ok=True)
 
     # ---- paths -----------------------------------------------------------
@@ -71,52 +73,100 @@ class CheckpointManager:
     def _manifest_path(self, stage: str) -> str:
         return os.path.join(self._dir(stage), "manifest.json")
 
+    def _table(self, stage: str) -> str:
+        return f"{self.iceberg_namespace}.{self.run_id}_{stage}"
+
     # ---- public API ------------------------------------------------------
     def is_complete(self, stage: str) -> bool:
+        """Complete AND built under the SAME config: rerunning with the same
+        --run-id but a different DedupConfig (threshold, num_perm, ...) must
+        rebuild, not silently reuse results computed for the old config."""
         mp = self._manifest_path(stage)
         if not os.path.exists(mp):
             return False
         with open(mp) as f:
             m = json.load(f)
-        return m.get("status") == "complete" and m.get("run_id") == self.run_id
+        if m.get("status") != "complete" or m.get("run_id") != self.run_id:
+            return False
+        return m.get("config_echo") == _json_normalize(self.config_echo)
 
     def read(self, stage: str) -> DataFrame:
+        if self.use_iceberg:
+            return self.spark.read.table(self._table(stage))
         return self.spark.read.parquet(os.path.join(self._dir(stage), "data"))
 
     def stage(self, name: str, build: Callable[[], DataFrame],
-              partition_by: list[str] | None = None) -> DataFrame:
+              partition_by: list[str] | None = None,
+              bucket_by: tuple[int, str] | None = None) -> DataFrame:
         """Run `build` and checkpoint its result — or, if this (run_id,
-        stage) already completed, skip the build and read the checkpoint."""
+        stage) already completed under the same config, skip the build and
+        read the checkpoint."""
         if self.is_complete(name):
             return self.read(name)
         df = build()
-        return self.write(name, df, partition_by=partition_by)
+        return self.write(name, df, partition_by=partition_by,
+                          bucket_by=bucket_by)
 
     def write(self, name: str, df: DataFrame,
-              partition_by: list[str] | None = None) -> DataFrame:
+              partition_by: list[str] | None = None,
+              bucket_by: tuple[int, str] | None = None) -> DataFrame:
+        """`bucket_by=(N, col)`: Iceberg bucketed layout (bucket(N, col)) so
+        downstream joins on `col` are storage-partitioned/co-located — the
+        pairing for verify_pairs(broadcast_pairs=False) at cluster scale.
+        The Parquet fallback has no bucket transform; it records the request
+        in the manifest and relies on the broadcast verify path instead."""
+        if self.use_iceberg:
+            out = self._write_iceberg(name, df, partition_by, bucket_by)
+        else:
+            out = self._write_parquet(name, df, partition_by)
+        manifest = StageManifest(
+            run_id=self.run_id, stage=name, rows=out.count(),
+            n_partitions=out.rdd.getNumPartitions(), status="complete",
+            config_echo=_json_normalize(self.config_echo),
+            fingerprint=_df_fingerprint(out),
+        )
+        os.makedirs(self._dir(name), exist_ok=True)
+        with open(self._manifest_path(name) + ".tmp", "w") as f:
+            json.dump(asdict(manifest), f, indent=2, default=str)
+        os.rename(self._manifest_path(name) + ".tmp", self._manifest_path(name))
+        return out
+
+    # ---- backends ---------------------------------------------------------
+    def _write_parquet(self, name: str, df: DataFrame,
+                       partition_by: list[str] | None) -> DataFrame:
         stage_dir = self._dir(name)
         data_dir = os.path.join(stage_dir, "data")
         tmp_dir = os.path.join(stage_dir, "_tmp")
         shutil.rmtree(stage_dir, ignore_errors=True)
         os.makedirs(stage_dir, exist_ok=True)
-
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(tmp_dir)
         os.rename(tmp_dir, data_dir)
+        return self.spark.read.parquet(data_dir)
 
-        out = self.spark.read.parquet(data_dir)
-        manifest = StageManifest(
-            run_id=self.run_id, stage=name, rows=out.count(),
-            n_partitions=out.rdd.getNumPartitions(), status="complete",
-            config_echo=self.config_echo,
-            fingerprint=_df_fingerprint(out),
-        )
-        with open(self._manifest_path(name) + ".tmp", "w") as f:
-            json.dump(asdict(manifest), f, indent=2, default=str)
-        os.rename(self._manifest_path(name) + ".tmp", self._manifest_path(name))
-        return out
+    def _write_iceberg(self, name: str, df: DataFrame,
+                       partition_by: list[str] | None,
+                       bucket_by: tuple[int, str] | None) -> DataFrame:
+        """df.writeTo with hidden-partition transforms: bucket(N, col) for
+        join co-location (north_rule's bucketed Iceberg writes) plus any
+        identity partition columns.  createOrReplace is atomic (Iceberg
+        swaps table metadata pointers), replacing the Parquet path's
+        rename-based atomicity."""
+        from pyspark.sql import functions as F
+
+        writer = df.writeTo(self._table(name)).using("iceberg")
+        transforms = []
+        if bucket_by:
+            n, col = bucket_by
+            transforms.append(F.bucket(n, col))
+        if partition_by:
+            transforms.extend(F.col(c) for c in partition_by)
+        if transforms:
+            writer = writer.partitionedBy(*transforms)
+        writer.createOrReplace()
+        return self.spark.read.table(self._table(name))
 
     def partition_counters(self, name: str) -> DataFrame:
         """Per-partition lineage/row counters for a completed stage (the
@@ -126,6 +176,13 @@ class CheckpointManager:
         return (self.read(name)
                 .withColumn("partition_id", F.spark_partition_id())
                 .groupBy("partition_id").agg(F.count("*").alias("rows")))
+
+
+def _json_normalize(d: dict) -> dict:
+    """Round-trip through the same JSON encoding the manifest uses so the
+    is_complete comparison is representation-stable (tuples -> lists,
+    non-JSON values -> str)."""
+    return json.loads(json.dumps(d, default=str, sort_keys=True))
 
 
 def _df_fingerprint(df: DataFrame) -> str:

@@ -11,6 +11,14 @@ batch's band keys against the accumulated band index and appends:
     band_index/   (doc_id, band_id, band_hash)   — grows per batch
     dup_pairs/    (id_a, id_b, jaccard)          — new-vs-old + new-vs-new
 
+Incrementality contract: per-batch compute is O(batch + collisions), NOT
+O(history) — the band index is PERSISTED and appended to, so a batch
+joins its freshly-computed band keys against stored history keys (a
+columnar scan of 3 longs/row) and never re-runs the signature UDF or
+band_keys over old documents.  The only history touched besides the index
+scan is the verify stage's payload fetch for docs that actually collided
+(semi-join pruned inside verify_pairs).
+
 foreachBatch (not a streaming join) because the index side must be
 unbounded and self-growing — Spark's stream-stream join would force
 watermark-bounded state, but dedup must match against ALL history.
@@ -38,21 +46,28 @@ def _sign(df: DataFrame, cfg: DedupConfig) -> DataFrame:
 def incremental_dedup_stream(spark: SparkSession, input_dir: str, state_dir: str,
                              cfg: DedupConfig = DEFAULT_CONFIG,
                              schema: str = "doc_id long, text string",
-                             available_now: bool = True):
+                             available_now: bool = True,
+                             max_files_per_trigger: int = 16):
     """Start (or run-to-completion with availableNow) the incremental dedup
     stream over parquet files appearing in `input_dir`.
 
     Returns the StreamingQuery. State layout under `state_dir`:
-      checkpoint/  — Spark streaming checkpoint (offsets, commits)
-      sigs/        — accumulated signatures (doc_id, shingles, minhash)
-      pairs/       — verified dup pairs with batch_id lineage
+      checkpoint/   — Spark streaming checkpoint (offsets, commits)
+      sigs/         — accumulated signatures (doc_id, shingles, minhash)
+      band_index/   — accumulated band keys (doc_id, band_id, band_hash)
+      pairs/        — verified dup pairs with batch_id lineage
     """
     sigs_dir = os.path.join(state_dir, "sigs")
+    bands_dir = os.path.join(state_dir, "band_index")
     pairs_dir = os.path.join(state_dir, "pairs")
 
     stream = (spark.readStream.schema(schema)
-              .option("maxFilesPerTrigger", "16")
+              .option("maxFilesPerTrigger", str(max_files_per_trigger))
               .parquet(input_dir))
+
+    def _has_history(d: str) -> bool:
+        return os.path.isdir(d) and any(
+            f.startswith("batch_id=") for f in os.listdir(d))
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -60,16 +75,17 @@ def incremental_dedup_stream(spark: SparkSession, input_dir: str, state_dir: str
         new_sigs = _sign(batch_df, cfg).withColumn("batch_id", F.lit(batch_id))
         new_sigs.persist()
         try:
-            new_bands = band_keys(new_sigs, cfg)
-            has_history = os.path.exists(os.path.join(sigs_dir, "_SUCCESS")) or any(
-                f.startswith("batch_id=") for f in
-                (os.listdir(sigs_dir) if os.path.isdir(sigs_dir) else []))
-            if has_history:
-                old_sigs = spark.read.parquet(sigs_dir).where(F.col("batch_id") < batch_id)
+            new_bands = band_keys(new_sigs, cfg) \
+                .withColumn("batch_id", F.lit(batch_id))
+            new_bands.persist()
+            if _has_history(bands_dir):
+                # incremental: READ the persisted band index (3 longs/row);
+                # never recompute signatures or band keys over history
+                old_bands = spark.read.parquet(bands_dir) \
+                    .where(F.col("batch_id") < batch_id)
+                old_sigs = spark.read.parquet(sigs_dir) \
+                    .where(F.col("batch_id") < batch_id)
                 all_sigs = old_sigs.unionByName(new_sigs)
-                old_bands = band_keys(old_sigs, cfg)
-                # new-vs-old: join new band keys against historical index;
-                # new-vs-new: self-join within the batch
                 cross = (new_bands.alias("a")
                          .join(old_bands.alias("b"), ["band_id", "band_hash"])
                          .select(F.least("a.doc_id", "b.doc_id").alias("id_a"),
@@ -96,8 +112,13 @@ def incremental_dedup_stream(spark: SparkSession, input_dir: str, state_dir: str
              .partitionBy("batch_id")
              .option("partitionOverwriteMode", "dynamic")
              .parquet(sigs_dir))
+            (new_bands.write.mode("overwrite")
+             .partitionBy("batch_id")
+             .option("partitionOverwriteMode", "dynamic")
+             .parquet(bands_dir))
         finally:
             new_sigs.unpersist()
+            new_bands.unpersist()
 
     writer = (stream.writeStream
               .foreachBatch(process_batch)

@@ -44,6 +44,43 @@ def test_cli_query_ann(spark, tmp_path, capsys):
           "--k", "3", "--cores", "8"])
     r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert r["queries"] == 5
+    assert r["tables_reused"] is False
     got = spark.read.parquet(out)
     assert got.count() == r["results"]
     assert set(got.columns) == {"query_id", "point_id", "dist", "rank"}
+    first = sorted(map(tuple, got.collect()))
+
+    # -b/-s split: second invocation (same run-id, same input/model) hits
+    # the ann_tables manifest, skips the build, returns identical results
+    main(["query", "--input", pts, "--queries", qs, "--output", out,
+          "--k", "3", "--cores", "8"])
+    r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r2["tables_reused"] is True
+    assert r2["results"] == r["results"]
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == first
+
+
+def test_ann_prebuilt_tables_match_direct(spark):
+    """ann_search_spark(tables=build_hash_tables(...)) == the recompute
+    path, point for point."""
+    from distributed_lsh_spark.fixtures import make_vectors_fixture
+    from distributed_lsh_spark.operators.ann import ann_search_spark, build_hash_tables
+    from distributed_lsh_spark.oracle.reference_lsh import ReferenceLSHModel
+
+    fx = make_vectors_fixture(n=200, d=8, t=63, n_queries=5, max_k=10)
+    model = ReferenceLSHModel(dim=8, max_coordinate=63, cardinality=200,
+                              ratio=2, seed=42)
+    pts = spark.createDataFrame(
+        [(i, fx.points[i].tolist()) for i in range(len(fx.points))],
+        "id long, vec array<int>")
+    qs = spark.createDataFrame(
+        [(i, fx.queries[i].tolist()) for i in range(len(fx.queries))],
+        "query_id long, vec array<int>")
+    tables = build_hash_tables(pts, model).persist()
+    assert tables.count() == 200 * model.L * model.n_radii
+    direct = sorted(map(tuple, ann_search_spark(spark, pts, qs, model, k=3).collect()))
+    via_tables = sorted(map(tuple,
+                            ann_search_spark(spark, pts, qs, model, k=3,
+                                             tables=tables).collect()))
+    tables.unpersist()
+    assert via_tables == direct

@@ -27,13 +27,50 @@ def test_extract_text_deterministic_and_sane():
     assert extract_text(b"\xff\xfeplain") != ""      # bad UTF-8 -> replacement
 
 
+def test_py_whitespace_class_is_exactly_str_isspace():
+    from distributed_lsh_spark.functions.extract import PY_WHITESPACE
+
+    computed = {chr(c) for c in range(0x110000) if chr(c).isspace()}
+    assert set(PY_WHITESPACE) == computed
+
+
+_ADVERSARIAL_HTML = [
+    b"",
+    b"plain no tags",
+    b"\xff\xfebad utf8 <b>x</b>",
+    b"<script>var x=1;</script>keep<style a='b'>p{}</style>",
+    b"<script\nsrc='x'>drop</script\t>after",
+    b"<scriptfoo>not a script tag</scriptfoo>",
+    b"<br><br/><BR  ><brs>x</p ></div\t>",
+    b"&amp;#65; &#66; &#x43; &#xZZ; &#999999999;",
+    "line    edge\n　\nnext\n\n\nend ".encode(),
+    b"<!-- c1 --><p>a</p><!-- multi\nline -->b",
+    b"a  \t b\r\n c \f d",
+    "<p>unicode téxt</p>".encode(),
+    b"<h3 class=x>t</h3><li>i</li><tr><td>c</td></tr>",
+]
+
+
 def test_extract_udf_matches_python(spark, tiny_corpus):
     rows = [(i, r["html"]) for i, r in enumerate(tiny_corpus.rows[:50])]
+    rows += [(1000 + i, h) for i, h in enumerate(_ADVERSARIAL_HTML)]
     df = spark.createDataFrame(
         [(i, bytearray(h)) for i, h in rows], "doc_id long, html binary")
     got = {r["doc_id"]: r["text"] for r in with_extracted_text(df).collect()}
     expect = {i: extract_text(h) for i, h in rows}
     assert got == expect                              # byte-identical per url
+
+
+def test_extract_batch_matches_python_directly():
+    """RE2 batch path == Python re path on the adversarial set without
+    Spark in the loop (so a failure localizes to the regex engines)."""
+    import pandas as pd
+
+    from distributed_lsh_spark.functions.extract import extract_text_batch
+
+    got = extract_text_batch(pd.Series(list(_ADVERSARIAL_HTML), dtype=object))
+    expect = [extract_text(h) for h in _ADVERSARIAL_HTML]
+    assert list(got) == expect
 
 
 def test_extract_recovers_fixture_text(tiny_corpus):
@@ -59,8 +96,9 @@ def test_checkpoint_resume_skips_completed(spark, tmp_path):
                              config_echo={"k": 5})
     df1 = ckpt.stage("sigs", build)
     assert calls["n"] == 1 and df1.count() == 100
-    # resume: same run_id -> build skipped
-    ckpt2 = CheckpointManager(spark, str(tmp_path), run_id="r1")
+    # resume: same run_id + same config -> build skipped
+    ckpt2 = CheckpointManager(spark, str(tmp_path), run_id="r1",
+                              config_echo={"k": 5})
     df2 = ckpt2.stage("sigs", build)
     assert calls["n"] == 1 and df2.count() == 100
     # new run_id -> rebuild
@@ -75,6 +113,58 @@ def test_checkpoint_resume_skips_completed(spark, tmp_path):
 
     counters = ckpt.partition_counters("sigs")
     assert counters.agg({"rows": "sum"}).collect()[0][0] == 100
+
+
+def test_checkpoint_config_change_rebuilds(spark, tmp_path):
+    """Same --run-id but a different DedupConfig must NOT silently reuse
+    stage checkpoints built for the old config."""
+    from distributed_lsh_spark.sources.checkpoint import CheckpointManager
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(10).withColumnRenamed("id", "doc_id")
+
+    CheckpointManager(spark, str(tmp_path), run_id="r1",
+                      config_echo={"threshold": 0.8}).stage("sigs", build)
+    assert calls["n"] == 1
+    # changed threshold, same run_id -> stale checkpoint, rebuild
+    CheckpointManager(spark, str(tmp_path), run_id="r1",
+                      config_echo={"threshold": 0.9}).stage("sigs", build)
+    assert calls["n"] == 2
+    # and back to the (rewritten) config -> skip again
+    CheckpointManager(spark, str(tmp_path), run_id="r1",
+                      config_echo={"threshold": 0.9}).stage("sigs", build)
+    assert calls["n"] == 2
+
+
+def test_checkpoint_iceberg_branch(spark, tmp_path, monkeypatch):
+    """No Iceberg jars in this sandbox, so exercise the branch itself:
+    use_iceberg=True must route through writeTo with the bucket transform
+    (captured via monkeypatch) and read back via the catalog table."""
+    from distributed_lsh_spark.sources.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(spark, str(tmp_path), run_id="rI",
+                             config_echo={"k": 5})
+    ckpt.use_iceberg = True
+    seen = {}
+
+    def fake_iceberg(name, df, partition_by, bucket_by):
+        seen["table"] = ckpt._table(name)
+        seen["bucket_by"] = bucket_by
+        seen["partition_by"] = partition_by
+        return df  # stand in for spark.read.table(...)
+
+    monkeypatch.setattr(ckpt, "_write_iceberg", fake_iceberg)
+    df = spark.range(20).withColumnRenamed("id", "doc_id")
+    out = ckpt.write("sigs", df, bucket_by=(64, "doc_id"))
+    assert out.count() == 20
+    assert seen["table"] == "dedup_ckpt.rI_sigs"
+    assert seen["bucket_by"] == (64, "doc_id")
+    with open(os.path.join(str(tmp_path), "rI", "sigs", "manifest.json")) as f:
+        m = json.load(f)
+    assert m["status"] == "complete" and m["rows"] == 20
 
 
 # ------------------------------------------------------------- planner

@@ -29,10 +29,19 @@ def test_incremental_dedup_matches_batch(spark, tiny_corpus, tmp_path):
          .coalesce(1).write.parquet(os.path.join(input_dir, "drop2"))
 
     q = incremental_dedup_stream(
-        spark, input_dir + "/*", state_dir, CFG, available_now=True)
+        spark, input_dir + "/*", state_dir, CFG, available_now=True,
+        max_files_per_trigger=1)
     q.awaitTermination(240)
 
     got = {(r["id_a"], r["id_b"])
            for r in spark.read.parquet(os.path.join(state_dir, "pairs")).collect()}
     oracle = DedupOracle(CFG, docs)
     assert got == set(oracle.verified_pairs())
+
+    # the persisted band index (the incrementality carrier: later batches
+    # JOIN it instead of recomputing history) holds every batch's keys
+    bdir = os.path.join(state_dir, "band_index")
+    batches = {f for f in os.listdir(bdir) if f.startswith("batch_id=")}
+    assert len(batches) >= 2, "each micro-batch must append its band keys"
+    idx = spark.read.parquet(bdir)
+    assert idx.count() == len(ids) * CFG.num_bands
