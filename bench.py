@@ -29,6 +29,8 @@ def main() -> None:
         "dedup_clusters",
         "ngram_jaccard_dup_pairs",
         "exact_dup_groups",
+        "simhash_hamming_pairs",
+        "substring_dup_pairs",
         "embedding_topk",
         "pricing_summary",
         "top_unshipped_orders",

@@ -204,6 +204,24 @@ the interleaved protocol and best-per-level selection mitigate but cannot
 remove it).  A pure-process calibration of the identical signature
 workload (no Spark) measured 1 -> 8 workers = 8.7x (efficiency ~1.0).
 
+Round-2 scalability changes measured by per-stage diagnostics
+(tools/scaling_diag.py, tools/band_diag.py):
+- hot-bucket cap became two-path (count buckets, window-sort ONLY
+  oversized ones): the old full window sorted all band rows once per
+  self-join side — 41.4s vs 14.5s uncapped at 400k docs / 8 cores;
+- candidate/verify plans stopped re-executing per consumer
+  (localCheckpoint before the self-join and before verify's two
+  broadcast builds);
+- the band self-join row shrank to (doc_id, band_hash) = 16 B
+  (band_hash embeds band_id);
+- exact-dup pre-pass: groupBy with map-side combine instead of a
+  full-text window sort; CC fixpoint probes every 2nd iteration
+  (halves driver-side job count).
+OPH note: with `minhash_scheme="oph"` the minhash kernel is ~15x
+cheaper than kxl (0.38s vs 5.7s per 4.5M shingles at 128 perms); the
+protocol above intentionally measures the DEFAULT kxl config — the
+same one the correctness gate pins.
+
 Output sanity: {hi['n_pairs']:,} verified dup pairs, {hi['n_clustered']:,}
 clustered docs at both levels (identical).
 

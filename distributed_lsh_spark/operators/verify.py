@@ -55,6 +55,10 @@ def verify_pairs(pairs: DataFrame, docs: DataFrame, cfg: DedupConfig,
         # Instead, semi-join-prune the wide docs side down to ids that
         # actually appear in pairs (a broadcast of bare longs) so the one
         # shuffle join moves only needed payloads.
+        # pairs feeds TWO broadcast builds (the prune + the join); the lazy
+        # localCheckpoint stops the whole upstream candidate plan from
+        # executing once per build (measured ~2x the verify stage at 400k).
+        pairs = pairs.localCheckpoint(eager=False)
         db = db.join(F.broadcast(pairs.select("id_b").distinct()),
                      "id_b", "left_semi")
         joined = F.broadcast(pairs).join(da, "id_a").join(db, "id_b")
