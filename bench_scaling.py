@@ -172,13 +172,17 @@ input, two parallelism levels, interleaved runs so time-varying host load
 cannot bias a level; steady-state (fresh session per run, warmup pass on a
 filter slice of the real corpus excluded from timing, best run per level).
 
-Why N=2 -> 4N=8 (not 8 -> 32): a raw-CPU calibration probe (independent
-numpy worker processes, no Spark) shows this VM's 32 advertised vCPUs
-deliver only ~16-18 effective cores and memory bandwidth saturates near 8
-concurrent workers — identical work at 1 vs 8 processes scales ~0.9+, while
-8 -> 32 scales ~0.6 even for cache-resident pure-CPU loops.  Above 8 threads
-the measurement would grade the sandbox host, not the engine.  On a real
-multi-executor cluster the same protocol applies at N and 4N executors.
+Why N={args.low} -> 4N={args.high} (not 8 -> 32): a raw-CPU calibration
+probe (independent numpy worker processes, no Spark) shows this VM's 32
+advertised vCPUs deliver only ~16-18 effective cores and memory bandwidth
+saturates near 8 concurrent workers — identical work at 1 vs 8 processes
+scales ~0.9+, while 8 -> 32 scales ~0.6 even for cache-resident pure-CPU
+loops.  A local[C] Spark job additionally runs ~C python UDF workers + GC
++ driver threads, so local[8] already puts ~20 threads on those ~16
+effective cores and the measurement starts grading the host, not the
+engine.  The N -> 4N ladder therefore sits inside the host's linear range;
+on a real multi-executor cluster the same protocol applies at N and 4N
+executors, where each executor brings its own memory bandwidth.
 
 Input: deterministic synthetic pages corpus, {lo['n_docs']:,} docs
 (distributed_lsh_spark.fixtures.make_pages_corpus, seed=42), planted dup
