@@ -506,6 +506,58 @@ GROUP BY 1, 2 HAVING count(*) >= {min_shared}
 ORDER BY id_a, id_b"""
 
 
+def q_substring_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array exact-substring stage (north_star's named algorithm):
+    winnow candidates, then the EXACT longest shared token span per pair
+    via per-pair suffix array + Kasai LCP (operators/substring.py,
+    functions/suffix.py).  Oracle: same winnow candidates, then max
+    diagonal run of matching token positions (gaps-and-islands) — an
+    independent SQL formulation of the same exact quantity."""
+    from distributed_lsh_spark.operators.substring import substring_span_pairs
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (substring_span_pairs(df.select("doc_id", "text"),
+                                 window=20, guarantee=5)
+            .orderBy("id_a", "id_b"))
+
+
+def _sql_substring_span_pairs(W: int = 20, g: int = 5) -> str:
+    from distributed_lsh_spark.functions.md5hash import duck_h64
+
+    win = duck_h64(f"array_to_string(t[i:i+{W - 1}], ' ')")
+    geff = f"least({g}, len(wh))"
+    lcap = (f"len(list_filter(range(1, {geff} + 1), m -> m < {geff} "
+            f"AND i - m >= 1 AND wh[i] <= list_min(wh[i-m:i-1])))")
+    rcap = (f"len(list_filter(range(1, {geff} + 1), m -> m < {geff} "
+            f"AND i + m <= len(wh) AND wh[i] < list_min(wh[i+1:i+m])))")
+    return f"""WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+w AS (SELECT doc_id, t FROM toks WHERE len(t) >= {W}),
+whs AS (SELECT doc_id, [{win} for i in range(1, len(t) - {W - 2})] AS wh FROM w),
+sel AS (SELECT doc_id, list_distinct(
+          [wh[i] for i in range(1, len(wh) + 1)
+           if {lcap} + {rcap} >= {geff} - 1]) AS fpl
+        FROM whs),
+fpd AS (SELECT doc_id, unnest(fpl) AS fp FROM sel),
+cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM fpd a JOIN fpd b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+pos AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS i
+        FROM toks),
+m AS (SELECT c.id_a, c.id_b, pa.i AS i, pb.i AS j
+      FROM cand c
+      JOIN pos pa ON pa.doc_id = c.id_a
+      JOIN pos pb ON pb.doc_id = c.id_b AND pb.tok = pa.tok),
+r AS (SELECT id_a, id_b, i - j AS diag, i,
+             i - row_number() OVER (PARTITION BY id_a, id_b, i - j
+                                    ORDER BY i) AS grp
+      FROM m),
+runs AS (SELECT id_a, id_b, count(*) AS run
+         FROM r GROUP BY id_a, id_b, diag, grp)
+SELECT id_a, id_b, CAST(max(run) AS BIGINT) AS max_span
+FROM runs GROUP BY 1, 2 HAVING max(run) >= {W}
+ORDER BY id_a, id_b"""
+
+
 def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path for similarity search: sign-random-projection LSH
     candidates -> exact cosine re-rank (operators/vector_ann.py).  The
@@ -598,6 +650,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_sessions": q_user_sessions,
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
     "substring_dup_pairs": q_substring_dup_pairs,
+    "substring_span_pairs": q_substring_span_pairs,
     "embedding_topk_lsh": q_embedding_topk_lsh,
     "balance_rollup": q_balance_rollup,
     "part_semi_anti": q_part_supplier_semi_anti,
@@ -619,6 +672,7 @@ ORACLE_SQL: dict[str, str] = {
     "user_sessions": _SQL_USER_SESSIONS,
     "simhash_hamming_pairs": _sql_simhash_hamming_pairs(),
     "substring_dup_pairs": _sql_substring_dup_pairs(),
+    "substring_span_pairs": _sql_substring_span_pairs(),
     # embedding_topk_lsh: intentionally no SQL oracle (approximate by
     # design) — driver records rows-only; recall vs brute force is
     # asserted in tests/test_vector_ann.py.

@@ -33,6 +33,7 @@ Arrow UDF (functions/signature.py pattern) and keep steps 3-5 unchanged.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -94,6 +95,46 @@ def substring_dup_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def substring_span_pairs(df: DataFrame, text_col: str = "text",
+                         window: int = 50, guarantee: int = 10,
+                         cap: int = 2000) -> DataFrame:
+    """Suffix-array exact-substring stage (the north_star's named
+    algorithm): -> (id_a, id_b, max_span) where max_span is the EXACT
+    length in tokens of the longest span the pair shares verbatim.
+
+    Two phases (functions/suffix.py docstring has the architecture note):
+      1. candidates: winnowed-fingerprint equi-join (above).  The SWA
+         guarantee makes recall total for spans >= window + guarantee - 1;
+         a fingerprint match implies a shared window modulo md5 collision.
+      2. refinement: per candidate pair, suffix array + Kasai LCP over the
+         concatenated token sequences gives the exact maximal shared span
+         (Arrow-batched pandas UDF, NumPy inside); pairs whose exact span
+         falls below `window` (hash-collision false positives) are dropped.
+    """
+    from pyspark.sql import types as T
+
+    from distributed_lsh_spark.functions.suffix import max_cross_span
+
+    cands = (substring_dup_pairs(df, text_col, window, guarantee,
+                                 min_shared=1, cap=cap)
+             .select("id_a", "id_b"))
+    toks = df.select("doc_id", F.expr(
+        _NORMALIZE_SQL.format(col=text_col)).alias("_toks"))
+
+    @F.pandas_udf(T.LongType())
+    def _span(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        return pd.Series([max_cross_span(list(a), list(b))
+                          for a, b in zip(ta, tb)], dtype="int64")
+
+    ta = toks.select(F.col("doc_id").alias("id_a"), F.col("_toks").alias("_ta"))
+    tb = toks.select(F.col("doc_id").alias("id_b"), F.col("_toks").alias("_tb"))
+    cands = cands.localCheckpoint(eager=False)
+    return (F.broadcast(cands).join(ta, "id_a").join(tb, "id_b")
+            .withColumn("max_span", _span("_ta", "_tb"))
+            .where(F.col("max_span") >= window)
+            .select("id_a", "id_b", "max_span"))
+
+
 # ---------------------------------------------------------------- oracle
 
 def oracle_winnow_positions(wh: list[int], guarantee: int) -> list[int]:
@@ -124,6 +165,26 @@ def oracle_window_fingerprints(text: str, window: int = 50,
     wh = [py_md5_h64(" ".join(toks[i:i + window]))
           for i in range(len(toks) - window + 1)]
     return [(i, wh[i - 1]) for i in oracle_winnow_positions(wh, guarantee)]
+
+
+def oracle_substring_span_pairs(docs: dict[int, str], window: int = 50,
+                                guarantee: int = 10) -> dict[tuple[int, int], int]:
+    """Pure-Python mirror of substring_span_pairs: winnow candidates, then
+    exact max shared span via the O(n*m) DP (independent of the engine's
+    suffix-array algorithm, so parity validates the SA construction)."""
+    import re
+
+    from distributed_lsh_spark.functions.suffix import oracle_max_span_dp
+
+    cands = oracle_substring_pairs(docs, window, guarantee, min_shared=1)
+    toks = {d: [t for t in re.sub(r"[^a-z0-9]+", " ", x.lower()).split(" ") if t]
+            for d, x in docs.items()}
+    out = {}
+    for (a, b) in cands:
+        span = oracle_max_span_dp(toks[a], toks[b])
+        if span >= window:
+            out[(a, b)] = span
+    return out
 
 
 def oracle_substring_pairs(docs: dict[int, str], window: int = 50,
