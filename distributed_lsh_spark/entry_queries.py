@@ -572,6 +572,35 @@ def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id", "rank"))
 
 
+def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup mining (training-pipeline requirement):
+    EXACT all-pairs cosine >= tau via block-matmul against a broadcast
+    normalized matrix (operators/vector_ann.cosine_pairs_exact — one BLAS
+    matmul per Arrow batch, no crossJoin).  tau=0.5 because the synthetic
+    embeddings are near-random (max pairwise cosine ~0.51); production
+    near-dup would use ~0.95 and the SRP-LSH prefilter beyond broadcast
+    range."""
+    from distributed_lsh_spark.operators.vector_ann import cosine_pairs_exact
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (cosine_pairs_exact(emb, tau=0.5)
+            .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+            .orderBy("id_a", "id_b"))
+
+
+_SQL_EMBEDDING_COSINE_PAIRS = """
+WITH n AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]))
+             / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+                * sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS sim
+      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(sim, 6) AS sim
+FROM s WHERE sim >= 0.5 ORDER BY id_a, id_b"""
+
+
 def q_balance_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets aggregation over a 3-way dim join (region->nation->
     customer): per-(region, nation) and per-region customer counts +
@@ -652,6 +681,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substring_dup_pairs": q_substring_dup_pairs,
     "substring_span_pairs": q_substring_span_pairs,
     "embedding_topk_lsh": q_embedding_topk_lsh,
+    "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "balance_rollup": q_balance_rollup,
     "part_semi_anti": q_part_supplier_semi_anti,
 }
@@ -676,6 +706,7 @@ ORACLE_SQL: dict[str, str] = {
     # embedding_topk_lsh: intentionally no SQL oracle (approximate by
     # design) — driver records rows-only; recall vs brute force is
     # asserted in tests/test_vector_ann.py.
+    "embedding_cosine_pairs": _SQL_EMBEDDING_COSINE_PAIRS,
     "balance_rollup": _SQL_BALANCE_ROLLUP,
     "part_semi_anti": _SQL_PART_SEMI_ANTI,
 }

@@ -48,6 +48,46 @@ def cosine_topk_exact(points: DataFrame, queries: DataFrame, k: int = 10,
             .where(F.col("rank") <= k))
 
 
+def cosine_pairs_exact(points: DataFrame, tau: float,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       ) -> DataFrame:
+    """Embedding-cosine near-dup mining, EXACT: all pairs with cosine
+    similarity >= tau -> (id_a, id_b, sim).
+
+    Shape: the full normalized matrix is broadcast (ids + float64 rows —
+    1 GB per 2M vectors at dim 64) and each partition block-multiplies its
+    rows against it in NumPy (mapInPandas; one BLAS matmul per Arrow
+    batch, no crossJoin row explosion).  id_a < id_b de-dups the symmetric
+    matrix without a shuffle.  Beyond broadcast range, prefilter with the
+    SRP-LSH tables below and exact-verify, trading recall for memory —
+    the same candidate/verify structure as the text pipeline."""
+    sc = points.sparkSession.sparkContext
+    rows = points.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    bc = sc.broadcast((ids, M))
+
+    out_schema = T.StructType([
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("sim", T.DoubleType()),
+    ])
+
+    def block(batches):
+        b_ids, b_m = bc.value
+        for pdf in batches:
+            left_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            B = np.array(list(pdf[vec_col]), dtype=np.float64)
+            B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
+            S = B @ b_m.T
+            li, ri = np.nonzero((S >= tau) & (left_ids[:, None] < b_ids[None, :]))
+            yield pd.DataFrame({"id_a": left_ids[li], "id_b": b_ids[ri],
+                                "sim": S[li, ri]})
+
+    return points.mapInPandas(block, out_schema)
+
+
 def _srp_udf(dim: int, tables: int, bits: int, seed: int):
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((tables * bits, dim))

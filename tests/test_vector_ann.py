@@ -59,3 +59,29 @@ def test_lsh_topk_high_recall(emb):
         hits += len(truth & found)
         total += len(truth)
     assert hits / total >= 0.8, f"SRP-LSH recall too low: {hits}/{total}"
+
+
+def test_cosine_pairs_exact_matches_numpy(spark):
+    import numpy as np
+
+    from distributed_lsh_spark.operators.vector_ann import cosine_pairs_exact
+
+    rng = np.random.default_rng(11)
+    M = rng.standard_normal((80, 16))
+    M[5] = M[3] + 0.01 * rng.standard_normal(16)      # planted near-dup
+    M[40] = M[17] * 2.5                                # exact direction dup
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in M[i]]) for i in range(len(M))],
+        "vec_id long, embedding array<float>")
+    tau = 0.9
+    got = {(r["id_a"], r["id_b"]): r["sim"]
+           for r in cosine_pairs_exact(df, tau=tau).collect()}
+    Mf = M.astype(np.float32).astype(np.float64)       # matches array<float> storage
+    N = Mf / np.linalg.norm(Mf, axis=1, keepdims=True)
+    S = N @ N.T
+    expect = {(i, j): S[i, j] for i in range(len(M)) for j in range(i + 1, len(M))
+              if S[i, j] >= tau}
+    assert set(got) == set(expect)
+    assert (3, 5) in got and (17, 40) in got
+    for k, v in expect.items():
+        assert abs(got[k] - v) < 1e-9
