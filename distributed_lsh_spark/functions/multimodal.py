@@ -2,12 +2,16 @@
 metadata; decode/feature-extract/resize/frame-sample as Arrow-vectorized
 UDFs over mapInPandas.
 
-The Spark-side plumbing (schemas, batch iteration, partitioning, UDF
-signatures) is real and tested; the actual media decoding is STUBBED —
-this container has no image/audio libraries — behind `_decode_image`:
-with `fake=True` (default) it derives a small deterministic feature vector
-from the bytes (so tests pin end-to-end behavior); with `fake=False` it
-raises NotImplementedError where a real decoder (PIL/ffmpeg) would plug in.
+Decode support, no external libs:
+  * REAL pure-NumPy decoders for the uncompressed formats a lib-free
+    container can honestly parse: PPM (P6) and BMP (24-bit BI_RGB) ->
+    (h, w, 3) uint8 pixels; then a real resize + feature step (8x8
+    nearest-neighbor luminance thumbnail = FEATURE_DIM floats).
+  * compressed formats (jpeg/png/webp, audio, video containers) raise
+    NotImplementedError at the same seam — libjpeg/ffmpeg would plug in
+    there on a real deployment.
+  * `fake=True` keeps the original byte-histogram pseudo-features for
+    plumbing tests with arbitrary payload bytes.
 """
 
 from __future__ import annotations
@@ -33,17 +37,86 @@ MEDIA_SCHEMA = T.StructType([
 FEATURE_DIM = 64
 
 
-def _decode_image(payload: bytes, fake: bool = True) -> np.ndarray:
-    """STUB decode -> FEATURE_DIM float32 features.
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> (h, w, 3) uint8.  Full header grammar: tokens
+    separated by whitespace, '#' comments to end-of-line, single whitespace
+    byte after maxval, then raw RGB rows."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 ppm")
+    pos, toks = 2, []
+    while len(toks) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        toks.append(int(payload[start:pos]))
+    w, h, maxval = toks
+    if maxval != 255:
+        raise NotImplementedError("only maxval=255 ppm supported")
+    pos += 1                                  # single whitespace after maxval
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return px.reshape(h, w, 3).copy()
 
-    fake=True: deterministic features from the byte content (xxhash-free:
-    a fixed linear hash over byte histogram), so the distributed plumbing
-    is testable without media libs.  fake=False is the real-decoder seam.
-    """
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed (BI_RGB) BMP -> (h, w, 3) uint8 RGB.  Handles
+    4-byte row padding and bottom-up (h > 0) / top-down (h < 0) rows."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a bmp")
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only 24-bit BI_RGB bmp supported")
+    stride = (w * 3 + 3) & ~3
+    rows = abs(h)
+    raw = np.frombuffer(payload, dtype=np.uint8, count=stride * rows,
+                        offset=off).reshape(rows, stride)
+    img = raw[:, : w * 3].reshape(rows, w, 3)[:, :, ::-1]      # BGR -> RGB
+    if h > 0:
+        img = img[::-1]                                         # bottom-up
+    return img.copy()
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Dispatch on magic bytes -> (h, w, 3) uint8.  Compressed formats are
+    the documented NotImplementedError seam (libjpeg/ffmpeg on a real
+    deployment)."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    raise NotImplementedError(
+        "compressed image decoding (jpeg/png/...) requires PIL/libjpeg — "
+        "not in this container; PPM(P6)/BMP(24-bit) decode natively")
+
+
+def image_feature(img: np.ndarray) -> np.ndarray:
+    """Real resize + feature step: nearest-neighbor 8x8 luminance thumbnail
+    (Rec.601 weights), FEATURE_DIM float32 in [0, 1]."""
+    h, w = img.shape[:2]
+    yi = np.minimum((np.arange(8) + 0.5) * h / 8, h - 1).astype(np.int64)
+    xi = np.minimum((np.arange(8) + 0.5) * w / 8, w - 1).astype(np.int64)
+    thumb = img[yi][:, xi].astype(np.float64)
+    lum = thumb @ np.array([0.299, 0.587, 0.114])
+    return (lum / 255.0).ravel().astype(np.float32)
+
+
+def _decode_image(payload: bytes, fake: bool = True) -> np.ndarray:
+    """payload -> FEATURE_DIM float32 features.
+
+    fake=False: REAL decode (PPM/BMP) + 8x8 luminance thumbnail.
+    fake=True: deterministic pseudo-features from the byte histogram, so
+    plumbing tests can use arbitrary payload bytes."""
     if not fake:
-        raise NotImplementedError(
-            "real image decoding requires PIL/libjpeg — not in this container; "
-            "plug a decoder in here")
+        return image_feature(decode_image(payload))
     hist = np.bincount(np.frombuffer(payload or b"\x00", dtype=np.uint8),
                        minlength=256).astype(np.float64)
     hist /= max(hist.sum(), 1.0)

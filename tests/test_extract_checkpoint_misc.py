@@ -213,3 +213,75 @@ def test_media_decode_stub_raises_for_real_path():
 
     with pytest.raises(NotImplementedError):
         _decode_image(b"abc", fake=False)
+
+
+def _ppm_bytes(img):
+    h, w = img.shape[:2]
+    return (f"P6\n# comment\n{w} {h}\n255\n".encode() + img.tobytes())
+
+
+def _bmp_bytes(img, top_down=False):
+    import numpy as np
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = img if top_down else img[::-1]
+    body = bytearray()
+    for r in rows:
+        line = r[:, ::-1].tobytes()                     # RGB -> BGR
+        body += line + b"\x00" * (stride - len(line))
+    off = 14 + 40
+    header = (b"BM" + (off + len(body)).to_bytes(4, "little") + b"\x00" * 4
+              + off.to_bytes(4, "little")
+              + (40).to_bytes(4, "little")
+              + w.to_bytes(4, "little", signed=True)
+              + (h if not top_down else -h).to_bytes(4, "little", signed=True)
+              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+              + (0).to_bytes(4, "little") + len(body).to_bytes(4, "little")
+              + b"\x00" * 16)
+    return bytes(header) + bytes(body)
+
+
+def _test_img(h=13, w=10):
+    import numpy as np
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack([(y * 17) % 256, (x * 29) % 256, (y + x) % 256],
+                    axis=2).astype(np.uint8)
+
+
+def test_image_decoders_roundtrip():
+    import numpy as np
+
+    from distributed_lsh_spark.functions.multimodal import decode_bmp, decode_ppm
+
+    img = _test_img()
+    assert np.array_equal(decode_ppm(_ppm_bytes(img)), img)
+    assert np.array_equal(decode_bmp(_bmp_bytes(img)), img)            # bottom-up
+    assert np.array_equal(decode_bmp(_bmp_bytes(img, top_down=True)), img)
+
+
+def test_media_features_real_decode_path(spark):
+    import numpy as np
+
+    from distributed_lsh_spark.functions.multimodal import (
+        FEATURE_DIM, decode_image, image_feature, media_features,
+    )
+
+    img = _test_img(32, 24)
+    rows = [(1, "image", "image/x-portable-pixmap", 24, 32, 0,
+             bytearray(_ppm_bytes(img))),
+            (2, "image", "image/bmp", 24, 32, 0, bytearray(_bmp_bytes(img)))]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, mime string, width int, "
+              "height int, duration_ms int, payload binary")
+    got = {r["media_id"]: r["feature"]
+           for r in media_features(df, fake=False).collect()}
+    expect = image_feature(img).tolist()
+    for mid in (1, 2):
+        assert len(got[mid]) == FEATURE_DIM
+        assert np.allclose(got[mid], expect, atol=1e-6)
+    # the two encodings of the same pixels agree exactly
+    assert got[1] == got[2]
+    # compressed/unknown stays the documented NotImplementedError seam
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n...")
