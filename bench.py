@@ -42,7 +42,11 @@ def main() -> None:
     # Warm the JVM / whole-stage-codegen / shuffle paths with a full pipeline
     # pass at the smallest sf, so timed numbers are steady-state (BASELINE.md:
     # "measured on steady-state stage time excluding session startup").
-    QUERIES["minhash_lsh_dup_pairs"](spark, "/root/testdata/sf0.001").count()
+    # Each distinct plan shape pays its own first-run JIT — warm the three
+    # hash-chain shapes, not just the minhash pipeline.
+    for warm in ("minhash_lsh_dup_pairs", "simhash_hamming_pairs",
+                 "substring_dup_pairs"):
+        QUERIES[warm](spark, "/root/testdata/sf0.001").count()
 
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
 
