@@ -264,6 +264,60 @@ SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
 FROM b ORDER BY doc_id"""
 
 
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring (training-data pipeline requirement):
+    alphabetic / punctuation character ratios, English-stopword ratio,
+    and a Gopher-style keep rule evaluated in pure integer arithmetic
+    (so both engines agree bit-for-bit on the boolean).  All counting is
+    JVM-side regexp/array expressions — no Python on the row path."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    low = F.lower(F.col("text"))
+    n_chars = F.length("text")
+    n_alpha = F.length(F.regexp_replace(low, "[^a-z]", ""))
+    n_punct = F.length(F.regexp_replace(low, "[a-z0-9 \\t\\n\\r]", ""))
+    toks = normalized_tokens("text")
+    n_tokens = F.size(toks)
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    keep = ((n_tokens >= 10) & (n_stop >= 2)
+            & (n_punct * 5 <= n_chars) & (n_alpha * 2 >= n_chars))
+    return (df.select(
+                "doc_id", n_chars.alias("n_chars"), n_alpha.alias("n_alpha"),
+                n_punct.alias("n_punct"), n_tokens.alias("n_tokens"),
+                n_stop.alias("n_stop"),
+                F.round(n_alpha / n_chars, 6).alias("alpha_ratio"),
+                F.round(n_punct / n_chars, 6).alias("punct_ratio"),
+                F.round(n_stop / n_tokens, 6).alias("stop_ratio"),
+                keep.alias("keep"))
+              .where((n_chars > 0) & (n_tokens > 0))
+              .orderBy("doc_id"))
+
+
+def _sql_doc_quality() -> str:
+    sw = _STOPWORDS["en"]
+    return f"""
+WITH t AS (
+  SELECT doc_id, length(text) AS n_chars,
+         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(lower(text), '[a-z0-9 \\t\\n\\r]', '', 'g'))
+           AS n_punct,
+         {_DUCK_TOKS} AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_chars, n_alpha, n_punct, len(toks) AS n_tokens,
+         len(list_filter(toks, x -> list_contains({sw!r}, x))) AS n_stop
+  FROM t
+)
+SELECT doc_id, n_chars, n_alpha, n_punct, n_tokens, n_stop,
+       round(n_alpha * 1.0 / n_chars, 6) AS alpha_ratio,
+       round(n_punct * 1.0 / n_chars, 6) AS punct_ratio,
+       round(n_stop * 1.0 / n_tokens, 6) AS stop_ratio,
+       (n_tokens >= 10 AND n_stop >= 2 AND n_punct * 5 <= n_chars
+        AND n_alpha * 2 >= n_chars) AS keep
+FROM s WHERE n_chars > 0 AND n_tokens > 0 ORDER BY doc_id"""
+
+
 # --------------------------------------------------------------------------
 # embedding similarity over `embeddings`
 # --------------------------------------------------------------------------
@@ -672,6 +726,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_stats": q_token_stats,
     "bpe_token_counts": q_bpe_token_counts,
     "lang_id": q_lang_id,
+    "doc_quality": q_doc_quality,
     "embedding_topk": q_embedding_topk,
     "pricing_summary": q_pricing_summary,
     "top_unshipped_orders": q_top_unshipped_orders,
@@ -695,6 +750,7 @@ ORACLE_SQL: dict[str, str] = {
     "token_stats": _SQL_TOKEN_STATS,
     "bpe_token_counts": _SQL_BPE_TOKEN_COUNTS,
     "lang_id": _sql_lang_id(),
+    "doc_quality": _sql_doc_quality(),
     "embedding_topk": _SQL_EMBEDDING_TOPK,
     "pricing_summary": _SQL_PRICING_SUMMARY,
     "top_unshipped_orders": _SQL_TOP_UNSHIPPED,
