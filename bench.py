@@ -31,6 +31,7 @@ def main() -> None:
         "exact_dup_groups",
         "simhash_hamming_pairs",
         "substring_dup_pairs",
+        "doc_quality",
         "embedding_topk",
         "pricing_summary",
         "top_unshipped_orders",
