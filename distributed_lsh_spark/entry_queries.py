@@ -626,6 +626,22 @@ def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id", "rank"))
 
 
+def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF scale path for similarity search: spherical-k-means coarse
+    quantizer (trained on a bounded deterministic sample) -> single-cell
+    point assignment -> nprobe-cell query probe -> exact cosine re-rank
+    (operators/vector_ann.cosine_topk_ivf).  Approximate (recall tested
+    vs brute force in pytest), so no SQL oracle — driver records
+    rows-only."""
+    from distributed_lsh_spark.operators.vector_ann import cosine_topk_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    return (cosine_topk_ivf(emb, q, k=10, nlist=32, nprobe=8, seed=42)
+            .select("query_id", "vec_id", "rank", F.round("sim", 6).alias("sim"))
+            .orderBy("query_id", "rank"))
+
+
 def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup mining (training-pipeline requirement):
     EXACT all-pairs cosine >= tau via block-matmul against a broadcast
@@ -736,6 +752,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substring_dup_pairs": q_substring_dup_pairs,
     "substring_span_pairs": q_substring_span_pairs,
     "embedding_topk_lsh": q_embedding_topk_lsh,
+    "embedding_topk_ivf": q_embedding_topk_ivf,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "balance_rollup": q_balance_rollup,
     "part_semi_anti": q_part_supplier_semi_anti,
@@ -759,9 +776,9 @@ ORACLE_SQL: dict[str, str] = {
     "simhash_hamming_pairs": _sql_simhash_hamming_pairs(),
     "substring_dup_pairs": _sql_substring_dup_pairs(),
     "substring_span_pairs": _sql_substring_span_pairs(),
-    # embedding_topk_lsh: intentionally no SQL oracle (approximate by
-    # design) — driver records rows-only; recall vs brute force is
-    # asserted in tests/test_vector_ann.py.
+    # embedding_topk_lsh / embedding_topk_ivf: intentionally no SQL
+    # oracle (approximate by design) — driver records rows-only; recall
+    # vs brute force is asserted in tests/test_vector_ann.py.
     "embedding_cosine_pairs": _SQL_EMBEDDING_COSINE_PAIRS,
     "balance_rollup": _SQL_BALANCE_ROLLUP,
     "part_semi_anti": _SQL_PART_SEMI_ANTI,

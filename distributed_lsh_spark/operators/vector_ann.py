@@ -1,6 +1,6 @@
 """Approximate nearest neighbors over float embedding columns.
 
-Two paths (SURVEY.md: "similarity search" component):
+Three paths (SURVEY.md: "similarity search" component):
   * `cosine_topk_exact` — brute-force baseline: broadcast the (small) query
     side, JVM zip_with/aggregate dot products, window top-k.  O(n*q); the
     correctness oracle and the right choice when q is tiny.
@@ -11,6 +11,12 @@ Two paths (SURVEY.md: "similarity search" component):
     only; per-query top-k.  Recall is tunable via (tables, bits) exactly
     like the reference's (L, m) — AND of bits, OR of tables
     (MapReduce-LSH/.../common/LSH.java:117-131).
+  * `cosine_topk_ivf` — IVF (inverted-file) scale path: spherical k-means
+    coarse quantizer trained on a bounded deterministic sample, points
+    partitioned into `nlist` cells, queries probe their `nprobe` nearest
+    cells; exact cosine re-rank of probed cells only.  Data-adaptive
+    buckets (vs SRP's data-oblivious hyperplanes) — better recall per
+    candidate on clustered embeddings.
 
 Hyperplanes are drawn from a seeded NumPy generator and ride pandas-UDF
 closures (no per-row Python; one matmul per Arrow batch).
@@ -130,6 +136,88 @@ def cosine_topk_lsh(points: DataFrame, queries: DataFrame, k: int = 10,
                 .where(F.col("_rn") <= cap_per_bucket).drop("_rn"))
 
     cands = (pb.join(F.broadcast(qb), ["table_id", "code"])
+             .select("query_id", "vec_id").dropDuplicates()
+             .where(F.col("vec_id") != F.col("query_id")))
+    scored = (cands.join(p, "vec_id").join(F.broadcast(q), "query_id")
+              .select("query_id", "vec_id", _cosine_col().alias("sim")))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def train_ivf_centroids(points: DataFrame, nlist: int, seed: int = 42,
+                        iters: int = 10, sample_cap: int = 65536,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        ) -> np.ndarray:
+    """Spherical-k-means coarse quantizer: returns (nlist, dim) unit-norm
+    centroids.  Trains on a bounded DETERMINISTIC sample (lowest ids after
+    a fixed modular thinning) — standard IVF practice (FAISS trains on
+    ~256*nlist vectors); the full corpus is never collected.  Seeded init,
+    fixed iteration count, empty cells keep their previous centroid — the
+    whole function is a pure function of (sample, nlist, seed)."""
+    n_total = points.count()
+    step = max(1, n_total // sample_cap)
+    sample = (points.select(id_col, vec_col)
+              .where(F.xxhash64(F.col(id_col)) % step == 0)
+              .orderBy(id_col).limit(sample_cap).collect())
+    M = np.array([list(r[1]) for r in sample], dtype=np.float64)
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    rng = np.random.default_rng(seed)
+    k = min(nlist, len(M))
+    C = M[rng.choice(len(M), size=k, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(M @ C.T, axis=1)
+        for j in range(k):
+            members = M[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-300)
+    return C
+
+
+def _ivf_cells_udf(centroids: np.ndarray, nprobe: int):
+    """pandas_udf: vec -> the nprobe nearest cell ids (one matmul per
+    Arrow batch; deterministic ties by lower cell id via stable argsort
+    on (-sim, id))."""
+    C = centroids
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _cells(vecs: pd.Series) -> pd.Series:
+        m = np.asarray(list(vecs), dtype=np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+        sims = m @ C.T                                        # (n, nlist)
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.astype(np.int32) for row in top])
+
+    return _cells
+
+
+def cosine_topk_ivf(points: DataFrame, queries: DataFrame, k: int = 10,
+                    nlist: int = 64, nprobe: int = 8, seed: int = 42,
+                    iters: int = 10, id_col: str = "vec_id",
+                    vec_col: str = "embedding", query_id_col: str = "query_id",
+                    centroids: np.ndarray | None = None) -> DataFrame:
+    """IVF candidates -> exact cosine re-rank -> per-query top-k.
+
+    Scale shape: points are assigned to ONE cell each (map-only pandas
+    UDF), queries explode to `nprobe` cells; the candidate join is a
+    single equi-join on cell_id with the tiny query side broadcast — the
+    inverted-file partitioning means each query touches nprobe/nlist of
+    the corpus instead of all of it.  At 10^9+ vectors, persist the
+    (vec_id, cell_id) assignment once (CheckpointManager) and reuse it
+    across query sets, exactly like the ANN hash-table build (-b/-s)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(points, nlist, seed=seed, iters=iters,
+                                        id_col=id_col, vec_col=vec_col)
+    p = points.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb"))
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).alias("qe"))
+    one_cell = _ivf_cells_udf(centroids, 1)
+    probe_cells = _ivf_cells_udf(centroids, nprobe)
+    pc = p.select("vec_id", F.element_at(one_cell(F.col("emb")), 1).alias("cell_id"))
+    qc = q.select("query_id", F.explode(probe_cells(F.col("qe"))).alias("cell_id"))
+
+    cands = (pc.join(F.broadcast(qc), "cell_id")
              .select("query_id", "vec_id").dropDuplicates()
              .where(F.col("vec_id") != F.col("query_id")))
     scored = (cands.join(p, "vec_id").join(F.broadcast(q), "query_id")

@@ -61,6 +61,33 @@ def test_lsh_topk_high_recall(emb):
     assert hits / total >= 0.8, f"SRP-LSH recall too low: {hits}/{total}"
 
 
+def test_ivf_topk_high_recall(emb):
+    from distributed_lsh_spark.operators.vector_ann import cosine_topk_ivf
+
+    df, vecs = emb
+    qids = [0, 40, 80, 120]
+    q = df.where(df.vec_id.isin(qids)).withColumnRenamed("vec_id", "query_id")
+    got = cosine_topk_ivf(df, q, k=5, nlist=16, nprobe=4, seed=42).collect()
+    expect = _brute_topk(vecs, qids, k=5)
+    hits = total = 0
+    for qid in qids:
+        truth = {i for i, _ in expect[qid]}
+        found = {r["vec_id"] for r in got if r["query_id"] == qid}
+        hits += len(truth & found)
+        total += len(truth)
+    assert hits / total >= 0.8, f"IVF recall too low: {hits}/{total}"
+
+
+def test_ivf_centroids_deterministic(emb):
+    from distributed_lsh_spark.operators.vector_ann import train_ivf_centroids
+
+    df, _ = emb
+    c1 = train_ivf_centroids(df, nlist=8, seed=42, iters=5)
+    c2 = train_ivf_centroids(df, nlist=8, seed=42, iters=5)
+    np.testing.assert_array_equal(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
 def test_cosine_pairs_exact_matches_numpy(spark):
     import numpy as np
 
