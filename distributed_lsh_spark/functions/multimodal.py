@@ -6,8 +6,10 @@ Decode support, no external libs:
   * REAL pure-NumPy decoders for the uncompressed formats a lib-free
     container can honestly parse: PPM (P6) and BMP (24-bit BI_RGB) ->
     (h, w, 3) uint8 pixels; then a real resize + feature step (8x8
-    nearest-neighbor luminance thumbnail = FEATURE_DIM floats).
-  * compressed formats (jpeg/png/webp, audio, video containers) raise
+    nearest-neighbor luminance thumbnail = FEATURE_DIM floats); and
+    RIFF/WAVE PCM (8/16-bit) -> mono float samples, then a real RMS
+    loudness-envelope feature (FEATURE_DIM time windows).
+  * compressed formats (jpeg/png/webp, mp3/aac, video containers) raise
     NotImplementedError at the same seam — libjpeg/ffmpeg would plug in
     there on a real deployment.
   * `fake=True` keeps the original byte-histogram pseudo-features for
@@ -109,6 +111,58 @@ def image_feature(img: np.ndarray) -> np.ndarray:
     return (lum / 255.0).ravel().astype(np.float32)
 
 
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM -> (mono float64 samples in [-1, 1], sample_rate).
+    Full chunk walk (fmt may not be the first chunk; chunks are 2-byte
+    aligned).  8-bit unsigned and 16-bit signed PCM; multi-channel is
+    averaged to mono."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)                  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("wav missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1:
+        raise NotImplementedError(
+            "compressed audio (mp3/aac/...) requires ffmpeg — not in this "
+            "container; PCM wav decodes natively")
+    if bits == 16:
+        s = np.frombuffer(data, dtype="<i2",
+                          count=len(data) // 2).astype(np.float64) / 32768.0
+    elif bits == 8:
+        s = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError("only 8/16-bit PCM wav supported")
+    if n_channels > 1:
+        s = s[: len(s) - len(s) % n_channels].reshape(-1, n_channels).mean(axis=1)
+    return s, sample_rate
+
+
+def audio_feature(samples: np.ndarray, _rate: int | None = None) -> np.ndarray:
+    """Real audio feature step: RMS loudness envelope over FEATURE_DIM
+    equal-width time windows, float32 in [0, 1]."""
+    n = len(samples)
+    if n == 0:
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
+    edges = (np.arange(FEATURE_DIM + 1) * n) // FEATURE_DIM
+    sq = np.concatenate(([0.0], np.cumsum(samples * samples)))
+    counts = np.maximum(np.diff(edges), 1)
+    rms = np.sqrt(np.diff(sq[edges]) / counts)
+    return rms.astype(np.float32)
+
+
 def _decode_image(payload: bytes, fake: bool = True) -> np.ndarray:
     """payload -> FEATURE_DIM float32 features.
 
@@ -139,9 +193,14 @@ def media_features(df: DataFrame, fake: bool = True) -> DataFrame:
         T.StructField("feature", T.ArrayType(T.FloatType())),
     ])
 
+    def one(kind: str, payload: bytes) -> list[float]:
+        if not fake and kind == "audio":
+            return audio_feature(*decode_wav(payload)).tolist()
+        return _decode_image(payload, fake=fake).tolist()
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [_decode_image(p, fake=fake).tolist() for p in pdf["payload"]]
+            feats = [one(k, p) for k, p in zip(pdf["kind"], pdf["payload"])]
             yield pd.DataFrame({"media_id": pdf["media_id"],
                                 "kind": pdf["kind"], "feature": feats})
 

@@ -285,3 +285,67 @@ def test_media_features_real_decode_path(spark):
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG\r\n\x1a\n...")
+
+
+def _wav_bytes(samples, rate=8000, bits=16, channels=1, extra_chunk=True):
+    """Minimal RIFF/WAVE PCM encoder for tests (optionally with a LIST
+    chunk before fmt to exercise the chunk walk)."""
+    import numpy as np
+
+    if bits == 16:
+        data = (np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes()
+    else:
+        data = ((np.clip(samples, -1, 1) * 127) + 128).astype(np.uint8).tobytes()
+    block = channels * bits // 8
+    fmt = ((1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+           + rate.to_bytes(4, "little")
+           + (rate * block).to_bytes(4, "little")
+           + block.to_bytes(2, "little") + bits.to_bytes(2, "little"))
+    chunks = b""
+    if extra_chunk:
+        chunks += b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\x00"
+    chunks += b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def test_wav_decoder_roundtrip():
+    import numpy as np
+
+    from distributed_lsh_spark.functions.multimodal import decode_wav
+
+    t = np.arange(800) / 8000.0
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    got, rate = decode_wav(_wav_bytes(sig))
+    assert rate == 8000
+    assert np.allclose(got, sig, atol=2e-4)   # 16-bit quantization error
+    # 8-bit path + stereo downmix
+    stereo = np.stack([sig, -sig], axis=1).ravel()
+    got2, _ = decode_wav(_wav_bytes(stereo, bits=16, channels=2))
+    assert np.allclose(got2, 0.0, atol=1e-4)          # L+R cancel
+    got3, _ = decode_wav(_wav_bytes(sig, bits=8))
+    assert np.allclose(got3, sig, atol=0.015)  # 8-bit quantization error
+
+
+def test_media_features_real_audio_path(spark):
+    import numpy as np
+
+    from distributed_lsh_spark.functions.multimodal import (
+        FEATURE_DIM, audio_feature, decode_wav, media_features,
+    )
+
+    t = np.arange(1600) / 8000.0
+    sig = (np.sin(2 * np.pi * 220 * t)
+           * np.linspace(0, 1, len(t)))               # rising envelope
+    rows = [(7, "audio", "audio/wav", None, None, 200,
+             bytearray(_wav_bytes(sig)))]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, mime string, width int, "
+              "height int, duration_ms int, payload binary")
+    [r] = media_features(df, fake=False).collect()
+    expect = audio_feature(*decode_wav(_wav_bytes(sig)))
+    assert len(r["feature"]) == FEATURE_DIM
+    assert np.allclose(r["feature"], expect, atol=1e-6)
+    # the RMS envelope of a rising-amplitude tone rises
+    f = np.array(r["feature"])
+    assert f[-1] > f[1] > 0
