@@ -1,0 +1,85 @@
+"""Custom stateful streaming operator via `applyInPandasWithState`:
+first-seen exact dedup over a content-hash key.
+
+The foreachBatch pipeline (`dedup_stream.py`) carries the NEAR-dup path;
+this operator is the stateful EXACT path a streaming ingest runs first
+(the same exact-before-LSH ordering as the batch pipeline): group rows by
+`md5(text)`, keep per-key state `(canonical_id, n_seen)` in the Spark
+state store, and emit every row labeled with its canonical id and a
+duplicate flag.
+
+Semantics (documented divergence from batch `exact_dup_groups`):
+  * canonical_id = the lowest doc_id in the FIRST micro-batch where the
+    hash appears, sticky forever after (first-seen-wins).  Batch mode has
+    the whole corpus and picks the global min id; a stream cannot.
+  * state is the Spark state store: checkpointed with the query, restored
+    across restarts, sharded by the groupBy hash — per-key state is a
+    16-byte tuple, so 10^12 distinct pages is ~16 TB of state spread over
+    the cluster's state stores (RocksDB provider at production scale).
+
+Scale shape: one shuffle on the content hash per micro-batch (same key as
+the batch exact pre-pass); state lookups are local to each state-store
+partition.  No history rescan ever — the state store IS the history.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUT_SCHEMA = ("doc_id long, content_hash string, canonical_id long, "
+              "is_dup boolean")
+STATE_SCHEMA = "canonical_id long, n_seen long"
+
+
+def _dedup_group(key: tuple, pdfs: Iterator[pd.DataFrame],
+                 state: GroupState) -> Iterator[pd.DataFrame]:
+    (canonical, n_seen) = state.get if state.exists else (None, 0)
+    for pdf in pdfs:
+        pdf = pdf.sort_values("doc_id")               # deterministic in-batch order
+        ids = pdf["doc_id"].to_numpy()
+        if canonical is None and len(ids):
+            canonical = int(ids[0])
+        yield pd.DataFrame({
+            "doc_id": ids,
+            "content_hash": pdf["content_hash"],
+            "canonical_id": canonical,
+            "is_dup": ids != canonical,
+        })
+        n_seen += len(ids)
+    state.update((canonical, n_seen))
+
+
+def stateful_exact_dedup(stream_df: DataFrame) -> DataFrame:
+    """(doc_id, text) stream -> (doc_id, content_hash, canonical_id,
+    is_dup) stream with per-hash state in the Spark state store."""
+    keyed = stream_df.select(
+        "doc_id", F.md5("text").alias("content_hash"))
+    return keyed.groupBy("content_hash").applyInPandasWithState(
+        _dedup_group, OUT_SCHEMA, STATE_SCHEMA, "append",
+        GroupStateTimeout.NoTimeout)
+
+
+def run_stateful_dedup(spark: SparkSession, input_dir: str, state_dir: str,
+                       schema: str = "doc_id long, text string",
+                       max_files_per_trigger: int = 1):
+    """Run the stateful exact-dedup stream over parquet drops in
+    `input_dir` with availableNow (drains what is there, then stops);
+    labeled rows land in `state_dir`/labeled, query state under
+    `state_dir`/checkpoint.  Re-invoking after new drops resumes from the
+    checkpoint with per-key state intact."""
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", max_files_per_trigger)
+           .parquet(input_dir))
+    labeled = stateful_exact_dedup(src)
+    return (labeled.writeStream
+            .format("parquet")
+            .option("path", f"{state_dir}/labeled")
+            .option("checkpointLocation", f"{state_dir}/checkpoint")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start())
