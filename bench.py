@@ -51,13 +51,23 @@ def main() -> None:
 
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
 
+    # best-of-2 per query: this host shows 1.3-1.6x run-to-run swings from
+    # external load (BENCH/BASELINE.md); the faster repetition is the
+    # least-noise-inflated steady-state estimate.
     times: dict[str, float] = {}
     for name in headline:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        # count() forces full execution without driver-side result transfer
-        fn(spark, sf_dir).count()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            # cold cache each repetition: Spark's CacheManager dedupes by
+            # canonicalized plan, so a persisted stage from rep 1 would
+            # otherwise serve rep 2 and the min would measure a cache hit
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            # count() forces full execution without driver-side result transfer
+            fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     dedup_sec = times["minhash_lsh_dup_pairs"] + times["dedup_clusters"]
