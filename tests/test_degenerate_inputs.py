@@ -1,0 +1,61 @@
+"""Degenerate corpus inputs through the FULL pipeline, engine-vs-oracle:
+empty text, punctuation-only docs (equal shingle sets — they legitimately
+cluster), unicode, 1-token docs, duplicate rows, and the empty DataFrame.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from distributed_lsh_spark.conf import DEFAULT_CONFIG as CFG
+from distributed_lsh_spark.oracle.dedup import DedupOracle
+from distributed_lsh_spark.pipeline import build_stages, run_dedup
+
+DOCS = {
+    1: "",                                         # empty text
+    2: "...",                                      # punctuation-only -> no tokens
+    3: "!!! ??? ;;;",                              # punctuation-only too
+    4: "tokenless",                                # single token
+    5: "tokenless",                                # exact duplicate row content
+    6: "héllo wörld ünïcode ça va très bien oui",  # unicode folds to ascii-ish tokens
+    7: "hello world unicode a va tres bien oui",   # near its normalized twin
+    8: "the quick brown fox jumps over the lazy dog again and again today",
+    9: "the quick brown fox jumps over the lazy dog again and again tonight",
+}
+
+
+def _df(spark, docs):
+    return spark.createDataFrame(sorted(docs.items()),
+                                 "doc_id long, text string")
+
+
+def test_degenerate_corpus_engine_matches_oracle(spark):
+    df = _df(spark, DOCS)
+    oracle = DedupOracle(CFG, DOCS)
+
+    got_pairs = {(r["id_a"], r["id_b"])
+                 for r in build_stages(df, CFG).verified.collect()}
+    assert got_pairs == set(oracle.verified_pairs())
+
+    got_clusters = {r["doc_id"]: r["cluster_id"]
+                    for r in run_dedup(df, CFG).collect()}
+    assert got_clusters == oracle.clusters()
+
+    # sanity on the semantics, not just parity: the two identical docs
+    # cluster together, and the near-identical long sentences do too
+    assert got_clusters[4] == got_clusters[5]
+    assert got_clusters[8] == got_clusters[9]
+
+
+def test_empty_dataframe_through_pipeline(spark):
+    df = spark.createDataFrame([], "doc_id long, text string")
+    assert build_stages(df, CFG).verified.count() == 0
+    assert run_dedup(df, CFG).count() == 0
+
+
+@pytest.mark.parametrize("text", ["", "...", "x"])
+def test_single_doc_corpus(spark, text):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    assert build_stages(df, CFG).verified.count() == 0
+    # clusters contract: singletons (docs in no dup pair) are excluded
+    assert run_dedup(df, CFG).count() == 0
