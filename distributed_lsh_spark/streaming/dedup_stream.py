@@ -47,7 +47,8 @@ def incremental_dedup_stream(spark: SparkSession, input_dir: str, state_dir: str
                              cfg: DedupConfig = DEFAULT_CONFIG,
                              schema: str = "doc_id long, text string",
                              available_now: bool = True,
-                             max_files_per_trigger: int = 16):
+                             max_files_per_trigger: int = 16,
+                             where: str | None = None):
     """Start (or run-to-completion with availableNow) the incremental dedup
     stream over parquet files appearing in `input_dir`.
 
@@ -64,6 +65,10 @@ def incremental_dedup_stream(spark: SparkSession, input_dir: str, state_dir: str
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", str(max_files_per_trigger))
               .parquet(input_dir))
+    if where is not None:
+        # composition hook: e.g. `is_dup = false` to near-dup only the
+        # uniques surviving the stateful exact pass (streaming/ingest.py)
+        stream = stream.where(where)
 
     def _has_history(d: str) -> bool:
         return os.path.isdir(d) and any(

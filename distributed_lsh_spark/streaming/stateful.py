@@ -31,8 +31,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-OUT_SCHEMA = ("doc_id long, content_hash string, canonical_id long, "
-              "is_dup boolean")
+OUT_SCHEMA = ("doc_id long, text string, content_hash string, "
+              "canonical_id long, is_dup boolean")
 STATE_SCHEMA = "canonical_id long, n_seen long"
 
 
@@ -46,6 +46,7 @@ def _dedup_group(key: tuple, pdfs: Iterator[pd.DataFrame],
             canonical = int(ids[0])
         yield pd.DataFrame({
             "doc_id": ids,
+            "text": pdf["text"],                      # passthrough (not in state)
             "content_hash": pdf["content_hash"],
             "canonical_id": canonical,
             "is_dup": ids != canonical,
@@ -55,10 +56,10 @@ def _dedup_group(key: tuple, pdfs: Iterator[pd.DataFrame],
 
 
 def stateful_exact_dedup(stream_df: DataFrame) -> DataFrame:
-    """(doc_id, text) stream -> (doc_id, content_hash, canonical_id,
+    """(doc_id, text) stream -> (doc_id, text, content_hash, canonical_id,
     is_dup) stream with per-hash state in the Spark state store."""
     keyed = stream_df.select(
-        "doc_id", F.md5("text").alias("content_hash"))
+        "doc_id", "text", F.md5("text").alias("content_hash"))
     return keyed.groupBy("content_hash").applyInPandasWithState(
         _dedup_group, OUT_SCHEMA, STATE_SCHEMA, "append",
         GroupStateTimeout.NoTimeout)
