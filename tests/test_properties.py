@@ -65,3 +65,27 @@ def test_oph_kernel_matches_oracle(shingles):
     got = _oph_minhash(dv, offsets, np.uint64(a[0]), np.uint64(b[0]),
                        cfg.num_perm)
     assert got[0].tolist() == oph_sig(sh, cfg)
+
+
+def test_wav_roundtrip_property():
+    """decode_wav inverts the 16-bit PCM encoding for arbitrary signals
+    (hypothesis over lengths/frequencies/rates)."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from distributed_lsh_spark.functions.multimodal import audio_feature, decode_wav
+    from tests.test_extract_checkpoint_misc import _wav_bytes
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(16, 4000), st.integers(1, 10_000), st.integers(8000, 48000))
+    def inner(n, seed, rate):
+        rng = np.random.default_rng(seed)
+        sig = rng.uniform(-1, 1, size=n)
+        got, got_rate = decode_wav(_wav_bytes(sig, rate=rate))
+        assert got_rate == rate
+        assert len(got) == n
+        assert np.allclose(got, sig, atol=2e-4)
+        f = audio_feature(got, rate)
+        assert f.shape == (64,) and np.all(f >= 0) and np.all(f <= 1 + 1e-6)
+
+    inner()
