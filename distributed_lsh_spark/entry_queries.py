@@ -126,6 +126,43 @@ SELECT a AS doc_id, least(a, min(b)) AS cluster_id
 FROM reach GROUP BY a ORDER BY doc_id"""
 
 
+def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dedup report (what a training-data pipeline publishes after
+    a dedup run): per-cluster size and id range plus each cluster's total
+    duplicate text bytes removable (keep one representative per cluster).
+    Derives from the same clusters as `dedup_clusters`."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    clusters = run_dedup(df, CFG)
+    return (clusters.join(df.select("doc_id", F.length("text").alias("n_bytes")),
+                          "doc_id")
+            .groupBy("cluster_id")
+            .agg(F.count("*").alias("cluster_size"),
+                 F.min("doc_id").alias("min_doc"),
+                 F.max("doc_id").alias("max_doc"),
+                 (F.sum("n_bytes") - F.max("n_bytes")).alias("removable_bytes"))
+            .orderBy("cluster_id"))
+
+
+def _sql_dedup_stats() -> str:
+    return f"""WITH RECURSIVE {_duck_shingle_cte(CFG.shingle_k)},
+pairs AS (SELECT id_a, id_b FROM jac WHERE j >= {CFG.jaccard_threshold}),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+clusters AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+             FROM reach GROUP BY a)
+SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size,
+       min(c.doc_id) AS min_doc, max(c.doc_id) AS max_doc,
+       CAST(sum(length(d.text)) - max(length(d.text)) AS BIGINT)
+         AS removable_bytes
+FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+GROUP BY cluster_id ORDER BY cluster_id"""
+
+
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash (hash-groupBy): md5(text) groups with
     multiplicity; survivor = min doc_id (SURVEY.md A2 analogue)."""
@@ -737,6 +774,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_dup_pairs": q_minhash_lsh_dup_pairs,
     "ngram_jaccard_dup_pairs": q_ngram_jaccard_dup_pairs,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_stats": q_dedup_stats,
     "exact_dup_groups": q_exact_dup_groups,
     "doc_fingerprints": q_doc_fingerprints,
     "token_stats": q_token_stats,
@@ -762,6 +800,7 @@ ORACLE_SQL: dict[str, str] = {
     "minhash_lsh_dup_pairs": _sql_dup_pairs(),
     "ngram_jaccard_dup_pairs": _sql_dup_pairs(),
     "dedup_clusters": _sql_dedup_clusters(),
+    "dedup_stats": _sql_dedup_stats(),
     "exact_dup_groups": _SQL_EXACT_DUP_GROUPS,
     "doc_fingerprints": _SQL_DOC_FINGERPRINTS,
     "token_stats": _SQL_TOKEN_STATS,

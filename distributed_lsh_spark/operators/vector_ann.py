@@ -192,29 +192,55 @@ def _ivf_cells_udf(centroids: np.ndarray, nprobe: int):
     return _cells
 
 
+def centroids_to_df(spark, centroids: np.ndarray) -> DataFrame:
+    """(nlist, dim) -> checkpointable (cell_id int, centroid array<double>)."""
+    return spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(centroids)],
+        "cell_id int, centroid array<double>")
+
+
+def centroids_from_df(df: DataFrame) -> np.ndarray:
+    rows = sorted(df.collect(), key=lambda r: r["cell_id"])
+    return np.array([list(r["centroid"]) for r in rows], dtype=np.float64)
+
+
+def assign_cells(points: DataFrame, centroids: np.ndarray,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 ) -> DataFrame:
+    """Map-only one-cell assignment: (vec_id, cell_id).  This is the IVF
+    build artifact — checkpoint it (CheckpointManager) together with the
+    centroids frame and reuse across query sets, exactly like the ANN
+    hash-table build (-b/-s split)."""
+    one_cell = _ivf_cells_udf(centroids, 1)
+    return points.select(
+        F.col(id_col).alias("vec_id"),
+        F.element_at(one_cell(F.col(vec_col)), 1).alias("cell_id"))
+
+
 def cosine_topk_ivf(points: DataFrame, queries: DataFrame, k: int = 10,
                     nlist: int = 64, nprobe: int = 8, seed: int = 42,
                     iters: int = 10, id_col: str = "vec_id",
                     vec_col: str = "embedding", query_id_col: str = "query_id",
-                    centroids: np.ndarray | None = None) -> DataFrame:
+                    centroids: np.ndarray | None = None,
+                    assignment: DataFrame | None = None) -> DataFrame:
     """IVF candidates -> exact cosine re-rank -> per-query top-k.
 
     Scale shape: points are assigned to ONE cell each (map-only pandas
     UDF), queries explode to `nprobe` cells; the candidate join is a
     single equi-join on cell_id with the tiny query side broadcast — the
     inverted-file partitioning means each query touches nprobe/nlist of
-    the corpus instead of all of it.  At 10^9+ vectors, persist the
-    (vec_id, cell_id) assignment once (CheckpointManager) and reuse it
-    across query sets, exactly like the ANN hash-table build (-b/-s)."""
+    the corpus instead of all of it.  At 10^9+ vectors, pass a persisted
+    `assignment` (assign_cells artifact) + its `centroids` so repeat
+    query sets skip the corpus-wide assignment scan."""
     if centroids is None:
         centroids = train_ivf_centroids(points, nlist, seed=seed, iters=iters,
                                         id_col=id_col, vec_col=vec_col)
     p = points.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb"))
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(vec_col).alias("qe"))
-    one_cell = _ivf_cells_udf(centroids, 1)
     probe_cells = _ivf_cells_udf(centroids, nprobe)
-    pc = p.select("vec_id", F.element_at(one_cell(F.col("emb")), 1).alias("cell_id"))
+    pc = assignment if assignment is not None else \
+        assign_cells(points, centroids, id_col=id_col, vec_col=vec_col)
     qc = q.select("query_id", F.explode(probe_cells(F.col("qe"))).alias("cell_id"))
 
     cands = (pc.join(F.broadcast(qc), "cell_id")

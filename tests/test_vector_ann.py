@@ -112,3 +112,35 @@ def test_cosine_pairs_exact_matches_numpy(spark):
     assert (3, 5) in got and (17, 40) in got
     for k, v in expect.items():
         assert abs(got[k] - v) < 1e-9
+
+
+def test_ivf_index_persists_and_reuses(emb, tmp_path):
+    """IVF -b/-s split: centroids + assignment checkpointed once, reloaded
+    for a later query set, identical results to the inline build."""
+    import numpy as np
+
+    from distributed_lsh_spark.operators.vector_ann import (
+        assign_cells, centroids_from_df, centroids_to_df, cosine_topk_ivf,
+        train_ivf_centroids,
+    )
+    from distributed_lsh_spark.sources.checkpoint import CheckpointManager
+
+    df, _ = emb
+    spark = df.sparkSession
+    C = train_ivf_centroids(df, nlist=16, seed=42, iters=5)
+    ckpt = CheckpointManager(spark, str(tmp_path / "ivf"), run_id="r1")
+    ckpt.stage("ivf_centroids", lambda: centroids_to_df(spark, C))
+    adf = ckpt.stage("ivf_assign", lambda: assign_cells(df, C))
+
+    # a later session would reload both artifacts
+    C2 = centroids_from_df(ckpt.read("ivf_centroids"))
+    np.testing.assert_allclose(C2, C, atol=1e-12)
+    assert ckpt.is_complete("ivf_assign")
+
+    qids = [0, 40]
+    q = df.where(df.vec_id.isin(qids)).withColumnRenamed("vec_id", "query_id")
+    inline = cosine_topk_ivf(df, q, k=5, nlist=16, nprobe=4, seed=42).collect()
+    reused = cosine_topk_ivf(df, q, k=5, nprobe=4,
+                             centroids=C2, assignment=adf).collect()
+    assert sorted([(r["query_id"], r["vec_id"], r["rank"]) for r in inline]) == \
+           sorted([(r["query_id"], r["vec_id"], r["rank"]) for r in reused])
