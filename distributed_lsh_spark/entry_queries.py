@@ -301,13 +301,11 @@ SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
 FROM b ORDER BY doc_id"""
 
 
-def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document quality scoring (training-data pipeline requirement):
-    alphabetic / punctuation character ratios, English-stopword ratio,
-    and a Gopher-style keep rule evaluated in pure integer arithmetic
-    (so both engines agree bit-for-bit on the boolean).  All counting is
-    JVM-side regexp/array expressions — no Python on the row path."""
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+def _quality_exprs():
+    """Shared quality-counting expressions (doc_quality, curated_docs):
+    returns (n_chars, n_alpha, n_punct, n_tokens, n_stop, keep) columns.
+    The keep rule is pure integer arithmetic so both engines agree
+    bit-for-bit on the boolean."""
     low = F.lower(F.col("text"))
     n_chars = F.length("text")
     n_alpha = F.length(F.regexp_replace(low, "[^a-z]", ""))
@@ -318,6 +316,38 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     keep = ((n_tokens >= 10) & (n_stop >= 2)
             & (n_punct * 5 <= n_chars) & (n_alpha * 2 >= n_chars))
+    return n_chars, n_alpha, n_punct, n_tokens, n_stop, keep
+
+
+_SQL_QUALITY_CTE = """
+qt AS (
+  SELECT doc_id, length(text) AS n_chars,
+         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(lower(text), '[a-z0-9 \\t\\n\\r]', '', 'g'))
+           AS n_punct,
+         {toks} AS toks
+  FROM documents
+),
+qs AS (
+  SELECT doc_id, n_chars, n_alpha, n_punct, len(toks) AS n_tokens,
+         len(list_filter(toks, x -> list_contains({sw}, x))) AS n_stop
+  FROM qt
+),
+qk AS (
+  SELECT *, (n_tokens >= 10 AND n_stop >= 2 AND n_punct * 5 <= n_chars
+             AND n_alpha * 2 >= n_chars) AS keep
+  FROM qs
+)"""
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring (training-data pipeline requirement):
+    alphabetic / punctuation character ratios, English-stopword ratio,
+    and a Gopher-style keep rule evaluated in pure integer arithmetic
+    (so both engines agree bit-for-bit on the boolean).  All counting is
+    JVM-side regexp/array expressions — no Python on the row path."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_chars, n_alpha, n_punct, n_tokens, n_stop, keep = _quality_exprs()
     return (df.select(
                 "doc_id", n_chars.alias("n_chars"), n_alpha.alias("n_alpha"),
                 n_punct.alias("n_punct"), n_tokens.alias("n_tokens"),
@@ -331,28 +361,55 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_doc_quality() -> str:
-    sw = _STOPWORDS["en"]
+    cte = _SQL_QUALITY_CTE.format(toks=_DUCK_TOKS, sw=repr(_STOPWORDS["en"]))
     return f"""
-WITH t AS (
-  SELECT doc_id, length(text) AS n_chars,
-         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
-         length(regexp_replace(lower(text), '[a-z0-9 \\t\\n\\r]', '', 'g'))
-           AS n_punct,
-         {_DUCK_TOKS} AS toks
-  FROM documents
-),
-s AS (
-  SELECT doc_id, n_chars, n_alpha, n_punct, len(toks) AS n_tokens,
-         len(list_filter(toks, x -> list_contains({sw!r}, x))) AS n_stop
-  FROM t
-)
+WITH {cte}
 SELECT doc_id, n_chars, n_alpha, n_punct, n_tokens, n_stop,
        round(n_alpha * 1.0 / n_chars, 6) AS alpha_ratio,
        round(n_punct * 1.0 / n_chars, 6) AS punct_ratio,
        round(n_stop * 1.0 / n_tokens, 6) AS stop_ratio,
-       (n_tokens >= 10 AND n_stop >= 2 AND n_punct * 5 <= n_chars
-        AND n_alpha * 2 >= n_chars) AS keep
-FROM s WHERE n_chars > 0 AND n_tokens > 0 ORDER BY doc_id"""
+       keep
+FROM qk WHERE n_chars > 0 AND n_tokens > 0 ORDER BY doc_id"""
+
+
+def q_curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation (the training-data pipeline in one
+    query): keep documents that pass the quality keep rule AND are not a
+    non-canonical member of a near-dup cluster (cluster representative =
+    min doc_id survives; its dups are dropped).  Composes doc_quality +
+    dedup_clusters semantics."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_chars, _, _, n_tokens, _, keep = _quality_exprs()
+    clusters = run_dedup(df, CFG)
+    dup_members = clusters.where(F.col("doc_id") != F.col("cluster_id")) \
+                          .select("doc_id")
+    return (df.select("doc_id", n_chars.alias("n_chars"),
+                      n_tokens.alias("n_tokens"), keep.alias("_keep"))
+              .where(F.col("_keep") & (n_chars > 0) & (n_tokens > 0))
+              .join(dup_members, "doc_id", "left_anti")
+              .drop("_keep")
+              .orderBy("doc_id"))
+
+
+def _sql_curated_docs() -> str:
+    cte = _SQL_QUALITY_CTE.format(toks=_DUCK_TOKS, sw=repr(_STOPWORDS["en"]))
+    return f"""WITH RECURSIVE {_duck_shingle_cte(CFG.shingle_k)},
+pairs AS (SELECT id_a, id_b FROM jac WHERE j >= {CFG.jaccard_threshold}),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+clusters AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+             FROM reach GROUP BY a),
+{cte.lstrip()}
+SELECT doc_id, n_chars, n_tokens
+FROM qk
+WHERE keep AND n_chars > 0 AND n_tokens > 0
+  AND doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id != cluster_id)
+ORDER BY doc_id"""
 
 
 # --------------------------------------------------------------------------
@@ -781,6 +838,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_token_counts": q_bpe_token_counts,
     "lang_id": q_lang_id,
     "doc_quality": q_doc_quality,
+    "curated_docs": q_curated_docs,
     "embedding_topk": q_embedding_topk,
     "pricing_summary": q_pricing_summary,
     "top_unshipped_orders": q_top_unshipped_orders,
@@ -807,6 +865,7 @@ ORACLE_SQL: dict[str, str] = {
     "bpe_token_counts": _SQL_BPE_TOKEN_COUNTS,
     "lang_id": _sql_lang_id(),
     "doc_quality": _sql_doc_quality(),
+    "curated_docs": _sql_curated_docs(),
     "embedding_topk": _SQL_EMBEDDING_TOPK,
     "pricing_summary": _SQL_PRICING_SUMMARY,
     "top_unshipped_orders": _SQL_TOP_UNSHIPPED,
