@@ -163,6 +163,32 @@ FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
 GROUP BY cluster_id ORDER BY cluster_id"""
 
 
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-100 5-gram document frequencies (the boilerplate /
+    contamination report a training pipeline publishes; also exactly the
+    hot-shingle distribution the df-cap guards against).  One explode +
+    one groupBy shuffle; total order (n_docs DESC, gram ASC) makes the
+    top-100 cut deterministic across engines."""
+    k = CFG.shingle_k
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = normalized_tokens("text")
+    grams = F.when(
+        F.size(toks) < k, F.array(F.array_join(toks, " "))
+    ).otherwise(
+        F.transform(F.sequence(F.lit(1), F.size(toks) - k + 1),
+                    lambda i: F.array_join(F.slice(toks, i, k), " ")))
+    return (df.select(F.explode(F.array_distinct(grams)).alias("gram"))
+              .groupBy("gram").agg(F.count("*").alias("n_docs"))
+              .orderBy(F.col("n_docs").desc(), "gram")
+              .limit(100))
+
+
+def _sql_top_ngrams() -> str:
+    return f"""WITH {_duck_shingle_cte(CFG.shingle_k)}
+SELECT g AS gram, CAST(count(*) AS BIGINT) AS n_docs
+FROM shd GROUP BY g ORDER BY n_docs DESC, gram LIMIT 100"""
+
+
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash (hash-groupBy): md5(text) groups with
     multiplicity; survivor = min doc_id (SURVEY.md A2 analogue)."""
@@ -832,6 +858,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_dup_pairs": q_ngram_jaccard_dup_pairs,
     "dedup_clusters": q_dedup_clusters,
     "dedup_stats": q_dedup_stats,
+    "top_ngrams": q_top_ngrams,
     "exact_dup_groups": q_exact_dup_groups,
     "doc_fingerprints": q_doc_fingerprints,
     "token_stats": q_token_stats,
@@ -859,6 +886,7 @@ ORACLE_SQL: dict[str, str] = {
     "ngram_jaccard_dup_pairs": _sql_dup_pairs(),
     "dedup_clusters": _sql_dedup_clusters(),
     "dedup_stats": _sql_dedup_stats(),
+    "top_ngrams": _sql_top_ngrams(),
     "exact_dup_groups": _SQL_EXACT_DUP_GROUPS,
     "doc_fingerprints": _SQL_DOC_FINGERPRINTS,
     "token_stats": _SQL_TOKEN_STATS,
