@@ -131,3 +131,19 @@ def test_hamming_pairs_match_oracle(spark, micro):
     brute = oc.simhash_pairs()
     for k, h in got.items():
         assert brute[k] == h
+
+
+def test_verify_shuffle_join_path_matches_broadcast(micro):
+    """The cluster-scale escape hatch (verify_pairs broadcast_pairs=False,
+    paired with bucketed checkpoints per SCALE.md) returns the identical
+    verified set as the default broadcast path."""
+    st, oc = micro
+    from distributed_lsh_spark.operators.verify import verify_pairs
+
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in verify_pairs(st.pairs, st.signatures, CFG,
+                                 broadcast_pairs=False).collect()}
+    expect = oc.verified_pairs()
+    assert set(got) == set(expect)
+    for k, v in expect.items():
+        assert math.isclose(got[k], v, rel_tol=1e-12)
