@@ -489,6 +489,40 @@ SELECT query_id, vec_id, rank, round(sim, 6) AS sim
 FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
 
 
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's NATIVE query under the driver gate: c-k-ANN with
+    radius expansion, per-query searchThreshold cap, checked-set dedup,
+    exact-L2 `dist < c*R` acceptance and finished/missing-query semantics
+    (MapReduce-LSH/.../lsh/searcher/LSHSearcher.java:212-252,
+    SearchMapper.java:244-353), run by operators/ann.py as DataFrame ops.
+
+    Input is the deterministic integer-vector gate fixture (sf-independent:
+    the hash model is seeded, so the same corpus must reproduce the same
+    neighbors at every scale factor); the DuckDB oracle replays the whole
+    unrolled radius loop in SQL — see oracle/ann_gate_sql.py."""
+    from distributed_lsh_spark.fixtures import make_ann_gate_fixture
+    from distributed_lsh_spark.operators.ann import ann_search_spark
+
+    fx = make_ann_gate_fixture()
+    pts = spark.createDataFrame(
+        [(i, [int(v) for v in row]) for i, row in enumerate(fx.points)],
+        "id long, vec array<long>")
+    qrs = spark.createDataFrame(
+        [(i, [int(v) for v in row]) for i, row in enumerate(fx.queries)],
+        "query_id long, vec array<long>")
+    out = ann_search_spark(spark, pts, qrs, fx.model, fx.k)
+    return (out.select("query_id", "point_id",
+                       F.round("dist", 6).alias("dist"), "rank")
+            .orderBy("query_id", "rank"))
+
+
+def _sql_ann_topk() -> str:
+    from distributed_lsh_spark.fixtures import make_ann_gate_fixture
+    from distributed_lsh_spark.oracle.ann_gate_sql import sql_ann_topk
+
+    return sql_ann_topk(make_ann_gate_fixture())
+
+
 # --------------------------------------------------------------------------
 # relational queries (TPC-H-ish + events) — operator-inventory breadth
 # --------------------------------------------------------------------------
@@ -867,6 +901,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality": q_doc_quality,
     "curated_docs": q_curated_docs,
     "embedding_topk": q_embedding_topk,
+    "ann_topk": q_ann_topk,
     "pricing_summary": q_pricing_summary,
     "top_unshipped_orders": q_top_unshipped_orders,
     "events_hourly": q_events_hourly,
@@ -895,6 +930,7 @@ ORACLE_SQL: dict[str, str] = {
     "doc_quality": _sql_doc_quality(),
     "curated_docs": _sql_curated_docs(),
     "embedding_topk": _SQL_EMBEDDING_TOPK,
+    "ann_topk": _sql_ann_topk(),
     "pricing_summary": _SQL_PRICING_SUMMARY,
     "top_unshipped_orders": _SQL_TOP_UNSHIPPED,
     "events_hourly": _SQL_EVENTS_HOURLY,

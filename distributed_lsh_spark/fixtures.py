@@ -161,6 +161,59 @@ def make_vectors_fixture(n: int = 1000, d: int = 16, t: int = 255,
                           ground_truth=dists[:, :max_k])
 
 
+@dataclass
+class AnnGateFixture:
+    """Self-contained c-k-ANN driver-gate fixture: a deterministic
+    integer-vector corpus plus the reference hash model's bucket tables
+    for EVERY (radius, table), so a pure-SQL oracle can replay the
+    radius-expansion search without recomputing Gaussian projections
+    (which no SQL engine can reproduce bit-for-bit)."""
+
+    model: object                  # ReferenceLSHModel
+    points: "np.ndarray"           # (n, d) int64, point_id = row index
+    queries: "np.ndarray"          # (nq, d) int64, query_id = row index
+    point_buckets: list            # (point_id, radius_id, table_id, bucket)
+    query_buckets: list            # (query_id, radius_id, table_id, bucket)
+    k: int
+
+
+ANN_GATE_N, ANN_GATE_D, ANN_GATE_T, ANN_GATE_NQ, ANN_GATE_K = 120, 6, 20, 8, 5
+
+
+def make_ann_gate_fixture(seed: int = 42) -> AnnGateFixture:
+    """n=120 d=6 t=20 -> model (m=10, L=10, 6 radii, threshold 35): small
+    enough that the bucket tables embed as SQL VALUES (~7.7k rows) yet the
+    search exercises radius expansion past R=1 and the per-query cap."""
+    import numpy as np
+
+    from distributed_lsh_spark.oracle.reference_lsh import ReferenceLSHModel
+
+    model = ReferenceLSHModel(dim=ANN_GATE_D, max_coordinate=ANN_GATE_T,
+                              cardinality=ANN_GATE_N, seed=seed)
+    rng = np.random.default_rng(seed + 7)
+    points = rng.integers(0, ANN_GATE_T + 1,
+                          size=(ANN_GATE_N, ANN_GATE_D), dtype=np.int64)
+    near = np.clip(points[rng.choice(ANN_GATE_N, ANN_GATE_NQ // 2, replace=False)]
+                   + rng.integers(-1, 2, size=(ANN_GATE_NQ // 2, ANN_GATE_D)),
+                   0, ANN_GATE_T)
+    uni = rng.integers(0, ANN_GATE_T + 1,
+                       size=(ANN_GATE_NQ - ANN_GATE_NQ // 2, ANN_GATE_D),
+                       dtype=np.int64)
+    queries = np.concatenate([near, uni]).astype(np.int64)
+
+    def buckets(vecs):
+        rows = []
+        for rid, radius in enumerate(model.radii()):
+            for tid in range(model.L):
+                for vid, b in enumerate(model.bucket_ids(tid, radius, vecs)):
+                    rows.append((vid, rid, tid, int(b)))
+        return rows
+
+    return AnnGateFixture(model=model, points=points, queries=queries,
+                          point_buckets=buckets(points),
+                          query_buckets=buckets(queries), k=ANN_GATE_K)
+
+
 def pages_spark_df(spark, corpus: PagesCorpus):
     """Corpus -> Spark DataFrame with the authoritative pages schema +
     doc_id = row index (tests join on it; production uses xxhash64(url))."""

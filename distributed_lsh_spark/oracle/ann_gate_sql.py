@@ -1,0 +1,107 @@
+"""Self-contained DuckDB oracle SQL for the c-k-ANN driver-gate query.
+
+The reference's native query (MapReduce-LSH/.../lsh/searcher/
+LSHSearcher.java:212-252, SearchMapper.java:244-353) is a sequential
+radius-expansion loop with driver state (checked set, finished queries).
+Pure SQL can't run a data-dependent loop, but the number of radii is a
+model constant (radii = c^i, HashReducer.java:66-72), so the loop UNROLLS
+into one CTE block per radius:
+
+  cand{i}    bucket-collision candidates at radius i for still-unfinished
+             queries, minus already-checked (query, point) pairs (P6)
+  new{i}     per-query cap at searchThreshold = pruneFactor*L + k, lowest
+             point ids first (A4, SearchMapper.java:266 + documented
+             determinism fix)
+  checked{i} running union of capped candidates
+  acc{i}     running union of candidates passing exact L2 < c*R (P4/F1)
+  fin{i}     queries with >= k accepted so far (CheckCandidateReducer.
+             java:61-73); they drop out of cand{i+1}
+
+The Gaussian hash family itself cannot be replayed bit-for-bit by a SQL
+engine (BLAS vs left-to-right float summation shifts floor() boundaries),
+so the bucket tables — the deterministic model, seeded NumPy identical to
+what pytest pins against the reference semantics — are embedded as VALUES.
+Everything downstream of the buckets (candidate join, dedup, cap order,
+checked anti-join, acceptance, finish logic, top-k ranking) is replayed
+independently in SQL, which is exactly the search semantics the Spark
+engine (operators/ann.py) implements with DataFrame ops.
+
+Every per-radius CTE is MATERIALIZED: each references the previous round's
+CTEs twice, and DuckDB's default inlining makes the plan exponential in
+n_radii without it.
+"""
+
+from __future__ import annotations
+
+
+def sql_ann_topk(fx) -> str:
+    """fx: fixtures.AnnGateFixture -> one DuckDB SQL string returning
+    (query_id, point_id, dist, rank) for finished queries, top-k by
+    (dist, point_id)."""
+    model, k = fx.model, fx.k
+    thr = model.prune_factor * model.L + k
+    d = fx.points.shape[1]
+
+    def vals(rows):
+        return ",".join(f"({a},{b},{c},{x})" for a, b, c, x in rows)
+
+    def vec_vals(arr):
+        return ",".join(
+            "(%d,[%s])" % (i, ",".join(str(int(v)) for v in row))
+            for i, row in enumerate(arr))
+
+    # exact L2 in the same (double) arithmetic as the Spark zip_with chain;
+    # integer coords <= max_coordinate keep every intermediate exact.
+    l2 = "sqrt(" + " + ".join(
+        f"CAST(q.vec[{i + 1}] - p.vec[{i + 1}] AS DOUBLE) * "
+        f"CAST(q.vec[{i + 1}] - p.vec[{i + 1}] AS DOUBLE)" for i in range(d)) + ")"
+
+    parts = [f"""WITH pts(point_id, vec) AS (VALUES {vec_vals(fx.points)}),
+qrs(query_id, vec) AS (VALUES {vec_vals(fx.queries)}),
+pb(point_id, radius_id, table_id, bucket) AS (VALUES {vals(fx.point_buckets)}),
+qb(query_id, radius_id, table_id, bucket) AS (VALUES {vals(fx.query_buckets)}),
+dist AS MATERIALIZED (
+  SELECT q.query_id, p.point_id, {l2} AS dist FROM qrs q, pts p
+)"""]
+    prev_checked, prev_acc, prev_fin = None, None, None
+    for rid, radius in enumerate(model.radii()):
+        cr = model.ratio * radius
+        rem = (f"AND qb.query_id NOT IN (SELECT query_id FROM {prev_fin})"
+               if prev_fin else "")
+        anti = (f"AND NOT EXISTS (SELECT 1 FROM {prev_checked} c "
+                f"WHERE c.query_id = qb.query_id AND c.point_id = pb.point_id)"
+                if prev_checked else "")
+        parts.append(f"""cand{rid} AS MATERIALIZED (
+  SELECT DISTINCT qb.query_id, pb.point_id
+  FROM qb JOIN pb ON qb.table_id = pb.table_id AND qb.bucket = pb.bucket
+  WHERE qb.radius_id = {rid} AND pb.radius_id = {rid} {rem} {anti}
+),
+new{rid} AS MATERIALIZED (
+  SELECT query_id, point_id FROM (
+    SELECT query_id, point_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY point_id) AS rn
+    FROM cand{rid}) WHERE rn <= {thr}
+),
+checked{rid} AS MATERIALIZED (
+  {f'SELECT * FROM {prev_checked} UNION ALL ' if prev_checked else ''}SELECT * FROM new{rid}
+),
+acc{rid} AS MATERIALIZED (
+  {f'SELECT * FROM {prev_acc} UNION ALL ' if prev_acc else ''}SELECT n.query_id, n.point_id, d.dist
+  FROM new{rid} n JOIN dist d ON d.query_id = n.query_id AND d.point_id = n.point_id
+  WHERE d.dist < {cr}
+),
+fin{rid} AS MATERIALIZED (
+  SELECT query_id FROM acc{rid} GROUP BY query_id HAVING count(*) >= {k}
+)""")
+        prev_checked, prev_acc, prev_fin = f"checked{rid}", f"acc{rid}", f"fin{rid}"
+    parts.append(f"""ranked AS (
+  SELECT a.query_id, a.point_id, a.dist,
+         row_number() OVER (PARTITION BY a.query_id
+                            ORDER BY a.dist, a.point_id) AS rank
+  FROM {prev_acc} a JOIN {prev_fin} f ON f.query_id = a.query_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(point_id AS BIGINT) AS point_id,
+       round(dist, 6) AS dist, rank
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank""")
+    return ",\n".join(parts[:-1]) + ",\n" + parts[-1]

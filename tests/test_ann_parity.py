@@ -98,3 +98,32 @@ def test_spark_ann_matches_oracle(spark, model, fx):
         gi, gd = got_map[key]
         assert gi == idx
         assert math.isclose(gd, dist, rel_tol=1e-9)
+
+
+def test_ann_gate_sql_oracle_three_way(spark):
+    """The driver-gate ann_topk row: NumPy reference oracle == unrolled
+    DuckDB SQL oracle == Spark engine, on the gate fixture.  This is the
+    query CORRECTNESS_r{N} checks; the SQL replays the radius loop /
+    searchThreshold cap / checked-set / finish semantics independently."""
+    import duckdb
+
+    from distributed_lsh_spark.entry_queries import q_ann_topk
+    from distributed_lsh_spark.fixtures import make_ann_gate_fixture
+    from distributed_lsh_spark.oracle.ann_gate_sql import sql_ann_topk
+
+    fx = make_ann_gate_fixture()
+    duck = duckdb.connect().execute(sql_ann_topk(fx)).fetchall()
+
+    res = ann_search(fx.model, fx.points, fx.queries, fx.k)
+    numpy_rows = sorted(
+        (r.query_id, idx, round(dist, 6), rank)
+        for r in res if r.finished_radius is not None
+        for rank, (dist, idx) in enumerate(r.neighbors, start=1))
+    assert sorted(duck) == numpy_rows
+    assert len(numpy_rows) > 0
+
+    got = sorted(tuple(r) for r in q_ann_topk(spark, "unused").collect())
+    assert [(a, b, rk) for a, b, _, rk in got] == \
+           [(a, b, rk) for a, b, _, rk in numpy_rows]
+    for g, n in zip(got, numpy_rows):
+        assert math.isclose(g[2], n[2], rel_tol=1e-9, abs_tol=1e-9)
