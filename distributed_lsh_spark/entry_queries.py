@@ -642,9 +642,10 @@ FROM c GROUP BY user_id ORDER BY user_id"""
 
 def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash path: ALL pairs within Hamming distance <= 3, found EXACTLY
-    via the pigeonhole chunk-LSH join (operators/simhash_exact.py) —
-    4 bit-chunks of the 64-bit fingerprint, any pair within distance 3
-    matches >= 1 chunk, so the banded join equals brute force.  Fingerprint
+    via the multi-index pigeonhole join (operators/simhash_exact.py,
+    Manku et al. WWW'07 block-permutation tables) — 6 bit-chunks, composite
+    keys over every 3-chunk combination, any pair within distance 3 matches
+    >= 1 composite key, so the banded join equals brute force.  Fingerprint
     chain is md5_h64-based so DuckDB replays it (the oracle below is the
     brute-force form).  The internal crc32-SimHash over MinHash-band
     candidates stays pytest-pinned (operators/verify.hamming_pairs)."""

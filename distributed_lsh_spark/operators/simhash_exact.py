@@ -1,13 +1,17 @@
-"""Exact all-pairs SimHash Hamming search via chunk-LSH.
+"""Exact all-pairs SimHash Hamming search via multi-index pigeonhole LSH.
 
-Pigeonhole exactness: split the 64-bit fingerprint into
-`hamming_threshold + 1` bit chunks; any pair within Hamming distance h
-differs in at most h chunks, so it MATCHES on at least one chunk — the
-chunk equi-join therefore has recall 1.0 (not approximate), and the exact
-bit_count verification removes false candidates.  This is the reference's
-AND/OR table structure (SURVEY.md P1/J2: L tables OR'ed,
-MapReduce-LSH/.../common/LSH.java:117-131) instantiated with bit-slices as
-the tables — but with a provable recall guarantee instead of a
+Pigeonhole exactness: split the 64-bit fingerprint into c bit chunks; any
+pair within Hamming distance h differs in at most h chunks, so at least
+m = c - h chunks AGREE — in particular some specific m-subset of chunk
+indices agrees, and that subset is one of the C(c, m) combinations.  Each
+doc therefore emits C(c, m) composite keys (combo_id, concatenated chunk
+values); the equi-join on them has recall 1.0 (not approximate), and the
+exact bit_count verification removes false candidates.  This is the
+block-permutation table scheme of Manku, Jain & Das Sarma, "Detecting
+Near-Duplicates for Web Crawling" (WWW 2007) — and the reference's AND/OR
+table structure (SURVEY.md P1/J2: L tables OR'ed,
+MapReduce-LSH/.../common/LSH.java:117-131) instantiated with bit-slice
+combinations as the tables, with a provable recall guarantee instead of a
 probabilistic one.
 
 The fingerprint here is the md5_h64-based SimHash over distinct word
@@ -15,12 +19,20 @@ k-grams (functions/md5hash.py) so the whole chain has a DuckDB oracle;
 the internal pipeline's crc32-based SimHash (functions/signature.py) is
 pinned by the NumPy oracle instead.
 
-Scale: the chunk join is a standard band-style self-join (one shuffle on
-(chunk_id, chunk_value)); 16-bit chunks give 65,536 buckets per chunk —
-at web scale use the same hot-bucket cap as the MinHash bands.
+Scale: with the degenerate c = h + 1 (m = 1) the keys are single 16-bit
+chunks — 65,536 buckets, which at 10^9 docs means ~15k docs/bucket and a
+quadratic bucket self-join.  The default c = 6, m = 3 gives 32-33-bit
+composite keys (~2^32 buckets per combo index): random fingerprints
+essentially never collide without agreeing on 3 real chunks, so join
+fan-out stays near the true-pair count.  Cost is C(6,3) = 20 index rows
+per doc (vs 4) — linear, the right trade at web scale.  The hot-bucket
+`cap` still applies per (combo_id, key) for adversarial corpora (identical
+boilerplate collapses via the exact pre-pass first, as with MinHash bands).
 """
 
 from __future__ import annotations
+
+from itertools import combinations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -51,47 +63,75 @@ def simhash_md5(df: DataFrame, k: int = 5, text_col: str = "text") -> DataFrame:
     return agg.select("doc_id", F.expr(fp).alias("simhash"))
 
 
-def simhash_dup_pairs(df: DataFrame, k: int = 5,
-                      hamming_threshold: int = 3,
-                      text_col: str = "text",
-                      cap: int | None = None) -> DataFrame:
-    """-> (id_a, id_b, hamming): ALL pairs with Hamming(simhash) <=
-    hamming_threshold, found exactly via the chunk-LSH join (see module
-    docstring).  `cap` bounds hot chunk buckets at scale (recall then
-    degrades only inside capped buckets, mirroring hot_band_cap)."""
-    n_chunks = hamming_threshold + 1
-    fps = simhash_md5(df, k, text_col)
-    # chunk widths as even as possible over 64 bits
-    widths = [64 // n_chunks + (1 if i < 64 % n_chunks else 0)
-              for i in range(n_chunks)]
+def _combo_keys(fp_col: str, hamming_threshold: int, n_chunks: int):
+    """Composite-key exprs: for each of the C(c, m) m-subsets of chunk
+    indices (m = c - h), the concatenation of that subset's chunk values.
+    Returns a list of (combo_id, key_sql) with key width = sum of member
+    chunk widths (<= 64 - h bits, so always a valid long)."""
+    c, h = n_chunks, hamming_threshold
+    if c <= h:
+        raise ValueError(f"need n_chunks > hamming_threshold ({c} <= {h})")
+    widths = [64 // c + (1 if i < 64 % c else 0) for i in range(c)]
     offs, o = [], 0
     for w in widths:
         offs.append(o)
         o += w
-    chunk_expr = F.explode(F.array(*[
-        F.struct(F.lit(i).alias("chunk_id"),
-                 F.expr(f"shiftright(simhash, {offs[i]}) & {(1 << widths[i]) - 1}")
-                  .alias("chunk_val"))
-        for i in range(n_chunks)])).alias("c")
-    chunks = (fps.select("doc_id", "simhash", chunk_expr)
-                 .select("doc_id", "simhash",
-                         F.col("c.chunk_id").alias("chunk_id"),
-                         F.col("c.chunk_val").alias("chunk_val")))
+    out = []
+    for cid, combo in enumerate(combinations(range(c), c - h)):
+        key, shift = [], 0
+        for i in reversed(combo):
+            key.append(
+                f"(shiftleft(shiftright({fp_col}, {offs[i]}) "
+                f"& {(1 << widths[i]) - 1}, {shift}))")
+            shift += widths[i]
+        out.append((cid, " + ".join(key)))
+    return out
+
+
+def simhash_chunk_candidates(fps: DataFrame, hamming_threshold: int = 3,
+                             n_chunks: int = 6,
+                             cap: int | None = None) -> DataFrame:
+    """(doc_id, simhash) -> candidate (id_a, id_b, _fa, _fb): every pair
+    agreeing on at least one composite key — a superset of all pairs
+    within hamming_threshold (pigeonhole), deduped, NOT yet verified.
+    Factored out so tests can bound the candidate count directly."""
+    combo = F.explode(F.array(*[
+        F.struct(F.lit(cid).alias("combo_id"), F.expr(key).alias("key"))
+        for cid, key in _combo_keys("simhash", hamming_threshold, n_chunks)
+    ])).alias("c")
+    keys = (fps.select("doc_id", "simhash", combo)
+               .select("doc_id", "simhash",
+                       F.col("c.combo_id").alias("combo_id"),
+                       F.col("c.key").alias("key")))
     if cap is not None:
-        w = Window.partitionBy("chunk_id", "chunk_val") \
-                  .orderBy(F.xxhash64("chunk_id", "doc_id"), "doc_id")
-        chunks = (chunks.withColumn("_rn", F.row_number().over(w))
-                        .where(F.col("_rn") <= cap).drop("_rn"))
-    a = chunks.select(F.col("doc_id").alias("id_a"),
-                      F.col("simhash").alias("_fa"), "chunk_id", "chunk_val")
-    b = chunks.select(F.col("doc_id").alias("id_b"),
-                      F.col("simhash").alias("_fb"), "chunk_id", "chunk_val")
-    ham = F.expr("bit_count(_fa ^ _fb)")
-    return (a.join(b, ["chunk_id", "chunk_val"])
+        w = Window.partitionBy("combo_id", "key") \
+                  .orderBy(F.xxhash64("combo_id", "doc_id"), "doc_id")
+        keys = (keys.withColumn("_rn", F.row_number().over(w))
+                    .where(F.col("_rn") <= cap).drop("_rn"))
+    a = keys.select(F.col("doc_id").alias("id_a"),
+                    F.col("simhash").alias("_fa"), "combo_id", "key")
+    b = keys.select(F.col("doc_id").alias("id_b"),
+                    F.col("simhash").alias("_fb"), "combo_id", "key")
+    return (a.join(b, ["combo_id", "key"])
              .where(F.col("id_a") < F.col("id_b"))
-             .where(ham <= hamming_threshold)
-             .select("id_a", "id_b", ham.cast("long").alias("hamming"))
+             .select("id_a", "id_b", "_fa", "_fb")
              .dropDuplicates(["id_a", "id_b"]))
+
+
+def simhash_dup_pairs(df: DataFrame, k: int = 5,
+                      hamming_threshold: int = 3,
+                      text_col: str = "text",
+                      n_chunks: int = 6,
+                      cap: int | None = None) -> DataFrame:
+    """-> (id_a, id_b, hamming): ALL pairs with Hamming(simhash) <=
+    hamming_threshold, found exactly via the multi-index pigeonhole join
+    (see module docstring).  `cap` bounds hot key buckets at scale (recall
+    then degrades only inside capped buckets, mirroring hot_band_cap)."""
+    fps = simhash_md5(df, k, text_col)
+    cands = simhash_chunk_candidates(fps, hamming_threshold, n_chunks, cap)
+    ham = F.expr("bit_count(_fa ^ _fb)")
+    return (cands.where(ham <= hamming_threshold)
+                 .select("id_a", "id_b", ham.cast("long").alias("hamming")))
 
 
 # ---------------------------------------------------------------- oracle

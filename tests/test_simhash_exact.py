@@ -38,12 +38,42 @@ def test_simhash_md5_matches_python(spark, tiny_corpus):
 
 
 def test_chunk_join_equals_bruteforce(spark, tiny_corpus):
-    """Pigeonhole: hamming <= 3 with 4 chunks => >= 1 exact chunk match, so
-    the LSH-shaped join must return EXACTLY the brute-force pair set."""
+    """Pigeonhole: hamming <= 3 with >= h+1 chunks => some (c-h)-subset of
+    chunks matches exactly, so the multi-index join must return EXACTLY the
+    brute-force pair set — for both the degenerate c = h+1 (single-chunk
+    keys) and the default c = 6 (composite keys)."""
     docs = tiny_corpus.texts_by_id()
     df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
-    got = {(r["id_a"], r["id_b"]): r["hamming"]
-           for r in simhash_dup_pairs(df, k=5, hamming_threshold=3).collect()}
     expect = oracle_simhash_pairs(docs, k=5, hamming_threshold=3)
-    assert got == expect
+    for c in (4, 6):
+        got = {(r["id_a"], r["id_b"]): r["hamming"]
+               for r in simhash_dup_pairs(df, k=5, hamming_threshold=3,
+                                          n_chunks=c).collect()}
+        assert got == expect, f"n_chunks={c}"
     assert expect, "fixture must contain simhash-near pairs"
+
+
+def test_composite_keys_bound_candidate_blowup(spark):
+    """Scale guard: 5k fingerprints that all AGREE on one 16-bit region but
+    differ by >> h elsewhere.  Single-chunk keys (c = h+1) put all 5k in one
+    bucket -> ~12.5M candidate pairs; the default composite keys (c=6, m=3)
+    must generate candidates near the true-pair count instead."""
+    import numpy as np
+
+    from distributed_lsh_spark.operators.simhash_exact import (
+        simhash_chunk_candidates,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    # bits 0..15 fixed; bits 16..63 random -> expected pairwise hamming ~24
+    fps = (rng.integers(0, 1 << 48, size=n, dtype=np.uint64) << np.uint64(16)) \
+        | np.uint64(0xABCD)
+    fps = fps.astype(np.int64)
+    df = spark.createDataFrame(
+        [(i, int(v)) for i, v in enumerate(fps)], "doc_id long, simhash long")
+    n_cands = simhash_chunk_candidates(df, hamming_threshold=3,
+                                       n_chunks=6).count()
+    # true near-pairs are ~0; allow a loose slack for random 33-bit
+    # composite-key collisions, but nothing remotely quadratic (12.5M)
+    assert n_cands < 5000, n_cands
