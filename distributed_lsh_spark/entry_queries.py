@@ -681,9 +681,10 @@ ORDER BY id_a, id_b"""
 
 
 def q_substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """True-winnowing (SWA SIGMOD'03) exact-substring dedup over md5_h64
-    window fingerprints (long repeated spans, SURVEY.md §7 step 7); the
-    DuckDB oracle replays tokenize -> window-hash -> winnow -> fp-join."""
+    """True-winnowing (SWA SIGMOD'03) exact-substring dedup over rolling-
+    poly window fingerprints of per-token md5_h64 values (long repeated
+    spans, SURVEY.md §7 step 7); the DuckDB oracle replays tokenize ->
+    token-md5 -> rolling window poly -> winnow -> fp-join."""
     from distributed_lsh_spark.operators.substring import substring_dup_pairs
 
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -692,18 +693,37 @@ def q_substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
-def _sql_substring_dup_pairs(W: int = 20, g: int = 5, min_shared: int = 1) -> str:
-    from distributed_lsh_spark.functions.md5hash import duck_h64
+def _duck_window_hash_ctes(W: int) -> str:
+    """CTE block `w` -> `thc` -> `whs`: the rolling-poly window-hash chain
+    (operators/substring.py step 2) in DuckDB — md5_h64 per TOKEN (unsigned,
+    >> TH_SHIFT to 44 bits so HUGEINT products fit), then
+    wh_i = sum_j th[i+j] * B^(W-1-j) mod 2^64, read back signed."""
+    from distributed_lsh_spark.functions.md5hash import duck_h64u
+    from distributed_lsh_spark.operators.substring import TH_SHIFT, window_pows
 
-    win = duck_h64(f"array_to_string(t[i:i+{W - 1}], ' ')")
+    p64 = "18446744073709551616::HUGEINT"
+    terms = " + ".join(
+        f"(th[i+{j}] * {p}::HUGEINT) % {p64}"
+        for j, p in enumerate(window_pows(W)))
+    return f"""w AS (SELECT doc_id, t FROM toks WHERE len(t) >= {W}),
+thc AS (SELECT doc_id,
+               [({duck_h64u('tok')} // {1 << TH_SHIFT}::HUGEINT) for tok in t] AS th
+        FROM w),
+whs AS (SELECT doc_id, list_transform(
+          [({terms}) % {p64} for i in range(1, len(th) - {W - 2})],
+          wu -> (CASE WHEN wu >= 9223372036854775808::HUGEINT
+                      THEN wu - {p64} ELSE wu END)::BIGINT) AS wh
+        FROM thc)"""
+
+
+def _sql_substring_dup_pairs(W: int = 20, g: int = 5, min_shared: int = 1) -> str:
     geff = "least({g}, len(wh))".format(g=g)
     lcap = (f"len(list_filter(range(1, {geff} + 1), m -> m < {geff} "
             f"AND i - m >= 1 AND wh[i] <= list_min(wh[i-m:i-1])))")
     rcap = (f"len(list_filter(range(1, {geff} + 1), m -> m < {geff} "
             f"AND i + m <= len(wh) AND wh[i] < list_min(wh[i+1:i+m])))")
     return f"""WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
-w AS (SELECT doc_id, t FROM toks WHERE len(t) >= {W}),
-whs AS (SELECT doc_id, [{win} for i in range(1, len(t) - {W - 2})] AS wh FROM w),
+{_duck_window_hash_ctes(W)},
 sel AS (SELECT doc_id, list_distinct(
           [wh[i] for i in range(1, len(wh) + 1)
            if {lcap} + {rcap} >= {geff} - 1]) AS fpl
@@ -731,17 +751,13 @@ def q_substring_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_substring_span_pairs(W: int = 20, g: int = 5) -> str:
-    from distributed_lsh_spark.functions.md5hash import duck_h64
-
-    win = duck_h64(f"array_to_string(t[i:i+{W - 1}], ' ')")
     geff = f"least({g}, len(wh))"
     lcap = (f"len(list_filter(range(1, {geff} + 1), m -> m < {geff} "
             f"AND i - m >= 1 AND wh[i] <= list_min(wh[i-m:i-1])))")
     rcap = (f"len(list_filter(range(1, {geff} + 1), m -> m < {geff} "
             f"AND i + m <= len(wh) AND wh[i] < list_min(wh[i+1:i+m])))")
     return f"""WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
-w AS (SELECT doc_id, t FROM toks WHERE len(t) >= {W}),
-whs AS (SELECT doc_id, [{win} for i in range(1, len(t) - {W - 2})] AS wh FROM w),
+{_duck_window_hash_ctes(W)},
 sel AS (SELECT doc_id, list_distinct(
           [wh[i] for i in range(1, len(wh) + 1)
            if {lcap} + {rcap} >= {geff} - 1]) AS fpl

@@ -38,6 +38,15 @@ def duck_h64(s_expr: str) -> str:
             f"THEN {hu} - 18446744073709551616::HUGEINT ELSE {hu} END)::BIGINT")
 
 
+def duck_h64u(s_expr: str) -> str:
+    """DuckDB SQL fragment: md5_h64 as the UNSIGNED HUGEINT value (the raw
+    first-8-bytes big-endian integer) — used by chains that do modular
+    arithmetic on the hash (substring rolling poly)."""
+    m = f"md5({s_expr})"
+    return (f"(('0x'||substr({m},1,8))::BIGINT::HUGEINT * 4294967296 "
+            f"+ ('0x'||substr({m},9,8))::BIGINT::HUGEINT)")
+
+
 def py_md5_h64(s: str) -> int:
     u = int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
     return u - (1 << 64) if u >= (1 << 63) else u

@@ -50,7 +50,8 @@ SIG_SCHEMA = T.StructType([
 ])
 
 
-def _token_hashes(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+def _token_hashes(texts: pd.Series, token_hash=None,
+                  ) -> tuple[np.ndarray, np.ndarray]:
     """All docs' token hashes flattened -> (tok_h uint64, doc_lens int64).
 
     All string work stays in Arrow C++ (lower/regex/split/flatten/
@@ -58,6 +59,10 @@ def _token_hashes(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     (one crc32 per distinct token).  A pandas/object-dtype version of this
     (per-token Python string objects + factorize over tens of millions of
     objects) was ~10x slower and allocation-bound.
+
+    `token_hash`: optional list[str] -> uint64 ndarray vocabulary hasher
+    (default crc32); operators/substring.py passes an md5_h64 hasher so
+    its chain stays replayable in DuckDB.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -74,8 +79,11 @@ def _token_hashes(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     # a pyarrow index array takes a slow element-wise route
     idx = enc.indices.to_numpy(zero_copy_only=False)
     uniques = enc.dictionary.to_pylist()
-    uh = np.fromiter((zlib.crc32(u.encode("utf-8")) for u in uniques),
-                     dtype=np.uint64, count=len(uniques))
+    if token_hash is None:
+        uh = np.fromiter((zlib.crc32(u.encode("utf-8")) for u in uniques),
+                         dtype=np.uint64, count=len(uniques))
+    else:
+        uh = token_hash(uniques)
     # split_whitespace emits empty tokens at string edges — drop them and
     # recompute per-doc lengths
     empty_ids = [i for i, u in enumerate(uniques) if u == ""]

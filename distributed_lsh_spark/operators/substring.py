@@ -5,9 +5,19 @@ Whole-doc MinHash misses a 500-token span copied verbatim into an otherwise
 distinct page (global Jaccard stays low).  This stage detects such spans:
 
   1. tokenize (same normalizer as the shingle stage)
-  2. hash every W-token window (W = `window`): wh_i = md5_h64(window_i)
-     (functions/md5hash.py — the one hash Spark, DuckDB, and Python share,
-     so the driver's DuckDB oracle can replay the whole chain)
+  2. hash every W-token window (W = `window`) with a ROLLING 64-bit
+     polynomial over per-token md5_h64 values:
+         th_t  = md5_h64(token_t) as unsigned, reduced to 44 bits (>> 20)
+         wh_i  = sum_{j=0..W-1} th_{i+j} * B^(W-1-j)   (mod 2^64, B odd)
+     read back as signed int64.  O(tokens) md5 bytes + O(tokens * W)
+     64-bit multiply-adds in one fused Arrow/NumPy pass — the previous
+     form (md5 over the concatenated W-token string per position, via
+     interpreted HOFs) was O(tokens * W) STRING bytes through md5 and was
+     this pipeline's hot spot.  The 44-bit reduction exists so the DuckDB
+     oracle can replay the chain: HUGEINT is 128-bit, and th44 * pow
+     (< 2^108) fits where a full 64x64 modular product would overflow.
+     Token-level md5 keeps the whole chain replayable in Spark SQL,
+     DuckDB, and Python (functions/md5hash.py).
   3. TRUE winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03): for every run
      of `guarantee` consecutive window hashes select the RIGHTMOST minimum;
      the selected set is the union over runs.  Per-position form (what the
@@ -22,56 +32,104 @@ distinct page (global Jaccard stays low).  This stage detects such spans:
      (same shape as the LSH band join, with the same hot-key cap)
   5. pairs ranked by number of shared distinct fingerprints (>= `min_shared`)
 
-Everything JVM-side; the oracle re-implements steps 1-5 in pure Python for
-exact parity tests, and entry_queries mirrors them in DuckDB SQL for the
-driver's correctness gate.
-
-Scale note: the HOF window-hash build is O(n_tokens * W) string bytes per
-doc; at 100-TB scale swap step 2 for the rolling-poly hash inside a fused
-Arrow UDF (functions/signature.py pattern) and keep steps 3-5 unchanged.
+The oracle re-implements steps 1-5 in pure Python for exact parity tests,
+and entry_queries mirrors them in DuckDB SQL for the driver's correctness
+gate.  Steps 2-3 run in one Arrow-batched pandas UDF (the
+functions/signature.py pattern: Arrow C++ string work, md5 only per
+distinct token, NumPy window/winnow kernels); steps 4-5 are JVM joins.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from distributed_lsh_spark.functions.md5hash import py_md5_h64, spark_h64
+from distributed_lsh_spark.functions.md5hash import py_md5_h64
 from distributed_lsh_spark.functions.text import _NORMALIZE_SQL
 
+WINDOW_BASE = 1000003          # odd -> full-period base for the mod-2^64 poly
+TH_SHIFT = 20                  # md5_h64 reduced to 44 bits (DuckDB HUGEINT fit)
+_MASK64 = (1 << 64) - 1
 
-def _winnow_select_sql(wh: str, g: int) -> str:
-    """SQL expr: 1-based positions of `wh` selected by true winnowing."""
-    geff = f"least({g}, size({wh}))"
-    lcap = (f"size(filter(sequence(1, {geff}), m -> m < {geff} "
-            f"AND i - m >= 1 "
-            f"AND {wh}[i-1] <= array_min(slice({wh}, i - m, m))))")
-    rcap = (f"size(filter(sequence(1, {geff}), m -> m < {geff} "
-            f"AND i + m <= size({wh}) "
-            f"AND {wh}[i-1] < array_min(slice({wh}, i + 1, m))))")
-    return (f"filter(sequence(1, size({wh})), "
-            f"i -> {lcap} + {rcap} >= {geff} - 1)")
+
+def window_pows(window: int) -> list[int]:
+    """[B^(W-1), B^(W-2), ..., B^0] mod 2^64 — pows[j] multiplies th[i+j]."""
+    p, out = 1, []
+    for _ in range(window):
+        out.append(p)
+        p = (p * WINDOW_BASE) & _MASK64
+    return list(reversed(out))
+
+
+def _md5_vocab(uniques: list[str]) -> "np.ndarray":
+    """Vocabulary hasher for signature._token_hashes: unsigned md5_h64."""
+    return np.fromiter(((py_md5_h64(u) & _MASK64) for u in uniques),
+                       dtype=np.uint64, count=len(uniques))
+
+
+_WFP_SCHEMA = T.ArrayType(T.StructType([
+    T.StructField("pos", T.LongType(), False),
+    T.StructField("fp", T.LongType(), False),
+]))
+
+
+def _window_fp_udf(window: int, guarantee: int):
+    """pandas UDF: text -> array<struct<pos,fp>> of winnowed rolling-poly
+    window fingerprints.  One Arrow tokenize pass, md5 per DISTINCT token,
+    then NumPy: W shifted multiply-adds for all windows of the whole batch
+    at once (cross-doc windows masked via the offsets), and a
+    sliding-window rightmost-min winnow per doc."""
+    W, g0 = window, guarantee
+    pows = np.array(window_pows(W), dtype=np.uint64)
+
+    @F.pandas_udf(_WFP_SCHEMA)
+    def _wfp(texts: pd.Series) -> pd.Series:
+        from distributed_lsh_spark.functions.signature import _token_hashes
+
+        tok_h, lens = _token_hashes(texts, token_hash=_md5_vocab)
+        th = tok_h >> np.uint64(TH_SHIFT)
+        n_tok = len(th)
+        if n_tok >= W:
+            H = np.zeros(n_tok - W + 1, dtype=np.uint64)
+            for j in range(W):
+                H += th[j:n_tok - W + 1 + j] * pows[j]
+        else:
+            H = np.empty(0, dtype=np.uint64)
+        offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+
+        out: list[list[dict]] = []
+        for d in range(len(lens)):
+            n = int(lens[d])
+            if n < W:
+                out.append([])
+                continue
+            # windows starting inside doc d never cross its end for
+            # start offsets 0..n-W, so the global H slice is exact
+            wh = H[offsets[d]:offsets[d] + n - W + 1].astype(np.int64)
+            g = min(g0, len(wh))
+            sw = np.lib.stride_tricks.sliding_window_view(wh, g)
+            # rightmost minimum of each g-run (signed compare — the same
+            # BIGINT ordering the DuckDB oracle uses)
+            idx = (g - 1) - np.argmin(sw[:, ::-1], axis=1)
+            sel = np.unique(np.arange(len(sw), dtype=np.int64) + idx)
+            out.append([{"pos": int(p) + 1, "fp": int(wh[p])} for p in sel])
+        return pd.Series(out)
+
+    return _wfp
 
 
 def window_fingerprints(df: DataFrame, text_col: str = "text",
                         window: int = 50, guarantee: int = 10) -> DataFrame:
     """-> (doc_id, pos, fp): winnowed fingerprints of W-token windows.
     Docs with fewer than `window` tokens yield no fingerprints."""
-    toks = _NORMALIZE_SQL.format(col=text_col)
-    win_str = f"concat_ws(' ', slice(_toks, i, {window}))"
-    wh_expr = (f"transform(sequence(1, size(_toks) - {window} + 1), "
-               f"i -> {spark_h64(win_str)})")
-    return (
-        df.withColumn("_toks", F.expr(toks))
-          .where(F.size("_toks") >= window)
-          .withColumn("_wh", F.expr(wh_expr))
-          .withColumn("_sel", F.expr(_winnow_select_sql("_wh", guarantee)))
-          .select("doc_id",
-                  F.explode(F.expr("transform(_sel, i -> struct(i AS pos, _wh[i-1] AS fp))"))
-                   .alias("w"))
-          .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.fp").alias("fp"))
-    )
+    wfp = _window_fp_udf(window, guarantee)
+    return (df.select("doc_id", F.explode(wfp(F.col(text_col))).alias("w"))
+              .select("doc_id", F.col("w.pos").alias("pos"),
+                      F.col("w.fp").alias("fp")))
 
 
 def substring_dup_pairs(df: DataFrame, text_col: str = "text",
@@ -162,8 +220,12 @@ def oracle_window_fingerprints(text: str, window: int = 50,
     toks = [t for t in re.sub(r"[^a-z0-9]+", " ", text.lower()).split(" ") if t]
     if len(toks) < window:
         return []
-    wh = [py_md5_h64(" ".join(toks[i:i + window]))
-          for i in range(len(toks) - window + 1)]
+    th = [(py_md5_h64(t) & _MASK64) >> TH_SHIFT for t in toks]
+    pows = window_pows(window)
+    wh = []
+    for i in range(len(toks) - window + 1):
+        u = sum(th[i + j] * pows[j] for j in range(window)) & _MASK64
+        wh.append(u - (1 << 64) if u >= (1 << 63) else u)
     return [(i, wh[i - 1]) for i in oracle_winnow_positions(wh, guarantee)]
 
 
