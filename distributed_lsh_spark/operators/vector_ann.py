@@ -94,6 +94,45 @@ def cosine_pairs_exact(points: DataFrame, tau: float,
     return points.mapInPandas(block, out_schema)
 
 
+def cosine_pairs_lsh(points: DataFrame, tau: float, dim: int | None = None,
+                     tables: int = 16, bits: int = 8, seed: int = 42,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     cap_per_bucket: int = 5000) -> DataFrame:
+    """Embedding-cosine near-dup mining BEYOND broadcast range: SRP tables
+    -> band-style self-join -> exact cosine verify >= tau.
+
+    Same candidate/verify structure as the text MinHash pipeline
+    (operators/candidates.py + verify.py): one shuffle on (table_id, code),
+    16-byte band rows, deterministic hot-bucket cap, exact verification so
+    precision is 1.0 — recall is the only approximation, tunable via
+    (tables, bits) like the reference's (L, m) OR/AND family
+    (MapReduce-LSH/.../common/LSH.java:117-131).  Use this instead of
+    `cosine_pairs_exact` when the corpus exceeds the driver/broadcast
+    budget (~2M x 64 float64 = 1 GB)."""
+    if dim is None:
+        dim = len(points.select(vec_col).first()[0])
+    sig = _srp_udf(dim, tables, bits, seed)
+    p = points.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb"))
+    codes = p.select("vec_id",
+                     F.posexplode(sig(F.col("emb"))).alias("table_id", "code"))
+    if cap_per_bucket:
+        wcap = Window.partitionBy("table_id", "code") \
+                     .orderBy(F.xxhash64("table_id", "vec_id"), "vec_id")
+        codes = (codes.withColumn("_rn", F.row_number().over(wcap))
+                      .where(F.col("_rn") <= cap_per_bucket).drop("_rn"))
+    a = codes.select(F.col("vec_id").alias("id_a"), "table_id", "code")
+    b = codes.select(F.col("vec_id").alias("id_b"), "table_id", "code")
+    cands = (a.join(b, ["table_id", "code"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b").dropDuplicates()
+             .localCheckpoint(eager=False))
+    va = p.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("qe"))
+    vb = p.select(F.col("vec_id").alias("id_b"), "emb")
+    return (cands.join(va, "id_a").join(vb, "id_b")
+            .select("id_a", "id_b", _cosine_col().alias("sim"))
+            .where(F.col("sim") >= tau))
+
+
 def _srp_udf(dim: int, tables: int, bits: int, seed: int):
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((tables * bits, dim))

@@ -144,3 +144,35 @@ def test_ivf_index_persists_and_reuses(emb, tmp_path):
                              centroids=C2, assignment=adf).collect()
     assert sorted([(r["query_id"], r["vec_id"], r["rank"]) for r in inline]) == \
            sorted([(r["query_id"], r["vec_id"], r["rank"]) for r in reused])
+
+
+def test_cosine_pairs_lsh_matches_exact(spark):
+    """Beyond-broadcast miner: every returned pair must be exactly verified
+    (subset of the exact miner, sims equal), and recall on planted near-dup
+    pairs must be high at (tables=16, bits=8)."""
+    import numpy as np
+
+    from distributed_lsh_spark.operators.vector_ann import (
+        cosine_pairs_exact, cosine_pairs_lsh,
+    )
+
+    rng = np.random.default_rng(13)
+    M = rng.standard_normal((150, 32))
+    planted = [(3, 5), (17, 40), (60, 61), (100, 120)]
+    for a, b in planted:
+        M[b] = M[a] + 0.05 * rng.standard_normal(32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in M[i]]) for i in range(len(M))],
+        "vec_id long, embedding array<double>")
+    tau = 0.9
+    exact = {(r["id_a"], r["id_b"]): r["sim"]
+             for r in cosine_pairs_exact(df, tau=tau).collect()}
+    got = {(r["id_a"], r["id_b"]): r["sim"]
+           for r in cosine_pairs_lsh(df, tau=tau, tables=16, bits=8,
+                                     seed=42).collect()}
+    assert set(got) <= set(exact)                      # precision 1.0
+    for k in got:
+        assert abs(got[k] - exact[k]) < 1e-9
+    assert len(got) >= 0.9 * len(exact)                # recall
+    for p in planted:
+        assert p in got
