@@ -43,6 +43,22 @@ def _sign(df: DataFrame, cfg: DedupConfig) -> DataFrame:
     return with_signatures(df.select("doc_id", "text"), cfg)
 
 
+def has_band_history(spark: SparkSession, d: str) -> bool:
+    """True iff `d` holds at least one batch_id=... partition of the band
+    index.  Goes through the Hadoop FileSystem API (works on file:, hdfs:,
+    s3a:, ... — whatever the state dir actually lives on): an os.listdir
+    probe silently answers "no history" for any non-local URI, which would
+    degrade the stream to within-batch-only dedup — a wrong-results
+    failure, not a perf one."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(d)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return False
+    return any(st.getPath().getName().startswith("batch_id=")
+               for st in fs.listStatus(path))
+
+
 def incremental_dedup_stream(spark: SparkSession, input_dir: str, state_dir: str,
                              cfg: DedupConfig = DEFAULT_CONFIG,
                              schema: str = "doc_id long, text string",
@@ -70,10 +86,6 @@ def incremental_dedup_stream(spark: SparkSession, input_dir: str, state_dir: str
         # uniques surviving the stateful exact pass (streaming/ingest.py)
         stream = stream.where(where)
 
-    def _has_history(d: str) -> bool:
-        return os.path.isdir(d) and any(
-            f.startswith("batch_id=") for f in os.listdir(d))
-
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -83,7 +95,7 @@ def incremental_dedup_stream(spark: SparkSession, input_dir: str, state_dir: str
             new_bands = band_keys(new_sigs, cfg) \
                 .withColumn("batch_id", F.lit(batch_id))
             new_bands.persist()
-            if _has_history(bands_dir):
+            if has_band_history(spark, bands_dir):
                 # incremental: READ the persisted band index (3 longs/row);
                 # never recompute signatures or band keys over history
                 old_bands = spark.read.parquet(bands_dir) \

@@ -45,3 +45,24 @@ def test_incremental_dedup_matches_batch(spark, tiny_corpus, tmp_path):
     assert len(batches) >= 2, "each micro-batch must append its band keys"
     idx = spark.read.parquet(bdir)
     assert idx.count() == len(ids) * CFG.num_bands
+
+
+def test_has_band_history_is_fs_agnostic(spark, tmp_path):
+    """The history probe must work on Hadoop-style URIs, not just bare
+    local paths — `file:/...` is the simplest URI os.path.isdir rejects."""
+    import os
+
+    from distributed_lsh_spark.streaming.dedup_stream import has_band_history
+
+    d = tmp_path / "band_index"
+    assert not has_band_history(spark, str(d))
+    assert not has_band_history(spark, f"file:{d}")
+    (d / "batch_id=0").mkdir(parents=True)
+    assert has_band_history(spark, str(d))
+    uri = f"file:{d}"
+    assert not os.path.isdir(uri)          # the old probe's failure mode
+    assert has_band_history(spark, uri)    # the Hadoop API handles it
+    # a dir with non-partition content is still "no history"
+    d2 = tmp_path / "other"
+    (d2 / "stuff").mkdir(parents=True)
+    assert not has_band_history(spark, str(d2))
