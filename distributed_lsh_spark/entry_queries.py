@@ -813,6 +813,44 @@ def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id", "rank"))
 
 
+def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-audit that puts the APPROXIMATE similarity paths behind the
+    hard gate: recall@10 of the SRP-LSH and IVF searchers against the
+    oracled exact top-k (`embedding_topk`), as per-(method, query) pass
+    booleans with wide margins (SRP tables=48/bits=5 and IVF nprobe=16
+    measure recall 0.7-1.0 at sf0.01 and sf0.1; thresholds 0.7/0.5).
+    The DuckDB oracle is the constant all-passed table — a drop in either
+    searcher's recall flips a boolean and reddens the row."""
+    from distributed_lsh_spark.operators.vector_ann import (
+        cosine_topk_ivf, cosine_topk_lsh,
+    )
+
+    exact = q_embedding_topk(spark, sf_dir).select("query_id", "vec_id")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    srp = (cosine_topk_lsh(emb, q, k=10, tables=48, bits=5, seed=42)
+           .select(F.lit("srp").alias("method"), "query_id", "vec_id"))
+    ivf = (cosine_topk_ivf(emb, q, k=10, nlist=32, nprobe=16, seed=42)
+           .select(F.lit("ivf").alias("method"), "query_id", "vec_id"))
+    appx = srp.unionByName(ivf)
+    grid = appx.select("method", "query_id").dropDuplicates()
+    hits = (appx.join(exact, ["query_id", "vec_id"])
+            .groupBy("method", "query_id").agg(F.count("*").alias("n_hits")))
+    need = F.when(F.col("method") == "srp", F.lit(7)).otherwise(F.lit(5))
+    return (grid.join(hits, ["method", "query_id"], "left")
+            .select("method", "query_id",
+                    (F.coalesce("n_hits", F.lit(0)) >= need).alias("passed"))
+            .orderBy("method", "query_id"))
+
+
+def _sql_ann_recall_audit() -> str:
+    rows = ",".join(f"('{m}',{q},TRUE)" for m in ("ivf", "srp")
+                    for q in range(5))
+    return f"""SELECT method, CAST(query_id AS BIGINT) AS query_id, passed
+FROM (VALUES {rows}) t(method, query_id, passed)
+ORDER BY method, query_id"""
+
+
 def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup mining (training-pipeline requirement):
     EXACT all-pairs cosine >= tau via block-matmul against a broadcast
@@ -928,6 +966,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substring_span_pairs": q_substring_span_pairs,
     "embedding_topk_lsh": q_embedding_topk_lsh,
     "embedding_topk_ivf": q_embedding_topk_ivf,
+    "ann_recall_audit": q_ann_recall_audit,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "balance_rollup": q_balance_rollup,
     "part_semi_anti": q_part_supplier_semi_anti,
@@ -957,7 +996,9 @@ ORACLE_SQL: dict[str, str] = {
     "substring_span_pairs": _sql_substring_span_pairs(),
     # embedding_topk_lsh / embedding_topk_ivf: intentionally no SQL
     # oracle (approximate by design) — driver records rows-only; recall
-    # vs brute force is asserted in tests/test_vector_ann.py.
+    # vs brute force is asserted in tests/test_vector_ann.py AND gated
+    # via the ann_recall_audit row below.
+    "ann_recall_audit": _sql_ann_recall_audit(),
     "embedding_cosine_pairs": _SQL_EMBEDDING_COSINE_PAIRS,
     "balance_rollup": _SQL_BALANCE_ROLLUP,
     "part_semi_anti": _SQL_PART_SEMI_ANTI,
