@@ -204,15 +204,45 @@ SELECT md5(text) AS text_md5, count(*) AS n_dups, min(doc_id) AS keep_id
 FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY text_md5"""
 
 
+# ---- lambda-free scalar text counting -----------------------------------
+# Interpreted higher-order functions (filter/aggregate lambdas) have no
+# whole-stage codegen and were the per-doc hot spot of the scalar text
+# queries (VERDICT r2 #5).  Everything below is plain regexp/string
+# built-ins with identical semantics:
+#   _TOK_STREAM   normalized tokens joined by single spaces (== array_join
+#                 of normalized_tokens) — token chars are exactly [a-z0-9]
+#   _TOK_PADDED   tokens framed by DOUBLE pipes: '||a||b||' — each match
+#                 of '\|w\|' consumes one pipe of each pair, so ADJACENT
+#                 stopwords still match (a single-separator padding would
+#                 undercount every other hit in a stopword run)
+
+_TOK_STREAM = ("trim(BOTH ' ' FROM regexp_replace(lower({col}), "
+               "'[^a-z0-9]+', ' '))")
+_TOK_PADDED = ("concat('||', regexp_replace(lower({col}), '[^a-z0-9]+', "
+               "'||'), '||')")
+
+
+def _n_tokens_col(col: str = "text") -> "F.Column":
+    return F.expr(
+        f"regexp_count({_TOK_PADDED.format(col=col)}, '\\\\|[a-z0-9]+\\\\|')")
+
+
+def _word_hits_col(words: list[str], col: str = "text") -> "F.Column":
+    """Total (non-distinct) token hits of `words` — one codegen regex scan."""
+    alt = "|".join(words)
+    return F.expr(
+        f"regexp_count({_TOK_PADDED.format(col=col)}, '\\\\|({alt})\\\\|')")
+
+
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint = md5 of the normalized token stream (stable
     content identity regardless of whitespace/punctuation)."""
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = normalized_tokens("text")
     return (df.select(
                 "doc_id",
-                F.md5(F.array_join(toks, " ").cast("binary")).alias("fingerprint"),
-                F.size(toks).alias("n_tokens"))
+                F.md5(F.expr(_TOK_STREAM.format(col="text")).cast("binary"))
+                 .alias("fingerprint"),
+                _n_tokens_col().alias("n_tokens"))
               .orderBy("doc_id"))
 
 
@@ -226,10 +256,15 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-quality stats: token count, distinct tokens, type-token ratio,
     mean token length — all integer-derived (SURVEY.md A1 analogue)."""
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = normalized_tokens("text")
-    n = F.size(toks)
-    nd = F.size(F.array_distinct(toks))
-    total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    n = _n_tokens_col()
+    # distinct count: all-native array ops (array_remove drops the empty
+    # strings split leaves at the edges — no filter lambda)
+    nd = F.size(F.array_remove(F.array_distinct(
+        F.split(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "), " ")),
+        ""))
+    # tokens are exactly the [a-z0-9] runs, so sum(token lengths) == count
+    # of alphanumeric chars — one regexp_replace instead of an aggregate HOF
+    total_len = F.length(F.regexp_replace(F.lower("text"), "[^a-z0-9]", ""))
     return (df.select(
                 "doc_id", n.alias("n_tokens"), nd.alias("n_distinct"),
                 F.round(nd / n, 6).alias("ttr"),
@@ -252,7 +287,7 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     digit runs / punctuation runs — lookahead-free so Java regex and RE2
     agree), plus bytes-per-BPE-token."""
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    ws = F.size(normalized_tokens("text"))
+    ws = _n_tokens_col()
     bpe = F.size(F.expr(
         "regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
     return (df.select(
@@ -288,13 +323,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-hit counts, argmax with fixed priority en>de>fr>es, 'und' when
     all zero."""
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = normalized_tokens("text")
-    def _hits(words: list[str]):
-        ws = F.array(*[F.lit(w) for w in words])
-        # single-arg lambda: pyspark treats 2-arg lambdas as (element, index)
-        return F.size(F.filter(toks, lambda t: F.array_contains(ws, t)))
-
-    scores = {lang: _hits(words) for lang, words in _STOPWORDS.items()}
+    scores = {lang: _word_hits_col(words) for lang, words in _STOPWORDS.items()}
     best = F.greatest(*scores.values())
     pred = (F.when(best == 0, "und")
              .when(scores["en"] == best, "en")
@@ -336,10 +365,8 @@ def _quality_exprs():
     n_chars = F.length("text")
     n_alpha = F.length(F.regexp_replace(low, "[^a-z]", ""))
     n_punct = F.length(F.regexp_replace(low, "[a-z0-9 \\t\\n\\r]", ""))
-    toks = normalized_tokens("text")
-    n_tokens = F.size(toks)
-    sw = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    n_tokens = _n_tokens_col()
+    n_stop = _word_hits_col(_STOPWORDS["en"])
     keep = ((n_tokens >= 10) & (n_stop >= 2)
             & (n_punct * 5 <= n_chars) & (n_alpha * 2 >= n_chars))
     return n_chars, n_alpha, n_punct, n_tokens, n_stop, keep
