@@ -58,9 +58,22 @@ def cmd_dedup(args: argparse.Namespace) -> None:
     # families are the canonical hot key; without this a >hot_band_cap
     # identical family would lose members from every capped band bucket
     base = pages.select("doc_id", "text")
-    exact_edges = ckpt.stage("exact_edges",
-                             lambda: exact_collapse(base)[1])
     reps = ckpt.stage("exact_reps", lambda: exact_collapse(base)[0])
+
+    def _edges():
+        # derive member->rep edges from the CHECKPOINTED reps instead of a
+        # second exact_collapse: reps are distinct per md5 already, so
+        # re-hashing them (a collapsed, small frame) replaces the groupBy
+        # over the full corpus the old double-build paid
+        m = (base.withColumn("_h", F.md5(F.col("text").cast("binary")))
+                 .select("_h", F.col("doc_id").alias("id_b")))
+        rid = reps.select(F.md5(F.col("text").cast("binary")).alias("_h"),
+                          F.col("doc_id").alias("id_a"))
+        return (m.join(rid, "_h")
+                 .where(F.col("id_a") != F.col("id_b"))
+                 .select("id_a", "id_b"))
+
+    exact_edges = ckpt.stage("exact_edges", _edges)
     # bucket(64, doc_id): on an Iceberg-enabled cluster the verify stage's
     # payload joins become storage-partitioned (co-located) — the pairing
     # for verify_pairs(broadcast_pairs=False); Parquet fallback ignores it
@@ -79,7 +92,9 @@ def cmd_dedup(args: argparse.Namespace) -> None:
     clusters = ckpt.stage(
         "clusters", lambda: connected_components(
             verified.select("id_a", "id_b").unionByName(exact_edges)))
-    n_docs, n_pairs, n_clustered = pages.count(), verified.count(), clusters.count()
+    # stage row counts come from the manifests — no re-scan of checkpoints
+    n_docs = pages.count()
+    n_pairs, n_clustered = ckpt.rows("verified_pairs"), ckpt.rows("clusters")
     dt = time.time() - t0
     print(json.dumps({
         "run_id": args.run_id, "n_docs": n_docs, "n_dup_pairs": n_pairs,

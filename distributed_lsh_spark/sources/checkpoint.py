@@ -90,6 +90,14 @@ class CheckpointManager:
             return False
         return m.get("config_echo") == _json_normalize(self.config_echo)
 
+    def manifest(self, stage: str) -> dict:
+        with open(self._manifest_path(stage)) as f:
+            return json.load(f)
+
+    def rows(self, stage: str) -> int:
+        """Row count of a completed stage from its manifest — no scan."""
+        return int(self.manifest(stage)["rows"])
+
     def read(self, stage: str) -> DataFrame:
         if self.use_iceberg:
             return self.spark.read.table(self._table(stage))
@@ -119,11 +127,12 @@ class CheckpointManager:
             out = self._write_iceberg(name, df, partition_by, bucket_by)
         else:
             out = self._write_parquet(name, df, partition_by)
+        rows, fingerprint = _df_stats(out)       # ONE post-write scan
         manifest = StageManifest(
-            run_id=self.run_id, stage=name, rows=out.count(),
+            run_id=self.run_id, stage=name, rows=rows,
             n_partitions=out.rdd.getNumPartitions(), status="complete",
             config_echo=_json_normalize(self.config_echo),
-            fingerprint=_df_fingerprint(out),
+            fingerprint=fingerprint,
         )
         os.makedirs(self._dir(name), exist_ok=True)
         with open(self._manifest_path(name) + ".tmp", "w") as f:
@@ -185,11 +194,20 @@ def _json_normalize(d: dict) -> dict:
     return json.loads(json.dumps(d, default=str, sort_keys=True))
 
 
-def _df_fingerprint(df: DataFrame) -> str:
-    """Order-insensitive content hash over all columns (overflow-safe)."""
+def _df_stats(df: DataFrame) -> tuple[int, str]:
+    """(row count, order-insensitive content hash) in ONE aggregate — the
+    manifest used to cost a count() scan plus a fingerprint scan per stage
+    (2 extra full reads of every checkpoint at scale)."""
     from pyspark.sql import functions as F
 
     cols = [F.col(c).cast("string") for c in df.columns]
-    row = df.agg(F.coalesce(F.sum(F.pmod(F.xxhash64(*cols), F.lit(1_000_000_007))),
-                            F.lit(0))).collect()[0][0]
-    return str(row)
+    row = df.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.coalesce(F.sum(F.pmod(F.xxhash64(*cols), F.lit(1_000_000_007))),
+                   F.lit(0)).alias("fp")).collect()[0]
+    return int(row["rows"]), str(row["fp"])
+
+
+def _df_fingerprint(df: DataFrame) -> str:
+    """Order-insensitive content hash over all columns (overflow-safe)."""
+    return _df_stats(df)[1]
