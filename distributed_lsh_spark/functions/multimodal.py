@@ -6,12 +6,14 @@ Decode support, no external libs:
   * REAL pure-NumPy decoders for the uncompressed formats a lib-free
     container can honestly parse: PPM (P6) and BMP (24-bit BI_RGB) ->
     (h, w, 3) uint8 pixels; then a real resize + feature step (8x8
-    nearest-neighbor luminance thumbnail = FEATURE_DIM floats); and
+    nearest-neighbor luminance thumbnail = FEATURE_DIM floats);
     RIFF/WAVE PCM (8/16-bit) -> mono float samples, then a real RMS
-    loudness-envelope feature (FEATURE_DIM time windows).
-  * compressed formats (jpeg/png/webp, mp3/aac, video containers) raise
-    NotImplementedError at the same seam — libjpeg/ffmpeg would plug in
-    there on a real deployment.
+    loudness-envelope feature (FEATURE_DIM time windows); and
+    YUV4MPEG2 (y4m) raw video -> per-frame luminance planes + frame
+    rate, so frame sampling is a REAL decode too.
+  * compressed formats (jpeg/png/webp, mp3/aac, mp4/mkv containers)
+    raise NotImplementedError at the same seam — libjpeg/ffmpeg would
+    plug in there on a real deployment.
   * `fake=True` keeps the original byte-histogram pseudo-features for
     plumbing tests with arbitrary payload bytes.
 """
@@ -102,13 +104,58 @@ def decode_image(payload: bytes) -> np.ndarray:
 
 def image_feature(img: np.ndarray) -> np.ndarray:
     """Real resize + feature step: nearest-neighbor 8x8 luminance thumbnail
-    (Rec.601 weights), FEATURE_DIM float32 in [0, 1]."""
+    (Rec.601 weights; (h, w) inputs are already luminance), FEATURE_DIM
+    float32 in [0, 1]."""
     h, w = img.shape[:2]
     yi = np.minimum((np.arange(8) + 0.5) * h / 8, h - 1).astype(np.int64)
     xi = np.minimum((np.arange(8) + 0.5) * w / 8, w - 1).astype(np.int64)
     thumb = img[yi][:, xi].astype(np.float64)
-    lum = thumb @ np.array([0.299, 0.587, 0.114])
+    lum = thumb if img.ndim == 2 else thumb @ np.array([0.299, 0.587, 0.114])
     return (lum / 255.0).ravel().astype(np.float32)
+
+
+def decode_y4m(payload: bytes) -> tuple[list[np.ndarray], float]:
+    """YUV4MPEG2 raw video -> ([per-frame (h, w) uint8 luminance planes],
+    fps).  Full stream grammar: 'YUV4MPEG2' + space-separated W/H/F/I/A/C
+    parameters to newline, then per frame 'FRAME[params]\\n' + planar YUV
+    bytes.  Chroma planes are sized per the C colourspace tag and skipped —
+    the feature step uses luminance only (image_feature's 2-D path)."""
+    nl = payload.index(b"\n")
+    header = payload[:nl].split(b" ")
+    if header[0] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    num, den, cs = 30, 1, b"420"
+    for tok in header[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"F":
+            num, den = (int(x) for x in tok[1:].split(b":"))
+        elif tok[:1] == b"C":
+            cs = tok[1:]
+    if not w or not h:
+        raise ValueError("y4m header missing W/H")
+    if cs.startswith(b"420"):
+        frame_bytes = w * h + 2 * ((w // 2) * (h // 2))
+    elif cs.startswith(b"422"):
+        frame_bytes = w * h + 2 * ((w // 2) * h)
+    elif cs.startswith(b"444"):
+        frame_bytes = 3 * w * h
+    elif cs.startswith(b"mono"):
+        frame_bytes = w * h
+    else:
+        raise NotImplementedError(f"y4m colourspace {cs!r} not supported")
+    frames, pos = [], nl + 1
+    while pos < len(payload):
+        if payload[pos:pos + 5] != b"FRAME":
+            raise ValueError("bad y4m FRAME marker")
+        pos = payload.index(b"\n", pos) + 1
+        y = np.frombuffer(payload, np.uint8, count=w * h, offset=pos)
+        frames.append(y.reshape(h, w).copy())
+        pos += frame_bytes
+    return frames, num / den
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
@@ -196,6 +243,9 @@ def media_features(df: DataFrame, fake: bool = True) -> DataFrame:
     def one(kind: str, payload: bytes) -> list[float]:
         if not fake and kind == "audio":
             return audio_feature(*decode_wav(payload)).tolist()
+        if not fake and kind == "video":
+            frames, _ = decode_y4m(payload)
+            return image_feature(frames[0]).tolist()
         return _decode_image(payload, fake=fake).tolist()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -209,8 +259,13 @@ def media_features(df: DataFrame, fake: bool = True) -> DataFrame:
 
 def frame_sample(df: DataFrame, every_ms: int = 1000, fake: bool = True) -> DataFrame:
     """video rows -> one row per sampled frame (media_id, frame_ts_ms,
-    feature).  Frame extraction is stubbed like decode: frame features are
-    derived deterministically from (payload, frame index)."""
+    feature).
+
+    fake=False: REAL y4m decode — one sample per `every_ms` of stream time
+    (duration = n_frames / fps from the stream itself), feature = 8x8
+    luminance thumbnail of the frame nearest each sample instant.
+    fake=True: plumbing stub — features derived deterministically from
+    (payload bytes, frame index), duration taken from the metadata column."""
     out_schema = T.StructType([
         T.StructField("media_id", T.LongType()),
         T.StructField("frame_ts_ms", T.IntegerType()),
@@ -222,13 +277,26 @@ def frame_sample(df: DataFrame, every_ms: int = 1000, fake: bool = True) -> Data
             rows = {"media_id": [], "frame_ts_ms": [], "feature": []}
             for mid, dur, payload in zip(pdf["media_id"], pdf["duration_ms"],
                                          pdf["payload"]):
-                n = max(1, int(dur or 0) // every_ms)
-                base = _decode_image(payload, fake=fake)
-                for j in range(n):
-                    f = base.copy()
-                    f[j % FEATURE_DIM] += float(j + 1)  # deterministic per-frame twist
+                if fake:
+                    n = max(1, int(dur or 0) // every_ms)
+                    base = _decode_image(payload, fake=True)
+                    samples = []
+                    for j in range(n):
+                        f = base.copy()
+                        f[j % FEATURE_DIM] += float(j + 1)  # per-frame twist
+                        samples.append((j * every_ms, f))
+                else:
+                    frames, fps = decode_y4m(payload)
+                    dur_ms = int(len(frames) / fps * 1000)
+                    n = max(1, dur_ms // every_ms)
+                    samples = []
+                    for j in range(n):
+                        ts = j * every_ms
+                        idx = min(int(ts * fps / 1000), len(frames) - 1)
+                        samples.append((ts, image_feature(frames[idx])))
+                for ts, f in samples:
                     rows["media_id"].append(mid)
-                    rows["frame_ts_ms"].append(j * every_ms)
+                    rows["frame_ts_ms"].append(ts)
                     rows["feature"].append(f.tolist())
             yield pd.DataFrame(rows)
 

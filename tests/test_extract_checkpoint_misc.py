@@ -349,3 +349,66 @@ def test_media_features_real_audio_path(spark):
     # the RMS envelope of a rising-amplitude tone rises
     f = np.array(r["feature"])
     assert f[-1] > f[1] > 0
+
+
+def _make_y4m(frames, w, h, fps=(4, 1), cs=b"C420") -> bytes:
+    """Synthesize a YUV4MPEG2 stream: given (h, w) uint8 luminance planes,
+    chroma planes are filled with 0x80 (neutral)."""
+    import numpy as np
+
+    chroma = {b"C420": 2 * ((w // 2) * (h // 2)), b"C422": 2 * ((w // 2) * h),
+              b"C444": 2 * w * h, b"Cmono": 0}[cs]
+    out = [b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 %s\n"
+           % (w, h, fps[0], fps[1], cs)]
+    for f in frames:
+        out.append(b"FRAME\n")
+        out.append(np.asarray(f, dtype=np.uint8).tobytes())
+        out.append(b"\x80" * chroma)
+    return b"".join(out)
+
+
+def test_y4m_decoder_roundtrip():
+    import numpy as np
+
+    from distributed_lsh_spark.functions.multimodal import decode_y4m
+
+    rng = np.random.default_rng(3)
+    w, h = 12, 8
+    planes = [rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+              for _ in range(5)]
+    for cs in (b"C420", b"C422", b"C444", b"Cmono"):
+        frames, fps = decode_y4m(_make_y4m(planes, w, h, cs=cs))
+        assert fps == 4.0
+        assert len(frames) == 5
+        for got, want in zip(frames, planes):
+            assert (got == want).all()
+    with pytest.raises(ValueError):
+        decode_y4m(b"RIFFnope\n")
+    with pytest.raises(NotImplementedError):
+        decode_y4m(b"YUV4MPEG2 W12 H8 F4:1 C411\nFRAME\n" + b"\x00" * 256)
+
+
+def test_frame_sample_real_y4m(spark):
+    """fake=False frame sampling: real decode, one sample per every_ms of
+    n_frames/fps stream time, luminance-thumbnail features."""
+    import numpy as np
+
+    from distributed_lsh_spark.functions.multimodal import (
+        FEATURE_DIM, frame_sample, image_feature,
+    )
+
+    w, h = 16, 16
+    # 8 frames at 4 fps = 2000 ms; constant-value frames 0,32,64,...
+    planes = [np.full((h, w), v * 32, dtype=np.uint8) for v in range(8)]
+    payload = _make_y4m(planes, w, h, fps=(4, 1))
+    df = spark.createDataFrame(
+        [(1, "video", "video/x-y4m", w, h, 2000, bytearray(payload))],
+        schema="media_id long, kind string, mime string, width int, "
+               "height int, duration_ms int, payload binary")
+    rows = {r["frame_ts_ms"]: r["feature"]
+            for r in frame_sample(df, every_ms=500, fake=False).collect()}
+    assert sorted(rows) == [0, 500, 1000, 1500]
+    for ts, frame_idx in [(0, 0), (500, 2), (1000, 4), (1500, 6)]:
+        want = image_feature(planes[frame_idx])
+        assert len(rows[ts]) == FEATURE_DIM
+        assert np.allclose(rows[ts], want)
