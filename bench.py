@@ -31,6 +31,7 @@ def main() -> None:
         "exact_dup_groups",
         "simhash_hamming_pairs",
         "substring_dup_pairs",
+        "ann_topk",
         "doc_quality",
         "embedding_topk",
         "pricing_summary",

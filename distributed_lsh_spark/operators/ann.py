@@ -14,8 +14,12 @@ ops instead of the reference's hand-scheduled MapReduce jobs:
                                              anti-join between radii
   searchThreshold cap (A4/T4)              row_number window <= threshold
   exact L2 + dist < c*R (P4/F1)            JVM zip_with/aggregate + filter
-  driver radius loop w/ remaining set      Python for-loop, left_anti against
-    (C2, LSHSearcher.java:212-252)           finished query ids, count() exit
+  driver radius loop w/ remaining set      Python for-loop; per-query finish
+    (C2, LSHSearcher.java:212-252)           state driver-side (one
+                                             O(n_queries) counts collect per
+                                             radius — the reference keeps the
+                                             same bookkeeping on its driver);
+                                             checked/accepted stay distributed
 
 The hash model/parameters come from the SAME NumPy code the oracle uses
 (broadcast to executors inside the bucket pandas UDF) so bucket ids agree
@@ -33,26 +37,36 @@ from pyspark.sql import types as T
 from distributed_lsh_spark.oracle.reference_lsh import ReferenceLSHModel
 
 
-def _bucket_udf(model: ReferenceLSHModel, radius: int):
-    """pandas UDF: vec array<int> -> array<long> of L bucket ids (one per
-    table).  The model rides the closure (small: L*m*dim doubles)."""
+def _all_buckets_udf(model: ReferenceLSHModel):
+    """pandas UDF: vec array<int> -> array<long> of n_radii * L bucket ids
+    (radius-major).  The model rides the closure (small: L*m*dim doubles).
+    ONE UDF pass covers every (radius, table) — the reference's hash-table
+    build computes all radii in one job too (HashTableBuilder.java:47-61),
+    and it keeps Python-worker round-trips out of the radius loop."""
+    radii = model.radii()
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _buckets(vecs: pd.Series) -> pd.Series:
         pts = np.asarray(list(vecs), dtype=np.int64)
-        out = np.empty((len(pts), model.L), dtype=np.int64)
-        for tid in range(model.L):
-            out[:, tid] = model.bucket_ids(tid, radius, pts)
+        out = np.empty((len(pts), len(radii) * model.L), dtype=np.int64)
+        for rid, radius in enumerate(radii):
+            for tid in range(model.L):
+                out[:, rid * model.L + tid] = model.bucket_ids(tid, radius, pts)
         return pd.Series(list(out))
 
     return _buckets
 
 
 def _exploded_buckets(df: DataFrame, id_col: str, vec_col: str,
-                      model: ReferenceLSHModel, radius: int) -> DataFrame:
-    b = _bucket_udf(model, radius)
+                      model: ReferenceLSHModel) -> DataFrame:
+    """-> (id, radius_id, table_id, bucket) for EVERY radius and table."""
+    b = _all_buckets_udf(model)
     return (df.select(F.col(id_col), F.posexplode(b(F.col(vec_col)))
-                      .alias("table_id", "bucket")))
+                      .alias("pos", "bucket"))
+            .select(F.col(id_col),
+                    (F.col("pos") / model.L).cast("int").alias("radius_id"),
+                    (F.col("pos") % model.L).cast("int").alias("table_id"),
+                    "bucket"))
 
 
 _L2 = ("sqrt(aggregate(zip_with(q_vec, p_vec, (a, b) -> "
@@ -70,15 +84,7 @@ def build_hash_tables(points: DataFrame, model: ReferenceLSHModel) -> DataFrame:
     CheckpointManager and pass to ann_search_spark(tables=...) to skip the
     point-side bucket computation on every query invocation."""
     pts = points.select(F.col("id").alias("point_id"), F.col("vec").alias("p_vec"))
-    per_radius = [
-        _exploded_buckets(pts, "point_id", "p_vec", model, radius)
-        .select("point_id", F.lit(rid).alias("radius_id"), "table_id", "bucket")
-        for rid, radius in enumerate(model.radii())
-    ]
-    out = per_radius[0]
-    for df in per_radius[1:]:
-        out = out.unionByName(df)
-    return out
+    return _exploded_buckets(pts, "point_id", "p_vec", model)
 
 
 def ann_search_spark(spark: SparkSession, points: DataFrame, queries: DataFrame,
@@ -101,22 +107,41 @@ def ann_search_spark(spark: SparkSession, points: DataFrame, queries: DataFrame,
     queries = queries.select("query_id", F.col("vec").alias("q_vec"))
     queries.persist()
 
-    remaining = queries
+    # Per-query finish state lives DRIVER-side, exactly like the reference's
+    # searcher bookkeeping (LSHSearcher.java keeps the remaining/finished
+    # query sets on the driver): one collect of (query_id, n_accepted) per
+    # radius — O(n_queries) rows — replaces an isEmpty probe, a finished
+    # anti-join and two eager checkpoints per radius.  Everything large
+    # (checked pairs, accepted candidates) stays distributed; lazy
+    # localCheckpoints fold each radius's materialization into the single
+    # per-radius counts job instead of separate eager jobs.
+    n_queries = queries.count()
+    finished_ids: set[int] = set()
     checked = spark.createDataFrame([], "query_id long, point_id long")
     accepted = spark.createDataFrame([], "query_id long, point_id long, dist double")
-    finished = spark.createDataFrame([], "query_id long")
+
+    # bucket tables for ALL radii in ONE UDF pass each (the reference's -b
+    # build shape); the radius loop below is then pure JVM over these
+    if tables is None:
+        tables = _exploded_buckets(points, "point_id", "p_vec", model) \
+            .localCheckpoint(eager=False)
+    q_tables = _exploded_buckets(queries, "query_id", "q_vec", model) \
+        .localCheckpoint(eager=False)
 
     for rid, radius in enumerate(model.radii()):
-        if remaining.isEmpty():
+        if len(finished_ids) >= n_queries:
             break
         ratio_radius = model.ratio * radius
+        remaining = queries.where(~F.col("query_id").isin(list(finished_ids))) \
+            if finished_ids else queries
 
-        if tables is not None:
-            p_buckets = tables.where(F.col("radius_id") == rid) \
-                              .select("point_id", "table_id", "bucket")
-        else:
-            p_buckets = _exploded_buckets(points, "point_id", "p_vec", model, radius)
-        q_buckets = _exploded_buckets(remaining, "query_id", "q_vec", model, radius)
+        p_buckets = tables.where(F.col("radius_id") == rid) \
+                          .select("point_id", "table_id", "bucket")
+        q_buckets = q_tables.where(F.col("radius_id") == rid) \
+                            .select("query_id", "table_id", "bucket")
+        if finished_ids:
+            q_buckets = q_buckets.where(
+                ~F.col("query_id").isin(list(finished_ids)))
         # probe: tiny query side broadcast (S4/J1)
         cands = (p_buckets.join(F.broadcast(q_buckets), ["table_id", "bucket"])
                  .select("query_id", "point_id").dropDuplicates()
@@ -124,25 +149,25 @@ def ann_search_spark(spark: SparkSession, points: DataFrame, queries: DataFrame,
         # deterministic per-query cap (A4): lowest point ids first
         w = Window.partitionBy("query_id").orderBy("point_id")
         new = (cands.withColumn("_rn", F.row_number().over(w))
-                    .where(F.col("_rn") <= search_threshold).drop("_rn"))
-        new = new.localCheckpoint(eager=True)   # reused 3x below; truncates lineage
-        checked = checked.union(new).localCheckpoint(eager=True)
+                    .where(F.col("_rn") <= search_threshold).drop("_rn")
+                    .localCheckpoint(eager=False))   # reused below + next radius
+        checked = checked.union(new)                 # union of checkpointed frames
 
         scored = (new.join(points, "point_id")
                      .join(F.broadcast(remaining), "query_id")
                      .withColumn("dist", F.expr(_L2))
                      .where(F.col("dist") < ratio_radius)
                      .select("query_id", "point_id", "dist"))
-        accepted = accepted.union(scored).localCheckpoint(eager=True)
+        accepted = accepted.union(scored).localCheckpoint(eager=False)
 
-        done = (accepted.groupBy("query_id").agg(F.count("*").alias("n"))
-                .where(F.col("n") >= k).select("query_id"))
-        finished = finished.union(done.join(finished, "query_id", "left_anti")) \
-                           .localCheckpoint(eager=True)
-        remaining = queries.join(finished, "query_id", "left_anti")   # P5
+        # the ONE action per radius: materializes new+accepted and returns
+        # the per-query accepted counts (CheckCandidateReducer.java:61-73)
+        counts = accepted.groupBy("query_id").agg(F.count("*").alias("n")).collect()
+        finished_ids.update(int(r["query_id"]) for r in counts if r["n"] >= k)
 
     wk = Window.partitionBy("query_id").orderBy("dist", "point_id")
-    out = (accepted.join(finished, "query_id", "left_semi")
+    out = (accepted.where(F.col("query_id").isin(list(finished_ids))
+                          if finished_ids else F.lit(False))
            .withColumn("rank", F.row_number().over(wk))
            .where(F.col("rank") <= k))
     points.unpersist()
