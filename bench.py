@@ -32,6 +32,7 @@ def main() -> None:
         "simhash_hamming_pairs",
         "substring_dup_pairs",
         "ann_topk",
+        "html_extract",
         "doc_quality",
         "embedding_topk",
         "pricing_summary",

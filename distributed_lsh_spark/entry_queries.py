@@ -840,6 +840,68 @@ def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id", "rank"))
 
 
+# html->text extraction gate (SURVEY.md S2): the sf tables ship `text`
+# only, so the query synthesizes a deterministic html wrapper (entities,
+# script/style blocks, break tags — every extractor pass exercised) around
+# each document IDENTICALLY on both sides, runs the REAL Arrow/RE2
+# extractor UDF on Spark, and replays the extractor's exact pass sequence
+# in DuckDB (whose regex engine is also RE2; the pattern source strings
+# are shared verbatim).  text is sanitized of '&#' on both sides so the
+# numeric-charref pass (a Python chr() callback) is a no-op by
+# construction.
+_HTML_PRE_PARTS = ('<html><head><title>Doc ', ' &amp; friends</title>'
+                   '<style media=screen>.x{color:red}</style></head>'
+                   '<body><script type="text/javascript">var x = 1 < 2;'
+                   '</script><h1>Doc ', '</h1><p>')
+_HTML_POST = ('</p><div>footer &amp; more&nbsp;-&nbsp;&lt;end&gt;</div>'
+              '<ul><li>a</li><li>b</li></ul></body></html>')
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 vector-parse analogue under the hard gate: byte-identity of the
+    html->text extractor (functions/extract.py, EXTRACTOR_VERSION 2.0.0)
+    against a full DuckDB replay of its pass sequence — compared as
+    md5(extracted) + char count per doc."""
+    from distributed_lsh_spark.functions.extract import extract_text_udf
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p0, p1, p2 = _HTML_PRE_PARTS
+    html = F.concat(
+        F.lit(p0), F.col("doc_id").cast("string"),
+        F.lit(p1), F.col("doc_id").cast("string"), F.lit(p2),
+        F.replace(F.col("text"), F.lit("&#"), F.lit("&")),
+        F.lit(_HTML_POST))
+    ext = extract_text_udf(html)
+    return (df.select("doc_id",
+                      F.md5(ext.cast("binary")).alias("ext_md5"),
+                      F.length(ext).alias("n_chars"))
+              .orderBy("doc_id"))
+
+
+def _sql_html_extract() -> str:
+    from distributed_lsh_spark.functions import extract as X
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    p0, p1, p2 = _HTML_PRE_PARTS
+    expr = " || ".join([lit(p0), "doc_id", lit(p1), "doc_id", lit(p2),
+                        "replace(text, '&#', '&')", lit(_HTML_POST)])
+    passes = ([("re", X.P_DROP_BLOCKS, " "), ("re", X.P_BREAK_TAGS, "\n"),
+               ("re", X.P_ANY_TAG, " ")]
+              + [("lit", ent, ch) for ent, ch in X._ENTITIES.items()]
+              + [("re", X.P_SPACE_RUN, " "), ("re", X.P_LINE_EDGES, ""),
+                 ("re", X.P_BLANK_LINES, "\n"), ("re", X.P_FULL_EDGES, "")])
+    for kind, pat, rep in passes:
+        if kind == "re":
+            expr = f"regexp_replace({expr}, {lit(pat)}, {lit(rep)}, 'g')"
+        else:
+            expr = f"replace({expr}, {lit(pat)}, {lit(rep)})"
+    return f"""WITH e AS (SELECT doc_id, {expr} AS ext FROM documents)
+SELECT doc_id, md5(ext) AS ext_md5, length(ext) AS n_chars
+FROM e ORDER BY doc_id"""
+
+
 def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-audit that puts the APPROXIMATE similarity paths behind the
     hard gate: recall@10 of the SRP-LSH and IVF searchers against the
@@ -994,6 +1056,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk_lsh": q_embedding_topk_lsh,
     "embedding_topk_ivf": q_embedding_topk_ivf,
     "ann_recall_audit": q_ann_recall_audit,
+    "html_extract": q_html_extract,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "balance_rollup": q_balance_rollup,
     "part_semi_anti": q_part_supplier_semi_anti,
@@ -1026,6 +1089,7 @@ ORACLE_SQL: dict[str, str] = {
     # vs brute force is asserted in tests/test_vector_ann.py AND gated
     # via the ann_recall_audit row below.
     "ann_recall_audit": _sql_ann_recall_audit(),
+    "html_extract": _sql_html_extract(),
     "embedding_cosine_pairs": _SQL_EMBEDDING_COSINE_PAIRS,
     "balance_rollup": _SQL_BALANCE_ROLLUP,
     "part_semi_anti": _SQL_PART_SEMI_ANTI,

@@ -412,3 +412,30 @@ def test_frame_sample_real_y4m(spark):
         want = image_feature(planes[frame_idx])
         assert len(rows[ts]) == FEATURE_DIM
         assert np.allclose(rows[ts], want)
+
+
+def test_html_extract_oracle_matches_python_extractor():
+    """The html_extract gate's DuckDB pass-sequence replay must be
+    BYTE-identical to the pure-Python extractor spec on the same
+    synthesized html (input_hint: byte-identical extracted text)."""
+    import duckdb
+
+    from distributed_lsh_spark.entry_queries import (
+        _HTML_POST, _HTML_PRE_PARTS, _sql_html_extract,
+    )
+    from distributed_lsh_spark.functions.extract import extract_text
+
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS SELECT * FROM read_parquet("
+            "'/root/testdata/sf0.001/documents.parquet')")
+    got = {r[0]: (r[1], r[2])
+           for r in con.sql(_sql_html_extract()).fetchall()}
+    rows = con.sql("SELECT doc_id, text FROM documents").fetchall()
+    import hashlib
+    p0, p1, p2 = _HTML_PRE_PARTS
+    for doc_id, text in rows:
+        html = (f"{p0}{doc_id}{p1}{doc_id}{p2}"
+                f"{text.replace('&#', '&')}{_HTML_POST}")
+        ext = extract_text(html)
+        want = (hashlib.md5(ext.encode()).hexdigest(), len(ext))
+        assert got[doc_id] == want, doc_id
