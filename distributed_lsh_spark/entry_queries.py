@@ -940,6 +940,93 @@ FROM (VALUES {rows}) t(method, query_id, passed)
 ORDER BY method, query_id"""
 
 
+def _cosine_gate_df(spark: SparkSession) -> DataFrame:
+    from distributed_lsh_spark.fixtures import make_cosine_gate_fixture
+
+    v = make_cosine_gate_fixture()
+    return spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(v)],
+        "vec_id long, embedding array<double>")
+
+
+def q_cosine_pairs_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXACT embedding near-dup miner (mapInPandas block matmul,
+    operators/vector_ann.cosine_pairs_exact) gated on data that actually
+    CONTAINS pairs: a deterministic integer-vector fixture with 6 planted
+    near-parallel pairs (the sf embeddings are random — no pairs at
+    tau 0.9, so `embedding_cosine_pairs` alone gates only the empty case).
+    Oracle = DuckDB brute force over the same VALUES."""
+    from distributed_lsh_spark.operators.vector_ann import cosine_pairs_exact
+    from distributed_lsh_spark.fixtures import COS_GATE_TAU
+
+    return (cosine_pairs_exact(_cosine_gate_df(spark), tau=COS_GATE_TAU)
+            .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+            .orderBy("id_a", "id_b"))
+
+
+def q_cosine_pairs_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall self-audit for the beyond-broadcast miner
+    (operators/vector_ann.cosine_pairs_lsh) on the planted fixture:
+    one row (n_exact, passed) where passed = (LSH found >= 90% of the
+    exact pairs) AND (every LSH pair is an exact pair — precision 1.0).
+    The oracle computes n_exact itself by SQL brute force and pins
+    passed = TRUE."""
+    from distributed_lsh_spark.fixtures import COS_GATE_TAU
+    from distributed_lsh_spark.operators.vector_ann import (
+        cosine_pairs_exact, cosine_pairs_lsh,
+    )
+
+    df = _cosine_gate_df(spark)
+    exact = cosine_pairs_exact(df, tau=COS_GATE_TAU).select("id_a", "id_b")
+    exact = exact.localCheckpoint(eager=False)
+    lsh = cosine_pairs_lsh(df, tau=COS_GATE_TAU, tables=16, bits=8,
+                           seed=42).select("id_a", "id_b")
+    lsh = lsh.localCheckpoint(eager=False)
+    n_exact = exact.count()
+    n_lsh = lsh.count()
+    n_bad = lsh.join(exact, ["id_a", "id_b"], "left_anti").count()
+    passed = (10 * n_lsh >= 9 * n_exact) and n_bad == 0
+    return spark.createDataFrame([(n_exact, passed)],
+                                 "n_exact long, passed boolean")
+
+
+def _sql_cosine_gate_cte() -> str:
+    from distributed_lsh_spark.fixtures import (
+        COS_GATE_D, COS_GATE_TAU, make_cosine_gate_fixture,
+    )
+
+    v = make_cosine_gate_fixture()
+    vals = ",".join("(%d,[%s])" % (i, ",".join(str(int(x)) for x in row))
+                    for i, row in enumerate(v))
+    dot = " + ".join(f"CAST(a.vec[{i + 1}] * b.vec[{i + 1}] AS DOUBLE)"
+                     for i in range(COS_GATE_D))
+    nrm = lambda t: ("sqrt(" + " + ".join(
+        f"CAST({t}.vec[{i + 1}] * {t}.vec[{i + 1}] AS DOUBLE)"
+        for i in range(COS_GATE_D)) + ")")
+    return f"""v(vec_id, vec) AS (VALUES {vals}),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ({dot}) / ({nrm('a')} * {nrm('b')}) AS sim
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+)"""
+
+
+def _sql_cosine_pairs_fixture() -> str:
+    from distributed_lsh_spark.fixtures import COS_GATE_TAU
+
+    return f"""WITH {_sql_cosine_gate_cte()}
+SELECT id_a, id_b, round(sim, 6) AS sim
+FROM pairs WHERE sim >= {COS_GATE_TAU} ORDER BY id_a, id_b"""
+
+
+def _sql_cosine_pairs_recall_audit() -> str:
+    from distributed_lsh_spark.fixtures import COS_GATE_TAU
+
+    return f"""WITH {_sql_cosine_gate_cte()}
+SELECT CAST(count(*) AS BIGINT) AS n_exact, TRUE AS passed
+FROM pairs WHERE sim >= {COS_GATE_TAU}"""
+
+
 def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup mining (training-pipeline requirement):
     EXACT all-pairs cosine >= tau via block-matmul against a broadcast
@@ -1057,6 +1144,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk_ivf": q_embedding_topk_ivf,
     "ann_recall_audit": q_ann_recall_audit,
     "html_extract": q_html_extract,
+    "cosine_pairs_fixture": q_cosine_pairs_fixture,
+    "cosine_pairs_recall_audit": q_cosine_pairs_recall_audit,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "balance_rollup": q_balance_rollup,
     "part_semi_anti": q_part_supplier_semi_anti,
@@ -1090,6 +1179,8 @@ ORACLE_SQL: dict[str, str] = {
     # via the ann_recall_audit row below.
     "ann_recall_audit": _sql_ann_recall_audit(),
     "html_extract": _sql_html_extract(),
+    "cosine_pairs_fixture": _sql_cosine_pairs_fixture(),
+    "cosine_pairs_recall_audit": _sql_cosine_pairs_recall_audit(),
     "embedding_cosine_pairs": _SQL_EMBEDDING_COSINE_PAIRS,
     "balance_rollup": _SQL_BALANCE_ROLLUP,
     "part_semi_anti": _SQL_PART_SEMI_ANTI,

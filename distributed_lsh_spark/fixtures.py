@@ -214,6 +214,25 @@ def make_ann_gate_fixture(seed: int = 42) -> AnnGateFixture:
                           query_buckets=buckets(queries), k=ANN_GATE_K)
 
 
+COS_GATE_N, COS_GATE_D, COS_GATE_TAU = 80, 8, 0.9
+COS_GATE_PLANTED = [(3, 5), (17, 40), (22, 23), (50, 71), (60, 61), (9, 64)]
+
+
+def make_cosine_gate_fixture(seed: int = 42) -> "np.ndarray":
+    """(n, d) INTEGER vectors with planted near-parallel pairs — integer
+    coords keep every dot product / squared norm exactly representable in
+    both engines, so the brute-force DuckDB oracle and the NumPy block
+    matmul agree to the last double bit.  Random 8-d int vectors sit far
+    below cos 0.9; the planted pairs (+-1 perturbations) sit near 0.999."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed + 23)
+    v = rng.integers(-50, 51, size=(COS_GATE_N, COS_GATE_D), dtype=np.int64)
+    for a, b in COS_GATE_PLANTED:
+        v[b] = v[a] + rng.integers(-1, 2, size=COS_GATE_D)
+    return v
+
+
 def pages_spark_df(spark, corpus: PagesCorpus):
     """Corpus -> Spark DataFrame with the authoritative pages schema +
     doc_id = row index (tests join on it; production uses xxhash64(url))."""
