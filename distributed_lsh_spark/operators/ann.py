@@ -87,6 +87,32 @@ def build_hash_tables(points: DataFrame, model: ReferenceLSHModel) -> DataFrame:
     return _exploded_buckets(pts, "point_id", "p_vec", model)
 
 
+def ann_accuracy(results: DataFrame, ground_truth: DataFrame, k: int,
+                 n_queries: int) -> DataFrame:
+    """The reference's evaluation metric (A5) as DataFrame ops: given
+    ann_search_spark output (query_id, point_id, dist, rank) and
+    ground_truth(query_id, true_dists array<double> ascending), return one
+    row (avg_ratio, n_missing) — mean over FINISHED queries of
+    mean_j(found_dist_j / true_dist_j), zero-distance neighbors counting
+    ratio 1, plus the count of queries that never finished
+    (MapReduce-LSH/.../lsh/searcher/LSHSearcher.java:283-316)."""
+    per_query = (
+        results.where(F.col("rank") <= k)
+        .join(F.broadcast(ground_truth), "query_id")
+        .withColumn("_true", F.expr("true_dists[rank - 1]"))
+        .withColumn("_ratio", F.when(F.col("_true") > 0,
+                                     F.col("dist") / F.col("_true"))
+                               .otherwise(F.lit(1.0)))
+        .groupBy("query_id")
+        .agg(F.avg("_ratio").alias("q_ratio"), F.count("*").alias("_n"))
+        .where(F.col("_n") >= k))
+    return (per_query
+            .agg(F.avg("q_ratio").alias("avg_ratio"),
+                 F.count("*").alias("_fin"))
+            .select("avg_ratio",
+                    (F.lit(n_queries) - F.col("_fin")).alias("n_missing")))
+
+
 def ann_search_spark(spark: SparkSession, points: DataFrame, queries: DataFrame,
                      model: ReferenceLSHModel, k: int,
                      tables: DataFrame | None = None) -> DataFrame:

@@ -127,3 +127,27 @@ def test_ann_gate_sql_oracle_three_way(spark):
            [(a, b, rk) for a, b, _, rk in numpy_rows]
     for g, n in zip(got, numpy_rows):
         assert math.isclose(g[2], n[2], rel_tol=1e-9, abs_tol=1e-9)
+
+
+def test_ann_accuracy_dataframe_matches_oracle(spark, model, fx):
+    """A5 engine-side: the DataFrame avg_ratio/missing metric equals the
+    NumPy oracle's avg_ratio on the same search results."""
+    from distributed_lsh_spark.operators.ann import ann_accuracy, ann_search_spark
+
+    k = 5
+    pts = spark.createDataFrame(
+        [(i, fx.points[i].tolist()) for i in range(len(fx.points))],
+        "id long, vec array<int>")
+    qs = spark.createDataFrame(
+        [(i, fx.queries[i].tolist()) for i in range(len(fx.queries))],
+        "query_id long, vec array<int>")
+    res = ann_search_spark(spark, pts, qs, model, k=k)
+    gt = spark.createDataFrame(
+        [(q, fx.ground_truth[q][:k].tolist()) for q in range(len(fx.queries))],
+        "query_id long, true_dists array<double>")
+    row = ann_accuracy(res, gt, k=k, n_queries=len(fx.queries)).collect()[0]
+
+    oracle_res = ann_search(model, fx.points, fx.queries, k=k)
+    want_ratio, want_missing = avg_ratio(oracle_res, fx.ground_truth, k=k)
+    assert row["n_missing"] == want_missing
+    assert math.isclose(row["avg_ratio"], want_ratio, rel_tol=1e-9)
