@@ -45,6 +45,10 @@ class StageManifest:
     status: str
     config_echo: dict
     fingerprint: str
+    # per-partition lineage counters (north_rule: "per-partition lineage +
+    # metrics"): {partition_id: row_count}, from the same single post-write
+    # scan that computes rows + fingerprint
+    partition_rows: dict | None = None
 
 
 class CheckpointManager:
@@ -127,12 +131,13 @@ class CheckpointManager:
             out = self._write_iceberg(name, df, partition_by, bucket_by)
         else:
             out = self._write_parquet(name, df, partition_by)
-        rows, fingerprint = _df_stats(out)       # ONE post-write scan
+        rows, fingerprint, part_rows = _df_stats(out)   # ONE post-write scan
         manifest = StageManifest(
             run_id=self.run_id, stage=name, rows=rows,
-            n_partitions=out.rdd.getNumPartitions(), status="complete",
+            n_partitions=len(part_rows), status="complete",
             config_echo=_json_normalize(self.config_echo),
             fingerprint=fingerprint,
+            partition_rows={str(k): v for k, v in sorted(part_rows.items())},
         )
         os.makedirs(self._dir(name), exist_ok=True)
         with open(self._manifest_path(name) + ".tmp", "w") as f:
@@ -194,18 +199,23 @@ def _json_normalize(d: dict) -> dict:
     return json.loads(json.dumps(d, default=str, sort_keys=True))
 
 
-def _df_stats(df: DataFrame) -> tuple[int, str]:
-    """(row count, order-insensitive content hash) in ONE aggregate — the
-    manifest used to cost a count() scan plus a fingerprint scan per stage
-    (2 extra full reads of every checkpoint at scale)."""
+def _df_stats(df: DataFrame) -> tuple[int, str, dict[int, int]]:
+    """(row count, order-insensitive content hash, per-partition row
+    counts) in ONE scan — the manifest used to cost a count() scan plus a
+    fingerprint scan per stage (2 extra full reads of every checkpoint at
+    scale); the per-partition counters ride the same groupBy."""
     from pyspark.sql import functions as F
 
     cols = [F.col(c).cast("string") for c in df.columns]
-    row = df.agg(
-        F.count(F.lit(1)).alias("rows"),
-        F.coalesce(F.sum(F.pmod(F.xxhash64(*cols), F.lit(1_000_000_007))),
-                   F.lit(0)).alias("fp")).collect()[0]
-    return int(row["rows"]), str(row["fp"])
+    rows = (df.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.count(F.lit(1)).alias("rows"),
+                 F.coalesce(F.sum(F.pmod(F.xxhash64(*cols),
+                                         F.lit(1_000_000_007))),
+                            F.lit(0)).alias("fp")).collect())
+    part_rows = {int(r["pid"]): int(r["rows"]) for r in rows}
+    total = sum(part_rows.values())
+    fp = sum(int(r["fp"]) for r in rows)
+    return total, str(fp), part_rows
 
 
 def _df_fingerprint(df: DataFrame) -> str:

@@ -439,3 +439,18 @@ def test_html_extract_oracle_matches_python_extractor():
         ext = extract_text(html)
         want = (hashlib.md5(ext.encode()).hexdigest(), len(ext))
         assert got[doc_id] == want, doc_id
+
+
+def test_manifest_carries_partition_lineage(spark, tmp_path):
+    """north_rule: checkpoints carry per-partition lineage + metrics —
+    the manifest's partition_rows must sum to rows and come from the
+    single post-write scan."""
+    from distributed_lsh_spark.sources.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(spark, str(tmp_path), run_id="rp",
+                             config_echo={})
+    ckpt.stage("s", lambda: spark.range(1000).repartition(7)
+               .withColumnRenamed("id", "doc_id"))
+    m = ckpt.manifest("s")
+    assert sum(m["partition_rows"].values()) == m["rows"] == 1000
+    assert m["n_partitions"] == len(m["partition_rows"])
