@@ -53,6 +53,14 @@ def main() -> None:
 
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
 
+    # Right-size the shuffle width to the corpus (SCALE.md's own rule):
+    # 32 shuffle partitions over a 5k-doc sf0.1 corpus is pure task-
+    # scheduling overhead in the deep CC/join chains (measured: clusters
+    # 8.0s -> 5.8s at 12).  AQE still coalesces below this; large corpora
+    # keep the full width.
+    sp = max(8, min(cores, n_docs // 400))
+    spark.conf.set("spark.sql.shuffle.partitions", str(sp))
+
     # best-of-2 per query: this host shows 1.3-1.6x run-to-run swings from
     # external load (BENCH/BASELINE.md); the faster repetition is the
     # least-noise-inflated steady-state estimate.
