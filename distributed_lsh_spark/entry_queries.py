@@ -23,7 +23,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from distributed_lsh_spark.conf import DEFAULT_CONFIG, DedupConfig
-from distributed_lsh_spark.functions.text import with_shingle_hashes, normalized_tokens
+from distributed_lsh_spark.functions.text import (
+    normalized_tokens, shingle_strings, with_shingle_hashes,
+)
 from distributed_lsh_spark.pipeline import build_stages, run_dedup
 
 CFG = DEFAULT_CONFIG
@@ -548,6 +550,101 @@ def _sql_ann_topk() -> str:
     from distributed_lsh_spark.oracle.ann_gate_sql import sql_ann_topk
 
     return sql_ann_topk(make_ann_gate_fixture())
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing + benchmark-contamination — training-data pipeline ops
+# --------------------------------------------------------------------------
+
+# RE2-and-Java-regex-compatible patterns (explicit classes, no \b/\w/\s,
+# no alternation — greedy-quantifier matches agree between backtracking
+# Java regex and leftmost-longest RE2 for these shapes).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
+PII_IP = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (training-data pipeline requirement): plant
+    deterministic email/phone/IP strings per doc (identically on both
+    sides — the sf corpus itself carries none), then count + redact each
+    type in sequence.  Gated on per-type counts AND md5 of the scrubbed
+    bytes, so engine/oracle must agree on every match boundary."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id").cast("string")
+    s0 = F.concat(F.col("text"),
+                  F.lit(" contact user"), d, F.lit("@example.com or +1 (555) 010-"),
+                  F.pmod(F.col("doc_id"), F.lit(9000)).cast("string"),
+                  F.lit("1 from 10.0."), F.pmod(F.col("doc_id"), F.lit(250)).cast("string"),
+                  F.lit(".7"))
+    n_email = F.regexp_count(s0, F.lit(PII_EMAIL))
+    s1 = F.regexp_replace(s0, PII_EMAIL, "<EMAIL>")
+    n_phone = F.regexp_count(s1, F.lit(PII_PHONE))
+    s2 = F.regexp_replace(s1, PII_PHONE, "<PHONE>")
+    n_ip = F.regexp_count(s2, F.lit(PII_IP))
+    s3 = F.regexp_replace(s2, PII_IP, "<IP>")
+    return (df.select("doc_id", n_email.alias("n_email"),
+                      n_phone.alias("n_phone"), n_ip.alias("n_ip"),
+                      F.md5(s3.cast("binary")).alias("scrub_md5"))
+              .orderBy("doc_id"))
+
+
+def _sql_pii_scrub() -> str:
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    s0 = ("text || ' contact user' || doc_id || '@example.com or +1 (555) 010-' "
+          "|| (doc_id % 9000) || '1 from 10.0.' || (doc_id % 250) || '.7'")
+    s1 = f"regexp_replace(s0, {lit(PII_EMAIL)}, '<EMAIL>', 'g')"
+    s2 = f"regexp_replace(s1, {lit(PII_PHONE)}, '<PHONE>', 'g')"
+    s3 = f"regexp_replace(s2, {lit(PII_IP)}, '<IP>', 'g')"
+    return f"""WITH a AS (SELECT doc_id, {s0} AS s0 FROM documents),
+b AS (SELECT doc_id, s0, {s1} AS s1 FROM a),
+c AS (SELECT doc_id, s0, s1, {s2} AS s2 FROM b),
+d AS (SELECT doc_id, s0, s1, s2, {s3} AS s3 FROM c)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(s0, {lit(PII_EMAIL)})) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(s1, {lit(PII_PHONE)})) AS INT) AS n_phone,
+       CAST(len(regexp_extract_all(s2, {lit(PII_IP)})) AS INT) AS n_ip,
+       md5(s3) AS scrub_md5
+FROM d ORDER BY doc_id"""
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check (training-data pipeline requirement):
+    the docs with doc_id % 50 == 0 act as the 'eval set'; every corpus doc
+    is scored by how many of its distinct 5-gram shingles appear in the
+    eval set's shingle inventory.  The eval docs score 1.0; their exact
+    and near duplicates score high — the standard n-gram-overlap
+    decontamination signal.  Shuffle shape: broadcast the (small) eval
+    inventory, one groupBy."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    grams = F.array_distinct(shingle_strings("text", CFG.shingle_k))
+    g = df.select("doc_id", F.explode(grams).alias("g"))
+    eval_grams = (g.where(F.pmod(F.col("doc_id"), F.lit(50)) == 0)
+                  .select("g").dropDuplicates())
+    sizes = df.select("doc_id", F.size(grams).alias("n_grams"))
+    hits = (g.join(F.broadcast(eval_grams), "g")
+             .groupBy("doc_id").agg(F.count("*").alias("n_hit")))
+    return (sizes.join(hits, "doc_id", "left")
+            .select("doc_id", "n_grams",
+                    F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+                    F.round(F.coalesce("n_hit", F.lit(0)) / F.col("n_grams"), 6)
+                     .alias("contam_ratio"))
+            .where(F.col("n_grams") > 0)
+            .orderBy("doc_id"))
+
+
+def _sql_contamination_check() -> str:
+    return f"""WITH {_duck_shingle_cte(CFG.shingle_k)},
+ev AS (SELECT DISTINCT g FROM shd WHERE doc_id % 50 = 0),
+hits AS (SELECT shd.doc_id, count(*) AS n_hit
+         FROM shd JOIN ev ON shd.g = ev.g GROUP BY shd.doc_id)
+SELECT s.doc_id, s.n AS n_grams,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       round(coalesce(h.n_hit, 0) * 1.0 / s.n, 6) AS contam_ratio
+FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
+WHERE s.n > 0 ORDER BY s.doc_id"""
 
 
 # --------------------------------------------------------------------------
@@ -1146,6 +1243,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_extract": q_html_extract,
     "cosine_pairs_fixture": q_cosine_pairs_fixture,
     "cosine_pairs_recall_audit": q_cosine_pairs_recall_audit,
+    "pii_scrub": q_pii_scrub,
+    "contamination_check": q_contamination_check,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "balance_rollup": q_balance_rollup,
     "part_semi_anti": q_part_supplier_semi_anti,
@@ -1181,6 +1280,8 @@ ORACLE_SQL: dict[str, str] = {
     "html_extract": _sql_html_extract(),
     "cosine_pairs_fixture": _sql_cosine_pairs_fixture(),
     "cosine_pairs_recall_audit": _sql_cosine_pairs_recall_audit(),
+    "pii_scrub": _sql_pii_scrub(),
+    "contamination_check": _sql_contamination_check(),
     "embedding_cosine_pairs": _SQL_EMBEDDING_COSINE_PAIRS,
     "balance_rollup": _SQL_BALANCE_ROLLUP,
     "part_semi_anti": _SQL_PART_SEMI_ANTI,
