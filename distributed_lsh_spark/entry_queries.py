@@ -616,8 +616,12 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     is scored by how many of its distinct 5-gram shingles appear in the
     eval set's shingle inventory.  The eval docs score 1.0; their exact
     and near duplicates score high — the standard n-gram-overlap
-    decontamination signal.  Shuffle shape: broadcast the (small) eval
-    inventory, one groupBy."""
+    decontamination signal.  Shuffle shape: broadcast the eval inventory,
+    one groupBy.  Scale note: the modulo-50 eval set is a sandbox stand-in;
+    in production the inventory is a FIXED benchmark suite (MBs — e.g. the
+    eval sets a lab decontaminates against), which broadcasts at any corpus
+    size; if an inventory ever outgrew broadcast range, dropping the hint
+    degrades this to a plain shuffle join with identical semantics."""
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     grams = F.array_distinct(shingle_strings("text", CFG.shingle_k))
     g = df.select("doc_id", F.explode(grams).alias("g"))
