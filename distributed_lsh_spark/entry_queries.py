@@ -774,9 +774,11 @@ def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Manku et al. WWW'07 block-permutation tables) — 6 bit-chunks, composite
     keys over every 3-chunk combination, any pair within distance 3 matches
     >= 1 composite key, so the banded join equals brute force.  Fingerprint
-    chain is md5_h64-based so DuckDB replays it (the oracle below is the
-    brute-force form).  The internal crc32-SimHash over MinHash-band
-    candidates stays pytest-pinned (operators/verify.hamming_pairs)."""
+    chain = rolling-poly gram hashes over per-token md5_h64 (O(tokens),
+    fused Arrow pass — same chain as the substring stage) so DuckDB
+    replays it (the oracle below is the brute-force form).  The internal
+    crc32-SimHash over MinHash-band candidates stays pytest-pinned
+    (operators/verify.hamming_pairs)."""
     from distributed_lsh_spark.operators.simhash_exact import simhash_dup_pairs
 
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -786,10 +788,33 @@ def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_simhash_hamming_pairs() -> str:
-    from distributed_lsh_spark.functions.md5hash import duck_h64
+    from distributed_lsh_spark.functions.md5hash import duck_h64u
+    from distributed_lsh_spark.operators.substring import TH_SHIFT, window_pows
 
-    return f"""WITH {_duck_shingle_cte(CFG.shingle_k)},
-gh AS (SELECT doc_id, {duck_h64('g')} AS h FROM shd),
+    k = CFG.shingle_k
+    p64 = "18446744073709551616::HUGEINT"
+    signed = ("wu -> (CASE WHEN wu >= 9223372036854775808::HUGEINT "
+              f"THEN wu - {p64} ELSE wu END)::BIGINT")
+    win_terms = " + ".join(
+        f"(th[i+{j}] * {p}::HUGEINT) % {p64}"
+        for j, p in enumerate(window_pows(k)))
+    short_cases = "".join(
+        f"WHEN len(th) = {n} THEN [("
+        + (" + ".join(f"(th[{j + 1}] * {p}::HUGEINT) % {p64}"
+                      for j, p in enumerate(window_pows(n))) or "0::HUGEINT")
+        + f") % {p64}]\n         "
+        for n in range(0, k))
+    return f"""WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+thc AS (SELECT doc_id,
+               [({duck_h64u('tok')} // {1 << TH_SHIFT}::HUGEINT) for tok in t] AS th
+        FROM toks),
+whs AS (SELECT doc_id, CASE
+         {short_cases}ELSE [({win_terms}) % {p64}
+               for i in range(1, len(th) - {k - 2})]
+        END AS whu FROM thc),
+gh AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(whu, {signed}))) AS h
+       FROM whs),
 bits AS (SELECT doc_id, j, sum((h >> j) & 1) AS c, count(*) AS n
          FROM gh, range(64) r(j) GROUP BY 1, 2),
 fpu AS (SELECT doc_id,

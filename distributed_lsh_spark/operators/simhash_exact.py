@@ -14,10 +14,15 @@ MapReduce-LSH/.../common/LSH.java:117-131) instantiated with bit-slice
 combinations as the tables, with a provable recall guarantee instead of a
 probabilistic one.
 
-The fingerprint here is the md5_h64-based SimHash over distinct word
-k-grams (functions/md5hash.py) so the whole chain has a DuckDB oracle;
-the internal pipeline's crc32-based SimHash (functions/signature.py) is
-pinned by the NumPy oracle instead.
+The fingerprint is a SimHash over the doc's DISTINCT word k-grams, where
+the gram hash is the same rolling 64-bit polynomial over 44-bit per-token
+md5_h64 values the substring stage uses (operators/substring.py step 2):
+md5 runs once per DISTINCT token (O(token bytes)), windows are k
+multiply-adds — not md5 over each concatenated k-gram string (O(tokens*k)
+string bytes, the anti-pattern the substring rewrite killed).  Token-level
+md5 keeps the whole chain replayable in DuckDB; the internal pipeline's
+crc32-based SimHash (functions/signature.py) is pinned by the NumPy
+oracle instead.
 
 Scale: with the degenerate c = h + 1 (m = 1) the keys are single 16-bit
 chunks — 65,536 buckets, which at 10^9 docs means ~15k docs/bucket and a
@@ -34,33 +39,61 @@ from __future__ import annotations
 
 from itertools import combinations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from distributed_lsh_spark.functions.md5hash import spark_h64
-from distributed_lsh_spark.functions.text import _NORMALIZE_SQL, _SHINGLE_SQL
+from distributed_lsh_spark.operators.substring import (
+    TH_SHIFT, _MASK64, _md5_vocab, window_pows,
+)
 
 
 def simhash_md5(df: DataFrame, k: int = 5, text_col: str = "text") -> DataFrame:
     """-> (doc_id, simhash): 64-bit SimHash over the doc's DISTINCT word
-    k-grams, gram hash = md5_h64(gram string).  Pure JVM: gram explode +
-    one groupBy with 64 bit-sum aggregates + disjoint-bit reassembly."""
-    toks = _NORMALIZE_SQL.format(col=text_col)
-    grams = _SHINGLE_SQL.format(toks="_toks", k=k)
-    g = (df.withColumn("_toks", F.expr(toks))
-           .select("doc_id",
-                   F.explode(F.expr(f"array_distinct({grams})")).alias("_g"))
-           .withColumn("_h", F.expr(spark_h64("_g"))))
-    bit_sums = [F.sum(F.expr(f"shiftright(_h, {j}) & 1")).alias(f"_b{j}")
-                for j in range(64)]
-    agg = g.groupBy("doc_id").agg(F.count("*").alias("_n"), *bit_sums)
-    # majority bit j set iff 2*cnt_j > n; bits are disjoint so SUM == OR.
-    # bit 63 contributes 1L<<63 == Long.MIN_VALUE; the remaining bits sum
-    # to < 2^63, so the signed total never overflows.
-    fp = " + ".join(
-        f"(CASE WHEN 2 * _b{j} > _n THEN {1 << j if j < 63 else -(1 << 63)}L "
-        f"ELSE 0L END)" for j in range(64))
-    return agg.select("doc_id", F.expr(fp).alias("simhash"))
+    k-gram rolling-poly hashes (module docstring).  One fused Arrow pass:
+    Arrow tokenize, md5 per DISTINCT token, k multiply-adds for every
+    window of the whole batch, per-doc distinct + vectorized bit majority.
+    Map-only — the previous form exploded one row per gram through an
+    md5-per-gram-string groupBy."""
+    pows = np.array(window_pows(k), dtype=np.uint64)
+
+    @F.pandas_udf(T.LongType())
+    def _sh(texts: pd.Series) -> pd.Series:
+        from distributed_lsh_spark.functions.signature import _token_hashes
+
+        tok_h, lens = _token_hashes(texts, token_hash=_md5_vocab)
+        th = tok_h >> np.uint64(TH_SHIFT)
+        n_tok = len(th)
+        if n_tok >= k:
+            H = np.zeros(n_tok - k + 1, dtype=np.uint64)
+            for j in range(k):
+                H += th[j:n_tok - k + 1 + j] * pows[j]
+        else:
+            H = np.empty(0, dtype=np.uint64)
+        offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+
+        out = np.empty(len(lens), dtype=np.int64)
+        for d in range(len(lens)):
+            n = int(lens[d])
+            if n >= k:
+                wh = H[offsets[d]:offsets[d] + n - k + 1]
+            else:
+                pn = np.array(window_pows(n), dtype=np.uint64)
+                wh = np.array(
+                    [(th[offsets[d]:offsets[d] + n] * pn).sum()] if n else [0],
+                    dtype=np.uint64)
+            uniq = np.unique(wh)
+            bits = np.unpackbits(uniq.view(np.uint8).reshape(-1, 8),
+                                 axis=1, bitorder="little").sum(axis=0)
+            fp_bits = 2 * bits > len(uniq)
+            out[d] = np.packbits(fp_bits, bitorder="little") \
+                       .view(np.dtype("<u8"))[0].astype(np.int64)
+        return pd.Series(out)
+
+    return df.select("doc_id", _sh(F.col(text_col)).alias("simhash"))
 
 
 def _combo_keys(fp_col: str, hamming_threshold: int, n_chunks: int):
@@ -143,16 +176,21 @@ def py_simhash_md5(text: str, k: int = 5) -> int:
     from distributed_lsh_spark.functions.md5hash import py_md5_h64
 
     toks = [t for t in re.sub(r"[^a-z0-9]+", " ", text.lower()).split(" ") if t]
-    if len(toks) < k:
-        grams = {" ".join(toks)}
+    th = [(py_md5_h64(t) & _MASK64) >> TH_SHIFT for t in toks]
+    n = len(th)
+    if n < k:
+        pn = window_pows(n)
+        grams = {sum(th[j] * pn[j] for j in range(n)) & _MASK64}
     else:
-        grams = {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
-    hs = [py_md5_h64(g) for g in grams]
-    n = len(hs)
+        pows = window_pows(k)
+        grams = {sum(th[i + j] * pows[j] for j in range(k)) & _MASK64
+                 for i in range(n - k + 1)}
+    hs = sorted(grams)
+    m = len(hs)
     u = 0
     for j in range(64):
         cnt = sum((h >> j) & 1 for h in hs)
-        if 2 * cnt > n:
+        if 2 * cnt > m:
             u |= 1 << j
     return u - (1 << 64) if u >= (1 << 63) else u
 
