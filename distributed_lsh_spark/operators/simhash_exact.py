@@ -121,6 +121,21 @@ def _combo_keys(fp_col: str, hamming_threshold: int, n_chunks: int):
     return out
 
 
+def simhash_keys(fps: DataFrame, hamming_threshold: int = 3,
+                 n_chunks: int = 6) -> DataFrame:
+    """(doc_id, simhash) -> (doc_id, simhash, combo_id, key): the C(c, m)
+    composite index rows per doc — the persistable index frame (the
+    streaming path appends it per batch, like the MinHash band_index)."""
+    combo = F.explode(F.array(*[
+        F.struct(F.lit(cid).alias("combo_id"), F.expr(key).alias("key"))
+        for cid, key in _combo_keys("simhash", hamming_threshold, n_chunks)
+    ])).alias("c")
+    return (fps.select("doc_id", "simhash", combo)
+            .select("doc_id", "simhash",
+                    F.col("c.combo_id").alias("combo_id"),
+                    F.col("c.key").alias("key")))
+
+
 def simhash_chunk_candidates(fps: DataFrame, hamming_threshold: int = 3,
                              n_chunks: int = 6,
                              cap: int | None = None) -> DataFrame:
@@ -128,14 +143,7 @@ def simhash_chunk_candidates(fps: DataFrame, hamming_threshold: int = 3,
     agreeing on at least one composite key — a superset of all pairs
     within hamming_threshold (pigeonhole), deduped, NOT yet verified.
     Factored out so tests can bound the candidate count directly."""
-    combo = F.explode(F.array(*[
-        F.struct(F.lit(cid).alias("combo_id"), F.expr(key).alias("key"))
-        for cid, key in _combo_keys("simhash", hamming_threshold, n_chunks)
-    ])).alias("c")
-    keys = (fps.select("doc_id", "simhash", combo)
-               .select("doc_id", "simhash",
-                       F.col("c.combo_id").alias("combo_id"),
-                       F.col("c.key").alias("key")))
+    keys = simhash_keys(fps, hamming_threshold, n_chunks)
     if cap is not None:
         w = Window.partitionBy("combo_id", "key") \
                   .orderBy(F.xxhash64("combo_id", "doc_id"), "doc_id")

@@ -145,6 +145,96 @@ def incremental_dedup_stream(spark: SparkSession, input_dir: str, state_dir: str
     return writer.start()
 
 
+def incremental_simhash_stream(spark: SparkSession, input_dir: str,
+                               state_dir: str, k: int = 5,
+                               hamming_threshold: int = 3, n_chunks: int = 6,
+                               schema: str = "doc_id long, text string",
+                               available_now: bool = True,
+                               max_files_per_trigger: int = 16):
+    """SimHash twin of incremental_dedup_stream: EXACT Hamming <= h pairs
+    over the accumulated corpus, incrementally.  Per batch: fused-Arrow
+    fingerprints + multi-index composite keys (operators/simhash_exact);
+    new keys join the PERSISTED key index (new-vs-old) and themselves
+    (new-vs-new); candidates verify with exact bit_count.  Per-batch cost
+    O(batch + collisions) — history fingerprints are read (16 B rows)
+    only for docs that actually collided.
+
+    State layout under `state_dir`:
+      checkpoint/      Spark streaming checkpoint
+      fps/             accumulated fingerprints (doc_id, simhash)
+      simhash_index/   accumulated composite keys (doc_id, combo_id, key)
+      pairs/           verified (id_a, id_b, hamming) with batch_id lineage
+    """
+    from distributed_lsh_spark.operators.simhash_exact import (
+        simhash_keys, simhash_md5,
+    )
+
+    fps_dir = os.path.join(state_dir, "fps")
+    idx_dir = os.path.join(state_dir, "simhash_index")
+    pairs_dir = os.path.join(state_dir, "pairs")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", str(max_files_per_trigger))
+              .parquet(input_dir))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        fps = simhash_md5(batch_df.select("doc_id", "text"), k) \
+            .withColumn("batch_id", F.lit(batch_id))
+        fps.persist()
+        try:
+            new_keys = simhash_keys(fps, hamming_threshold, n_chunks) \
+                .select("doc_id", "combo_id", "key") \
+                .withColumn("batch_id", F.lit(batch_id))
+            new_keys.persist()
+            if has_band_history(spark, idx_dir):
+                old_keys = spark.read.parquet(idx_dir) \
+                    .where(F.col("batch_id") < batch_id)
+                old_fps = spark.read.parquet(fps_dir) \
+                    .where(F.col("batch_id") < batch_id)
+                all_fps = old_fps.unionByName(fps)
+                cross = (new_keys.alias("a")
+                         .join(old_keys.alias("b"), ["combo_id", "key"])
+                         .select(F.least("a.doc_id", "b.doc_id").alias("id_a"),
+                                 F.greatest("a.doc_id", "b.doc_id").alias("id_b")))
+            else:
+                all_fps = fps
+                cross = spark.createDataFrame([], "id_a long, id_b long")
+            a, b = new_keys.alias("a"), new_keys.alias("b")
+            within = (a.join(b, ["combo_id", "key"])
+                      .where(F.col("a.doc_id") < F.col("b.doc_id"))
+                      .select("a.doc_id", "b.doc_id").toDF("id_a", "id_b"))
+            cands = (cross.unionByName(within)
+                     .where(F.col("id_a") != F.col("id_b"))
+                     .dropDuplicates(["id_a", "id_b"])
+                     .localCheckpoint(eager=False))
+            fa = all_fps.select(F.col("doc_id").alias("id_a"),
+                                F.col("simhash").alias("_fa"))
+            fb = all_fps.select(F.col("doc_id").alias("id_b"),
+                                F.col("simhash").alias("_fb"))
+            ham = F.expr("bit_count(_fa ^ _fb)")
+            verified = (F.broadcast(cands).join(fa, "id_a").join(fb, "id_b")
+                        .where(ham <= hamming_threshold)
+                        .select("id_a", "id_b",
+                                ham.cast("long").alias("hamming"))
+                        .withColumn("batch_id", F.lit(batch_id)))
+            for df, d in ((verified, pairs_dir), (fps, fps_dir),
+                          (new_keys, idx_dir)):
+                (df.write.mode("overwrite").partitionBy("batch_id")
+                   .option("partitionOverwriteMode", "dynamic").parquet(d))
+        finally:
+            fps.unpersist()
+            new_keys.unpersist()
+
+    writer = (stream.writeStream
+              .foreachBatch(process_batch)
+              .option("checkpointLocation", os.path.join(state_dir, "checkpoint")))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_hourly_counts(spark: SparkSession, input_dir: str,
                             schema: str = ("event_id long, ts timestamp, user_id long, "
                                            "event_type string, value double"),

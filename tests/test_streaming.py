@@ -66,3 +66,43 @@ def test_has_band_history_is_fs_agnostic(spark, tmp_path):
     d2 = tmp_path / "other"
     (d2 / "stuff").mkdir(parents=True)
     assert not has_band_history(spark, str(d2))
+
+
+def test_incremental_simhash_matches_batch(spark, tiny_corpus, tmp_path):
+    """Streaming SimHash twin: accumulated stream pairs == one-shot batch
+    simhash_dup_pairs over the full corpus (cross-batch pairs included)."""
+    from distributed_lsh_spark.operators.simhash_exact import (
+        oracle_simhash_pairs,
+    )
+    from distributed_lsh_spark.streaming.dedup_stream import (
+        incremental_simhash_stream,
+    )
+
+    docs = {i: t for i, t in list(tiny_corpus.texts_by_id().items())[:120]}
+    ids = sorted(docs)
+    input_dir = str(tmp_path / "incoming")
+    state_dir = str(tmp_path / "state")
+    os.makedirs(input_dir)
+    # round-robin split: planted dup clusters have ADJACENT ids, so this
+    # guarantees cross-batch pairs (the new-vs-history join must find them)
+    chunks = [[i for i in ids if i % 3 == n] for n in range(3)]
+    for n, chunk in enumerate(chunks):
+        spark.createDataFrame([(i, docs[i]) for i in chunk],
+                              "doc_id long, text string") \
+             .coalesce(1).write.parquet(os.path.join(input_dir, f"drop{n}"))
+
+    q = incremental_simhash_stream(spark, input_dir + "/*", state_dir,
+                                   k=5, available_now=True,
+                                   max_files_per_trigger=1)
+    q.awaitTermination(240)
+
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in spark.read.parquet(
+               os.path.join(state_dir, "pairs")).collect()}
+    expect = oracle_simhash_pairs(docs, k=5, hamming_threshold=3)
+    assert got == expect
+    assert expect, "fixture must contain simhash-near pairs"
+    # pairs whose members arrived in DIFFERENT batches prove the
+    # new-vs-history join works
+    assert any(a % 3 != b % 3 for a, b in expect), \
+        "fixture should plant cross-batch pairs"
