@@ -10,7 +10,7 @@ Spark engine agree bit-for-bit.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 
 # The reference folds 64-bit hash accumulators into [0, 2^31-1) with
 # PRIME = 2147483647 (MapReduce-LSH/.../common/LSH.java:21,260-269).  We keep

@@ -22,9 +22,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from distributed_lsh_spark.conf import DEFAULT_CONFIG, DedupConfig
+from distributed_lsh_spark.conf import DEFAULT_CONFIG
 from distributed_lsh_spark.functions.text import (
-    normalized_tokens, shingle_strings, with_shingle_hashes,
+    normalized_tokens, shingle_strings,
 )
 from distributed_lsh_spark.pipeline import build_stages, run_dedup
 
