@@ -235,6 +235,74 @@ def incremental_simhash_stream(spark: SparkSession, input_dir: str,
     return writer.start()
 
 
+def incremental_substring_stream(spark: SparkSession, input_dir: str,
+                                 state_dir: str, window: int = 50,
+                                 guarantee: int = 10, min_shared: int = 2,
+                                 schema: str = "doc_id long, text string",
+                                 available_now: bool = True,
+                                 max_files_per_trigger: int = 16):
+    """Exact-substring twin of incremental_dedup_stream: doc pairs sharing
+    >= min_shared winnowed window fingerprints (verbatim spans), found
+    incrementally.  A pair's later-arriving doc carries its COMPLETE
+    fingerprint set in its own batch, so joining the batch's fingerprints
+    against the persisted index (plus itself) yields the pair's full
+    shared-fp count the moment both members exist — each pair is emitted
+    exactly once, in max(batch_a, batch_b).
+
+    State layout under `state_dir`:
+      checkpoint/   Spark streaming checkpoint
+      fp_index/     accumulated DISTINCT (doc_id, fp) rows
+      pairs/        (id_a, id_b, n_shared_fps) with batch_id lineage
+    """
+    from distributed_lsh_spark.operators.substring import window_fingerprints
+
+    idx_dir = os.path.join(state_dir, "fp_index")
+    pairs_dir = os.path.join(state_dir, "pairs")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", str(max_files_per_trigger))
+              .parquet(input_dir))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        new_fp = (window_fingerprints(batch_df.select("doc_id", "text"),
+                                      window=window, guarantee=guarantee)
+                  .select("doc_id", "fp").dropDuplicates()
+                  .withColumn("batch_id", F.lit(batch_id)))
+        new_fp.persist()
+        try:
+            if has_band_history(spark, idx_dir):
+                old_fp = spark.read.parquet(idx_dir) \
+                    .where(F.col("batch_id") < batch_id)
+                cross = (new_fp.alias("a").join(old_fp.alias("b"), "fp")
+                         .select(F.least("a.doc_id", "b.doc_id").alias("id_a"),
+                                 F.greatest("a.doc_id", "b.doc_id").alias("id_b")))
+            else:
+                cross = spark.createDataFrame([], "id_a long, id_b long")
+            a, b = new_fp.alias("a"), new_fp.alias("b")
+            within = (a.join(b, "fp")
+                      .where(F.col("a.doc_id") < F.col("b.doc_id"))
+                      .select("a.doc_id", "b.doc_id").toDF("id_a", "id_b"))
+            pairs = (cross.unionByName(within)
+                     .groupBy("id_a", "id_b")
+                     .agg(F.count("*").alias("n_shared_fps"))
+                     .where(F.col("n_shared_fps") >= min_shared)
+                     .withColumn("batch_id", F.lit(batch_id)))
+            for df, d in ((pairs, pairs_dir), (new_fp, idx_dir)):
+                (df.write.mode("overwrite").partitionBy("batch_id")
+                   .option("partitionOverwriteMode", "dynamic").parquet(d))
+        finally:
+            new_fp.unpersist()
+
+    writer = (stream.writeStream
+              .foreachBatch(process_batch)
+              .option("checkpointLocation", os.path.join(state_dir, "checkpoint")))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_hourly_counts(spark: SparkSession, input_dir: str,
                             schema: str = ("event_id long, ts timestamp, user_id long, "
                                            "event_type string, value double"),

@@ -106,3 +106,41 @@ def test_incremental_simhash_matches_batch(spark, tiny_corpus, tmp_path):
     # new-vs-history join works
     assert any(a % 3 != b % 3 for a, b in expect), \
         "fixture should plant cross-batch pairs"
+
+
+def test_incremental_substring_matches_batch(spark, tiny_corpus, tmp_path):
+    """Streaming substring twin: accumulated stream pairs == one-shot
+    oracle_substring_pairs over the full corpus."""
+    from distributed_lsh_spark.operators.substring import (
+        oracle_substring_pairs,
+    )
+    from distributed_lsh_spark.streaming.dedup_stream import (
+        incremental_substring_stream,
+    )
+
+    docs = tiny_corpus.texts_by_id()
+    ids = sorted(docs)
+    input_dir = str(tmp_path / "incoming")
+    state_dir = str(tmp_path / "state")
+    os.makedirs(input_dir)
+    chunks = [[i for i in ids if i % 3 == n] for n in range(3)]
+    for n, chunk in enumerate(chunks):
+        spark.createDataFrame([(i, docs[i]) for i in chunk],
+                              "doc_id long, text string") \
+             .coalesce(1).write.parquet(os.path.join(input_dir, f"drop{n}"))
+
+    q = incremental_substring_stream(spark, input_dir + "/*", state_dir,
+                                     window=50, guarantee=10, min_shared=2,
+                                     available_now=True,
+                                     max_files_per_trigger=1)
+    q.awaitTermination(240)
+
+    got = {(r["id_a"], r["id_b"]): r["n_shared_fps"]
+           for r in spark.read.parquet(
+               os.path.join(state_dir, "pairs")).collect()}
+    expect = oracle_substring_pairs(docs, window=50, guarantee=10,
+                                    min_shared=2)
+    assert got == expect
+    assert expect, "fixture must contain long-repeat pairs"
+    assert any(a % 3 != b % 3 for a, b in expect), \
+        "fixture should plant cross-batch pairs"
