@@ -144,3 +144,46 @@ def test_incremental_substring_matches_batch(spark, tiny_corpus, tmp_path):
     assert expect, "fixture must contain long-repeat pairs"
     assert any(a % 3 != b % 3 for a, b in expect), \
         "fixture should plant cross-batch pairs"
+
+
+def test_incremental_simhash_stream_restart(spark, tiny_corpus, tmp_path):
+    """Stream restart: a NEW query over the same state dir picks up the
+    persisted key index + checkpoint and finds pairs spanning the
+    pre-restart and post-restart batches."""
+    from distributed_lsh_spark.operators.simhash_exact import (
+        oracle_simhash_pairs,
+    )
+    from distributed_lsh_spark.streaming.dedup_stream import (
+        incremental_simhash_stream,
+    )
+
+    docs = {i: t for i, t in list(tiny_corpus.texts_by_id().items())[:90]}
+    ids = sorted(docs)
+    input_dir = str(tmp_path / "incoming")
+    state_dir = str(tmp_path / "state")
+    os.makedirs(input_dir)
+    first = [i for i in ids if i % 2 == 0]
+    second = [i for i in ids if i % 2 == 1]
+    spark.createDataFrame([(i, docs[i]) for i in first],
+                          "doc_id long, text string") \
+         .coalesce(1).write.parquet(os.path.join(input_dir, "drop0"))
+
+    q = incremental_simhash_stream(spark, input_dir + "/*", state_dir,
+                                   k=5, available_now=True)
+    q.awaitTermination(240)
+
+    # restart: second half arrives after the first query terminated
+    spark.createDataFrame([(i, docs[i]) for i in second],
+                          "doc_id long, text string") \
+         .coalesce(1).write.parquet(os.path.join(input_dir, "drop1"))
+    q2 = incremental_simhash_stream(spark, input_dir + "/*", state_dir,
+                                    k=5, available_now=True)
+    q2.awaitTermination(240)
+
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in spark.read.parquet(
+               os.path.join(state_dir, "pairs")).collect()}
+    expect = oracle_simhash_pairs(docs, k=5, hamming_threshold=3)
+    assert got == expect
+    assert any(a % 2 != b % 2 for a, b in expect), \
+        "fixture should span the restart boundary"
