@@ -164,6 +164,11 @@ def incremental_simhash_stream(spark: SparkSession, input_dir: str,
       fps/             accumulated fingerprints (doc_id, simhash)
       simhash_index/   accumulated composite keys (doc_id, combo_id, key)
       pairs/           verified (id_a, id_b, hamming) with batch_id lineage
+
+    Hot keys: like the MinHash stream, adversarial identical-page families
+    are collapsed by composing with the stateful exact pass UPSTREAM
+    (streaming/ingest.py) rather than capping buckets mid-stream — the
+    batch pipeline's exact-before-LSH ordering, preserved incrementally.
     """
     from distributed_lsh_spark.operators.simhash_exact import (
         simhash_keys, simhash_md5,
@@ -253,6 +258,10 @@ def incremental_substring_stream(spark: SparkSession, input_dir: str,
       checkpoint/   Spark streaming checkpoint
       fp_index/     accumulated DISTINCT (doc_id, fp) rows
       pairs/        (id_a, id_b, n_shared_fps) with batch_id lineage
+
+    Hot fingerprints (shared boilerplate spans): compose with the stateful
+    exact pass upstream (streaming/ingest.py) to collapse identical pages
+    first, mirroring the batch pipeline's ordering.
     """
     from distributed_lsh_spark.operators.substring import window_fingerprints
 
