@@ -15,17 +15,81 @@ directories otherwise (this sandbox has no Iceberg jars — the write path is
 gated behind a capability probe, same API either way).  Atomicity: Parquet
 stage dirs are written to `_tmp` then renamed; a stage is complete iff its
 manifest exists AND status == "complete".
+
+ALL filesystem I/O (manifest read/write, `_tmp`->`data` rename, existence
+probes, recursive deletes) goes through `org.apache.hadoop.fs.FileSystem`,
+resolved from the checkpoint root's own URI — so the resume contract holds
+verbatim on file:, hdfs:, s3a:, ... .  An os.*-based manifest probe on a
+cluster would silently look at the DRIVER'S local disk: `is_complete`
+would answer "no" for a finished stage (wasteful rebuild) or read a stale
+local manifest (wrong results).  For local paths Hadoop resolves to
+RawLocalFileSystem, so there is one code path, not a local fast path plus
+a remote one; manifest I/O is a handful of py4j calls per *stage*, never
+per row.
 """
 
 from __future__ import annotations
 
 import json
-import os
-import shutil
 from dataclasses import asdict, dataclass
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _join(*parts: str) -> str:
+    """URI-safe path join (os.path.join would mangle nothing on POSIX but
+    this keeps intent explicit for `file:/...` / `s3a://...` roots)."""
+    return "/".join(p.rstrip("/") for p in parts)
+
+
+class _HadoopFS:
+    """Minimal Hadoop FileSystem facade for small-file checkpoint metadata.
+
+    Same layer `streaming/dedup_stream.has_band_history` uses; factored
+    here so every CheckpointManager operation shares one resolved FS
+    handle (scheme taken from the checkpoint root)."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self._jvm = spark._jvm
+        self._Path = spark._jvm.org.apache.hadoop.fs.Path
+        self._fs = self._Path(root).getFileSystem(
+            spark._jsc.hadoopConfiguration())
+
+    def exists(self, p: str) -> bool:
+        return bool(self._fs.exists(self._Path(p)))
+
+    def mkdirs(self, p: str) -> None:
+        self._fs.mkdirs(self._Path(p))
+
+    def delete(self, p: str) -> None:
+        self._fs.delete(self._Path(p), True)
+
+    def rename(self, src: str, dst: str) -> None:
+        """Atomic on HDFS / local FS; Hadoop signals failure by returning
+        false (e.g. missing parent), which we surface instead of letting a
+        half-written stage masquerade as complete."""
+        if not self._fs.rename(self._Path(src), self._Path(dst)):
+            raise IOError(f"rename failed: {src} -> {dst}")
+
+    def read_text(self, p: str) -> str:
+        stream = self._fs.open(self._Path(p))
+        try:
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8")
+        finally:
+            stream.close()
+
+    def write_text_atomic(self, p: str, text: str) -> None:
+        """Write via `p + ".tmp"` then rename, so a reader never sees a
+        torn manifest (the commit point of a stage)."""
+        tmp = p + ".tmp"
+        out = self._fs.create(self._Path(tmp), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        self.rename(tmp, p)
 
 
 def _iceberg_available(spark: SparkSession) -> bool:
@@ -68,14 +132,15 @@ class CheckpointManager:
         self.config_echo = config_echo or {}
         self.use_iceberg = _iceberg_available(spark)
         self.iceberg_namespace = iceberg_namespace
-        os.makedirs(root, exist_ok=True)
+        self.fs = _HadoopFS(spark, root)
+        self.fs.mkdirs(root)
 
     # ---- paths -----------------------------------------------------------
     def _dir(self, stage: str) -> str:
-        return os.path.join(self.root, self.run_id, stage)
+        return _join(self.root, self.run_id, stage)
 
     def _manifest_path(self, stage: str) -> str:
-        return os.path.join(self._dir(stage), "manifest.json")
+        return _join(self._dir(stage), "manifest.json")
 
     def _table(self, stage: str) -> str:
         return f"{self.iceberg_namespace}.{self.run_id}_{stage}"
@@ -86,17 +151,15 @@ class CheckpointManager:
         --run-id but a different DedupConfig (threshold, num_perm, ...) must
         rebuild, not silently reuse results computed for the old config."""
         mp = self._manifest_path(stage)
-        if not os.path.exists(mp):
+        if not self.fs.exists(mp):
             return False
-        with open(mp) as f:
-            m = json.load(f)
+        m = json.loads(self.fs.read_text(mp))
         if m.get("status") != "complete" or m.get("run_id") != self.run_id:
             return False
         return m.get("config_echo") == _json_normalize(self.config_echo)
 
     def manifest(self, stage: str) -> dict:
-        with open(self._manifest_path(stage)) as f:
-            return json.load(f)
+        return json.loads(self.fs.read_text(self._manifest_path(stage)))
 
     def rows(self, stage: str) -> int:
         """Row count of a completed stage from its manifest — no scan."""
@@ -105,7 +168,7 @@ class CheckpointManager:
     def read(self, stage: str) -> DataFrame:
         if self.use_iceberg:
             return self.spark.read.table(self._table(stage))
-        return self.spark.read.parquet(os.path.join(self._dir(stage), "data"))
+        return self.spark.read.parquet(_join(self._dir(stage), "data"))
 
     def stage(self, name: str, build: Callable[[], DataFrame],
               partition_by: list[str] | None = None,
@@ -139,25 +202,25 @@ class CheckpointManager:
             fingerprint=fingerprint,
             partition_rows={str(k): v for k, v in sorted(part_rows.items())},
         )
-        os.makedirs(self._dir(name), exist_ok=True)
-        with open(self._manifest_path(name) + ".tmp", "w") as f:
-            json.dump(asdict(manifest), f, indent=2, default=str)
-        os.rename(self._manifest_path(name) + ".tmp", self._manifest_path(name))
+        self.fs.mkdirs(self._dir(name))
+        self.fs.write_text_atomic(
+            self._manifest_path(name),
+            json.dumps(asdict(manifest), indent=2, default=str))
         return out
 
     # ---- backends ---------------------------------------------------------
     def _write_parquet(self, name: str, df: DataFrame,
                        partition_by: list[str] | None) -> DataFrame:
         stage_dir = self._dir(name)
-        data_dir = os.path.join(stage_dir, "data")
-        tmp_dir = os.path.join(stage_dir, "_tmp")
-        shutil.rmtree(stage_dir, ignore_errors=True)
-        os.makedirs(stage_dir, exist_ok=True)
+        data_dir = _join(stage_dir, "data")
+        tmp_dir = _join(stage_dir, "_tmp")
+        self.fs.delete(stage_dir)
+        self.fs.mkdirs(stage_dir)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(tmp_dir)
-        os.rename(tmp_dir, data_dir)
+        self.fs.rename(tmp_dir, data_dir)
         return self.spark.read.parquet(data_dir)
 
     def _write_iceberg(self, name: str, df: DataFrame,

@@ -139,6 +139,46 @@ def test_checkpoint_config_change_rebuilds(spark, tmp_path):
     assert calls["n"] == 2
 
 
+def test_checkpoint_file_uri_roundtrip(spark, tmp_path):
+    """The resume contract must survive a NON-os.path filesystem: drive the
+    whole manifest/write/rename/resume cycle through a `file:` URI — the
+    layer an os.*-based probe rejects (os.path.exists('file:/x') is False),
+    standing in for hdfs:/s3a: roots where the old implementation silently
+    targeted the driver's local disk."""
+    import os as _os
+
+    from distributed_lsh_spark.sources.checkpoint import CheckpointManager
+
+    root_uri = "file:" + str(tmp_path)
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(37).withColumnRenamed("id", "doc_id")
+
+    ckpt = CheckpointManager(spark, root_uri, run_id="ru",
+                             config_echo={"k": 5})
+    df1 = ckpt.stage("sigs", build)
+    assert calls["n"] == 1 and df1.count() == 37
+    # manifest + atomically-renamed data dir really landed under the URI
+    local = _os.path.join(str(tmp_path), "ru", "sigs")
+    assert _os.path.exists(_os.path.join(local, "manifest.json"))
+    assert _os.path.exists(_os.path.join(local, "data"))
+    assert not _os.path.exists(_os.path.join(local, "_tmp"))
+    assert ckpt.rows("sigs") == 37
+
+    # resume through the URI: build skipped, data read back
+    ckpt2 = CheckpointManager(spark, root_uri, run_id="ru",
+                              config_echo={"k": 5})
+    assert ckpt2.is_complete("sigs")
+    df2 = ckpt2.stage("sigs", build)
+    assert calls["n"] == 1 and df2.count() == 37
+    # config change still invalidates across the FS layer
+    ckpt3 = CheckpointManager(spark, root_uri, run_id="ru",
+                              config_echo={"k": 7})
+    assert not ckpt3.is_complete("sigs")
+
+
 def test_checkpoint_iceberg_branch(spark, tmp_path, monkeypatch):
     """No Iceberg jars in this sandbox, so exercise the branch itself:
     use_iceberg=True must route through writeTo with the bucket transform
