@@ -1103,17 +1103,23 @@ def q_cosine_pairs_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     df = _cosine_gate_df(spark)
-    exact = cosine_pairs_exact(df, tau=COS_GATE_TAU).select("id_a", "id_b")
-    exact = exact.localCheckpoint(eager=False)
-    lsh = cosine_pairs_lsh(df, tau=COS_GATE_TAU, tables=16, bits=8,
-                           seed=42).select("id_a", "id_b")
-    lsh = lsh.localCheckpoint(eager=False)
-    n_exact = exact.count()
-    n_lsh = lsh.count()
-    n_bad = lsh.join(exact, ["id_a", "id_b"], "left_anti").count()
-    passed = (10 * n_lsh >= 9 * n_exact) and n_bad == 0
-    return spark.createDataFrame([(n_exact, passed)],
-                                 "n_exact long, passed boolean")
+    exact = (cosine_pairs_exact(df, tau=COS_GATE_TAU)
+             .select("id_a", "id_b").withColumn("in_e", F.lit(1)))
+    lsh = (cosine_pairs_lsh(df, tau=COS_GATE_TAU, tables=16, bits=8, seed=42)
+           .select("id_a", "id_b").withColumn("in_l", F.lit(1)))
+    # ONE aggregate over the full-outer-joined pair sets computes
+    # (n_exact, n_lsh, n_bad) and the verdict engine-side — one Spark job
+    # instead of three driver-side actions + Python boolean.
+    agg = (exact.join(lsh, ["id_a", "id_b"], "full_outer")
+           .agg(F.coalesce(F.sum("in_e"), F.lit(0)).alias("n_exact"),
+                F.coalesce(F.sum("in_l"), F.lit(0)).alias("n_lsh"),
+                F.coalesce(F.sum(F.when(F.col("in_l").isNotNull()
+                                        & F.col("in_e").isNull(), 1)),
+                           F.lit(0)).alias("n_bad")))
+    return agg.select(
+        F.col("n_exact").cast("long").alias("n_exact"),
+        ((10 * F.col("n_lsh") >= 9 * F.col("n_exact"))
+         & (F.col("n_bad") == 0)).alias("passed"))
 
 
 def _sql_cosine_gate_cte() -> str:
@@ -1159,12 +1165,15 @@ def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalized matrix (operators/vector_ann.cosine_pairs_exact — one BLAS
     matmul per Arrow batch, no crossJoin).  tau=0.5 because the synthetic
     embeddings are near-random (max pairwise cosine ~0.51); production
-    near-dup would use ~0.95 and the SRP-LSH prefilter beyond broadcast
-    range."""
-    from distributed_lsh_spark.operators.vector_ann import cosine_pairs_exact
+    near-dup would use ~0.95.  Routed through the `cosine_pairs` size
+    dispatcher: under EXACT_PAIRS_MAX_ROWS (the ~1 GB broadcast budget)
+    it takes this exact path; a 10^9-vector corpus automatically falls
+    through to the SRP-LSH + exact-verify miner instead of collecting the
+    corpus to the driver."""
+    from distributed_lsh_spark.operators.vector_ann import cosine_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return (cosine_pairs_exact(emb, tau=0.5)
+    return (cosine_pairs(emb, tau=0.5)
             .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
             .orderBy("id_a", "id_b"))
 

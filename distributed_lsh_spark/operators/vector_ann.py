@@ -94,6 +94,38 @@ def cosine_pairs_exact(points: DataFrame, tau: float,
     return points.mapInPandas(block, out_schema)
 
 
+#: Default broadcast budget for the exact miner: ~2M x 64-dim float64 rows
+#: is ~1 GB of broadcast + per-executor resident matrix — the documented
+#: ceiling of the block-matmul design.  Above it the LSH+exact-verify path
+#: is the only shape that survives (same candidate/verify structure as the
+#: text pipeline).
+EXACT_PAIRS_MAX_ROWS = 2_000_000
+
+
+def cosine_pairs(points: DataFrame, tau: float, n_rows: int | None = None,
+                 max_exact_rows: int = EXACT_PAIRS_MAX_ROWS,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 **lsh_kwargs) -> DataFrame:
+    """Embedding-cosine near-dup mining with a size dispatch: EXACT
+    block-matmul miner while the corpus fits the broadcast budget,
+    SRP-LSH candidates + exact cosine verify beyond it.
+
+    `n_rows` is a caller-supplied size hint (e.g. a checkpoint manifest's
+    row count) so no extra count() job runs when the size is already
+    known; without it, one count() scan decides the route.  Both routes
+    return the same (id_a, id_b, sim) schema and both verify candidates
+    with exact cosine, so precision is 1.0 either way — the LSH route
+    trades only recall (tunable via tables/bits), never correctness of
+    emitted pairs.  This guards the driver collect in
+    `cosine_pairs_exact` from ever running on a 10^9-vector corpus."""
+    if n_rows is None:
+        n_rows = points.count()
+    if n_rows <= max_exact_rows:
+        return cosine_pairs_exact(points, tau, id_col=id_col, vec_col=vec_col)
+    return cosine_pairs_lsh(points, tau, id_col=id_col, vec_col=vec_col,
+                            **lsh_kwargs)
+
+
 def cosine_pairs_lsh(points: DataFrame, tau: float, dim: int | None = None,
                      tables: int = 16, bits: int = 8, seed: int = 42,
                      id_col: str = "vec_id", vec_col: str = "embedding",

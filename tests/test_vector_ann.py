@@ -176,3 +176,48 @@ def test_cosine_pairs_lsh_matches_exact(spark):
     assert len(got) >= 0.9 * len(exact)                # recall
     for p in planted:
         assert p in got
+
+
+def test_cosine_pairs_dispatch(spark, monkeypatch):
+    """`cosine_pairs` routes by corpus size: exact under the broadcast
+    budget, SRP-LSH + exact verify above it — and the LSH route still
+    recovers the planted pairs the exact miner finds."""
+    import numpy as np
+
+    from distributed_lsh_spark.operators import vector_ann as va
+
+    rng = np.random.default_rng(7)
+    M = rng.standard_normal((120, 32))
+    planted = [(2, 9), (30, 77), (110, 111)]
+    for a, b in planted:
+        M[b] = M[a] + 0.05 * rng.standard_normal(32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in M[i]]) for i in range(len(M))],
+        "vec_id long, embedding array<double>")
+    tau = 0.9
+
+    picked = []
+    real_exact, real_lsh = va.cosine_pairs_exact, va.cosine_pairs_lsh
+    monkeypatch.setattr(va, "cosine_pairs_exact",
+                        lambda *a, **k: picked.append("exact") or real_exact(*a, **k))
+    monkeypatch.setattr(va, "cosine_pairs_lsh",
+                        lambda *a, **k: picked.append("lsh") or real_lsh(*a, **k))
+
+    # under budget -> exact path (n_rows hint: no count() job needed)
+    small = va.cosine_pairs(df, tau, n_rows=120)
+    assert picked == ["exact"]
+    exact_pairs = {(r["id_a"], r["id_b"]) for r in small.collect()}
+
+    # above budget -> LSH path, results still match on the planted fixture
+    big = va.cosine_pairs(df, tau, n_rows=10_000_000,
+                          tables=16, bits=8, seed=42)
+    assert picked == ["exact", "lsh"]
+    lsh_pairs = {(r["id_a"], r["id_b"]) for r in big.collect()}
+    assert lsh_pairs <= exact_pairs                    # precision 1.0
+    for p in planted:
+        assert p in lsh_pairs
+
+    # no hint -> one count() decides (route by actual size: exact here)
+    picked.clear()
+    va.cosine_pairs(df, tau)
+    assert picked == ["exact"]
