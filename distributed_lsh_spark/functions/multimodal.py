@@ -137,13 +137,17 @@ def decode_y4m(payload: bytes) -> tuple[list[np.ndarray], float]:
             cs = tok[1:]
     if not w or not h:
         raise ValueError("y4m header missing W/H")
-    if cs.startswith(b"420"):
+    # EXACT 8-bit tag set — prefix matching would parse high-bit-depth
+    # tags (C420p10, C422p12, ...) as 8-bit and compute frame_bytes at
+    # half the real size, yielding garbage luminance; those must hit the
+    # NotImplementedError seam instead.
+    if cs in (b"420", b"420jpeg", b"420mpeg2", b"420paldv"):
         frame_bytes = w * h + 2 * ((w // 2) * (h // 2))
-    elif cs.startswith(b"422"):
+    elif cs == b"422":
         frame_bytes = w * h + 2 * ((w // 2) * h)
-    elif cs.startswith(b"444"):
+    elif cs == b"444":
         frame_bytes = 3 * w * h
-    elif cs.startswith(b"mono"):
+    elif cs == b"mono":
         frame_bytes = w * h
     else:
         raise NotImplementedError(f"y4m colourspace {cs!r} not supported")

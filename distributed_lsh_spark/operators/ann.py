@@ -113,6 +113,40 @@ def ann_accuracy(results: DataFrame, ground_truth: DataFrame, k: int,
                     (F.lit(n_queries) - F.col("_fin")).alias("n_missing")))
 
 
+#: Above this many finished queries, driver-side isin() literal lists stop
+#: scaling (O(n_queries)-sized filter expressions rebuilt per radius) and
+#: the finished set rides a broadcast join instead.
+_FINISHED_ISIN_MAX = 2048
+
+
+def _fin_df(spark: SparkSession, finished_ids: set[int]) -> DataFrame:
+    return spark.createDataFrame([(int(i),) for i in sorted(finished_ids)],
+                                 "query_id long")
+
+
+def _drop_finished(df: DataFrame, finished_ids: set[int],
+                   spark: SparkSession) -> DataFrame:
+    """Remove finished query ids: isin() literal while the set is small
+    (cheapest plan, matches the reference's driver bookkeeping scale),
+    broadcast left_anti beyond _FINISHED_ISIN_MAX (large query fan-in)."""
+    if not finished_ids:
+        return df
+    if len(finished_ids) <= _FINISHED_ISIN_MAX:
+        return df.where(~F.col("query_id").isin(list(finished_ids)))
+    return df.join(F.broadcast(_fin_df(spark, finished_ids)),
+                   "query_id", "left_anti")
+
+
+def _keep_finished(df: DataFrame, finished_ids: set[int],
+                   spark: SparkSession) -> DataFrame:
+    if not finished_ids:
+        return df.where(F.lit(False))
+    if len(finished_ids) <= _FINISHED_ISIN_MAX:
+        return df.where(F.col("query_id").isin(list(finished_ids)))
+    return df.join(F.broadcast(_fin_df(spark, finished_ids)),
+                   "query_id", "left_semi")
+
+
 def ann_search_spark(spark: SparkSession, points: DataFrame, queries: DataFrame,
                      model: ReferenceLSHModel, k: int,
                      tables: DataFrame | None = None) -> DataFrame:
@@ -158,16 +192,14 @@ def ann_search_spark(spark: SparkSession, points: DataFrame, queries: DataFrame,
         if len(finished_ids) >= n_queries:
             break
         ratio_radius = model.ratio * radius
-        remaining = queries.where(~F.col("query_id").isin(list(finished_ids))) \
-            if finished_ids else queries
+        remaining = _drop_finished(queries, finished_ids, spark)
 
         p_buckets = tables.where(F.col("radius_id") == rid) \
                           .select("point_id", "table_id", "bucket")
-        q_buckets = q_tables.where(F.col("radius_id") == rid) \
-                            .select("query_id", "table_id", "bucket")
-        if finished_ids:
-            q_buckets = q_buckets.where(
-                ~F.col("query_id").isin(list(finished_ids)))
+        q_buckets = _drop_finished(
+            q_tables.where(F.col("radius_id") == rid)
+                    .select("query_id", "table_id", "bucket"),
+            finished_ids, spark)
         # probe: tiny query side broadcast (S4/J1)
         cands = (p_buckets.join(F.broadcast(q_buckets), ["table_id", "bucket"])
                  .select("query_id", "point_id").dropDuplicates()
@@ -192,8 +224,7 @@ def ann_search_spark(spark: SparkSession, points: DataFrame, queries: DataFrame,
         finished_ids.update(int(r["query_id"]) for r in counts if r["n"] >= k)
 
     wk = Window.partitionBy("query_id").orderBy("dist", "point_id")
-    out = (accepted.where(F.col("query_id").isin(list(finished_ids))
-                          if finished_ids else F.lit(False))
+    out = (_keep_finished(accepted, finished_ids, spark)
            .withColumn("rank", F.row_number().over(wk))
            .where(F.col("rank") <= k))
     points.unpersist()

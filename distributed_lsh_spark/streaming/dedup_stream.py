@@ -219,7 +219,10 @@ def incremental_simhash_stream(spark: SparkSession, input_dir: str,
             fb = all_fps.select(F.col("doc_id").alias("id_b"),
                                 F.col("simhash").alias("_fb"))
             ham = F.expr("bit_count(_fa ^ _fb)")
-            verified = (F.broadcast(cands).join(fa, "id_a").join(fb, "id_b")
+            # no broadcast hint on cands: the candidate set is unbounded
+            # (a dup-heavy batch can explode collisions past the broadcast
+            # limit) — let AQE pick broadcast only when it measures small
+            verified = (cands.join(fa, "id_a").join(fb, "id_b")
                         .where(ham <= hamming_threshold)
                         .select("id_a", "id_b",
                                 ham.cast("long").alias("hamming"))
@@ -294,6 +297,9 @@ def incremental_substring_stream(spark: SparkSession, input_dir: str,
                       .where(F.col("a.doc_id") < F.col("b.doc_id"))
                       .select("a.doc_id", "b.doc_id").toDF("id_a", "id_b"))
             pairs = (cross.unionByName(within)
+                     # guard re-ingested doc_ids: without it a doc_id seen
+                     # again in a later batch self-pairs via least/greatest
+                     .where(F.col("id_a") != F.col("id_b"))
                      .groupBy("id_a", "id_b")
                      .agg(F.count("*").alias("n_shared_fps"))
                      .where(F.col("n_shared_fps") >= min_shared)

@@ -426,6 +426,15 @@ def test_y4m_decoder_roundtrip():
         decode_y4m(b"RIFFnope\n")
     with pytest.raises(NotImplementedError):
         decode_y4m(b"YUV4MPEG2 W12 H8 F4:1 C411\nFRAME\n" + b"\x00" * 256)
+    # high-bit-depth tags must hit the NotImplementedError seam, not be
+    # prefix-matched as 8-bit (which would halve frame_bytes -> garbage)
+    for cs in (b"C420p10", b"C422p12", b"C444p16", b"C420mpeg2extra"):
+        with pytest.raises(NotImplementedError):
+            decode_y4m(b"YUV4MPEG2 W12 H8 F4:1 " + cs + b"\nFRAME\n"
+                       + b"\x00" * 1024)
+    # named 8-bit 4:2:0 variants decode identically
+    frames, _ = decode_y4m(_make_y4m(planes, w, h, cs=b"C420jpeg"))
+    assert (frames[0] == planes[0]).all()
 
 
 def test_frame_sample_real_y4m(spark):
