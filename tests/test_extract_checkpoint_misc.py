@@ -397,7 +397,8 @@ def _make_y4m(frames, w, h, fps=(4, 1), cs=b"C420") -> bytes:
     import numpy as np
 
     chroma = {b"C420": 2 * ((w // 2) * (h // 2)), b"C422": 2 * ((w // 2) * h),
-              b"C444": 2 * w * h, b"Cmono": 0}[cs]
+              b"C444": 2 * w * h, b"Cmono": 0,
+              b"C420jpeg": 2 * ((w // 2) * (h // 2))}[cs]
     out = [b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 %s\n"
            % (w, h, fps[0], fps[1], cs)]
     for f in frames:
