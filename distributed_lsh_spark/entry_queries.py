@@ -552,6 +552,50 @@ def _sql_ann_topk() -> str:
     return sql_ann_topk(make_ann_gate_fixture())
 
 
+def q_ann_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's A5 evaluation metric as a gated query: run the
+    c-k-ANN search on the gate fixture, then compute
+    (avg_ratio, n_missing) ENGINE-side with operators/ann.ann_accuracy —
+    mean over finished queries of mean_j(found_dist_j / true_dist_j),
+    zero-distance neighbors counting 1, plus never-finished query count
+    (MapReduce-LSH/.../lsh/searcher/LSHSearcher.java:283-316).  Ground
+    truth is the exact top-k (integer coords: NumPy / Spark / DuckDB
+    sqrt-of-exact-integer-sums agree to the last double bit); the DuckDB
+    oracle recomputes truth by SQL brute force and replays the whole
+    radius chain + ratio join independently (oracle/ann_gate_sql.
+    sql_ann_accuracy)."""
+    import numpy as np
+
+    from distributed_lsh_spark.fixtures import make_ann_gate_fixture
+    from distributed_lsh_spark.operators.ann import ann_accuracy, ann_search_spark
+
+    fx = make_ann_gate_fixture()
+    pts = spark.createDataFrame(
+        [(i, [int(v) for v in row]) for i, row in enumerate(fx.points)],
+        "id long, vec array<long>")
+    qrs = spark.createDataFrame(
+        [(i, [int(v) for v in row]) for i, row in enumerate(fx.queries)],
+        "query_id long, vec array<long>")
+    out = ann_search_spark(spark, pts, qrs, fx.model, fx.k)
+    diffs = fx.points[None, :, :].astype(np.float64) \
+        - fx.queries[:, None, :].astype(np.float64)
+    dists = np.sqrt((diffs ** 2).sum(axis=2))
+    dists.sort(axis=1)
+    gt = spark.createDataFrame(
+        [(i, [float(x) for x in row[:fx.k]]) for i, row in enumerate(dists)],
+        "query_id long, true_dists array<double>")
+    return (ann_accuracy(out, gt, fx.k, fx.queries.shape[0])
+            .select(F.round("avg_ratio", 6).alias("avg_ratio"),
+                    F.col("n_missing").cast("long").alias("n_missing")))
+
+
+def _sql_ann_accuracy() -> str:
+    from distributed_lsh_spark.fixtures import make_ann_gate_fixture
+    from distributed_lsh_spark.oracle.ann_gate_sql import sql_ann_accuracy
+
+    return sql_ann_accuracy(make_ann_gate_fixture())
+
+
 # --------------------------------------------------------------------------
 # PII scrubbing + benchmark-contamination — training-data pipeline ops
 # --------------------------------------------------------------------------
@@ -1268,6 +1312,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curated_docs": q_curated_docs,
     "embedding_topk": q_embedding_topk,
     "ann_topk": q_ann_topk,
+    "ann_accuracy": q_ann_accuracy,
     "pricing_summary": q_pricing_summary,
     "top_unshipped_orders": q_top_unshipped_orders,
     "events_hourly": q_events_hourly,
@@ -1303,6 +1348,7 @@ ORACLE_SQL: dict[str, str] = {
     "curated_docs": _sql_curated_docs(),
     "embedding_topk": _SQL_EMBEDDING_TOPK,
     "ann_topk": _sql_ann_topk(),
+    "ann_accuracy": _sql_ann_accuracy(),
     "pricing_summary": _SQL_PRICING_SUMMARY,
     "top_unshipped_orders": _SQL_TOP_UNSHIPPED,
     "events_hourly": _SQL_EVENTS_HOURLY,

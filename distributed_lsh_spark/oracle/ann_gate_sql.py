@@ -34,10 +34,10 @@ n_radii without it.
 from __future__ import annotations
 
 
-def sql_ann_topk(fx) -> str:
-    """fx: fixtures.AnnGateFixture -> one DuckDB SQL string returning
-    (query_id, point_id, dist, rank) for finished queries, top-k by
-    (dist, point_id)."""
+def _chain_parts(fx) -> tuple[list, str, str]:
+    """Build the shared unrolled-radius CTE chain for fx; returns
+    (parts, last_acc_cte_name, last_fin_cte_name) so the top-k and
+    accuracy-metric oracles append their own final SELECTs."""
     model, k = fx.model, fx.k
     thr = model.prune_factor * model.L + k
     d = fx.points.shape[1]
@@ -94,6 +94,14 @@ fin{rid} AS MATERIALIZED (
   SELECT query_id FROM acc{rid} GROUP BY query_id HAVING count(*) >= {k}
 )""")
         prev_checked, prev_acc, prev_fin = f"checked{rid}", f"acc{rid}", f"fin{rid}"
+    return parts, prev_acc, prev_fin
+
+
+def sql_ann_topk(fx) -> str:
+    """fx: fixtures.AnnGateFixture -> one DuckDB SQL string returning
+    (query_id, point_id, dist, rank) for finished queries, top-k by
+    (dist, point_id)."""
+    parts, prev_acc, prev_fin = _chain_parts(fx)
     parts.append(f"""ranked AS (
   SELECT a.query_id, a.point_id, a.dist,
          row_number() OVER (PARTITION BY a.query_id
@@ -103,5 +111,43 @@ fin{rid} AS MATERIALIZED (
 SELECT CAST(query_id AS BIGINT) AS query_id,
        CAST(point_id AS BIGINT) AS point_id,
        round(dist, 6) AS dist, rank
-FROM ranked WHERE rank <= {k} ORDER BY query_id, rank""")
+FROM ranked WHERE rank <= {fx.k} ORDER BY query_id, rank""")
+    return ",\n".join(parts[:-1]) + ",\n" + parts[-1]
+
+
+def sql_ann_accuracy(fx) -> str:
+    """The reference's evaluation metric (A5, LSHSearcher.java:283-316)
+    replayed independently in SQL on the same unrolled chain: ground truth
+    is the EXACT per-query top-k (brute force over the embedded vectors —
+    the `dist` CTE already holds every pair distance), the found list is
+    the chain's ranked output, and the metric is
+    mean over finished queries of mean_j(found_j / true_j), zero-distance
+    true neighbors counting ratio 1, plus the number of queries the search
+    never finished -> one row (avg_ratio, n_missing)."""
+    parts, prev_acc, prev_fin = _chain_parts(fx)
+    nq, k = fx.queries.shape[0], fx.k
+    parts.append(f"""ranked AS (
+  SELECT a.query_id, a.point_id, a.dist,
+         row_number() OVER (PARTITION BY a.query_id
+                            ORDER BY a.dist, a.point_id) AS rank
+  FROM {prev_acc} a JOIN {prev_fin} f ON f.query_id = a.query_id
+),
+truth AS MATERIALIZED (
+  SELECT query_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist, point_id) AS rank
+  FROM dist
+),
+per_query AS (
+  SELECT r.query_id,
+         avg(CASE WHEN t.dist > 0 THEN r.dist / t.dist ELSE 1.0 END)
+           AS q_ratio
+  FROM ranked r
+  JOIN truth t ON t.query_id = r.query_id AND t.rank = r.rank
+  WHERE r.rank <= {k}
+  GROUP BY r.query_id HAVING count(*) >= {k}
+)
+SELECT round(avg(q_ratio), 6) AS avg_ratio,
+       CAST({nq} - count(*) AS BIGINT) AS n_missing
+FROM per_query""")
     return ",\n".join(parts[:-1]) + ",\n" + parts[-1]
