@@ -193,17 +193,32 @@ FROM shd GROUP BY g ORDER BY n_docs DESC, gram LIMIT 100"""
 
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash (hash-groupBy): md5(text) groups with
-    multiplicity; survivor = min doc_id (SURVEY.md A2 analogue)."""
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return (df.groupBy(F.md5(F.col("text").cast("binary")).alias("text_md5"))
+    multiplicity; survivor = min doc_id (SURVEY.md A2 analogue).
+
+    The synthetic corpus carries no byte-identical texts, so (pii_scrub
+    planting pattern) every doc_id % 97 == 0 document is unioned back in
+    as a byte-identical copy under doc_id + 1_000_000 — the md5 groupBy
+    path is then value-checked on real groups in the gate, not just the
+    empty case."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    copies = (df.where(F.pmod(F.col("doc_id"), F.lit(97)) == 0)
+              .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    return (df.unionByName(copies)
+              .groupBy(F.md5(F.col("text").cast("binary")).alias("text_md5"))
               .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_id"))
               .where(F.col("n_dups") > 1)
               .orderBy("text_md5"))
 
 
 _SQL_EXACT_DUP_GROUPS = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 97 = 0
+)
 SELECT md5(text) AS text_md5, count(*) AS n_dups, min(doc_id) AS keep_id
-FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY text_md5"""
+FROM all_docs GROUP BY 1 HAVING count(*) > 1 ORDER BY text_md5"""
 
 
 # ---- lambda-free scalar text counting -----------------------------------
