@@ -59,12 +59,73 @@ def has_band_history(spark: SparkSession, d: str) -> bool:
                for st in fs.listStatus(path))
 
 
+def _batch_partitions(spark: SparkSession, d: str):
+    """[(batch_id, hadoop Path)] for every batch_id= partition under d."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(d)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return fs, []
+    out = []
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if name.startswith("batch_id="):
+            out.append((int(name.split("=", 1)[1]), st.getPath()))
+    return fs, out
+
+
+def compact_batch_index(spark: SparkSession, d: str, current_batch_id: int,
+                        dedup_cols: list[str], target_files: int = 8,
+                        ) -> bool:
+    """Merge every committed batch_id partition (< current_batch_id) of a
+    streaming state dir into ONE partition labeled current_batch_id - 1.
+
+    Without this, each foreachBatch leaves a new batch_id= partition and
+    every later batch's history scan pays O(#batches) file-system metadata
+    — at 10^4 batches the index is 10^4 file groups.  Compacting every N
+    batches bounds the partition count at N+1 and amortizes one bounded
+    O(history) rewrite per N batches.
+
+    Crash safety: the merged partition is written first (dynamic partition
+    overwrite — staged then committed), then the stale partitions are
+    deleted.  A crash between the two leaves duplicate index rows; the
+    dropDuplicates(dedup_cols) here makes the NEXT compaction self-heal,
+    and consumers are duplicate-tolerant meanwhile (candidate pairs are
+    dropDuplicates'd in every stream; duplicated sig rows can at worst
+    duplicate an output pair row within one batch's partition).
+
+    Only partitions STRICTLY below current_batch_id are touched: those
+    batches have committed in the streaming checkpoint and can never be
+    replayed, while a replayed current batch re-finds fewer than two
+    mergeable partitions and no-ops."""
+    fs, parts = _batch_partitions(spark, d)
+    parts = [(b, p) for b, p in parts if b < current_batch_id]
+    if len(parts) < 2:
+        return False
+    merged_id = current_batch_id - 1
+    merged = (spark.read.parquet(d)
+              .where(F.col("batch_id") < current_batch_id)
+              .dropDuplicates(dedup_cols)
+              .withColumn("batch_id", F.lit(merged_id))
+              .repartition(target_files)
+              # eager checkpoint: finish READING the partitions before the
+              # overwrite below starts touching the same directory
+              .localCheckpoint(eager=True))
+    (merged.write.mode("overwrite").partitionBy("batch_id")
+           .option("partitionOverwriteMode", "dynamic").parquet(d))
+    for b, p in parts:
+        if b != merged_id:
+            fs.delete(p, True)
+    return True
+
+
 def incremental_dedup_stream(spark: SparkSession, input_dir: str, state_dir: str,
                              cfg: DedupConfig = DEFAULT_CONFIG,
                              schema: str = "doc_id long, text string",
                              available_now: bool = True,
                              max_files_per_trigger: int = 16,
-                             where: str | None = None):
+                             where: str | None = None,
+                             compact_every: int | None = 64):
     """Start (or run-to-completion with availableNow) the incremental dedup
     stream over parquet files appearing in `input_dir`.
 
@@ -89,6 +150,10 @@ def incremental_dedup_stream(spark: SparkSession, input_dir: str, state_dir: str
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_batch_index(spark, bands_dir, batch_id,
+                                ["doc_id", "band_id", "band_hash"])
+            compact_batch_index(spark, sigs_dir, batch_id, ["doc_id"])
         new_sigs = _sign(batch_df, cfg).withColumn("batch_id", F.lit(batch_id))
         new_sigs.persist()
         try:
@@ -150,7 +215,8 @@ def incremental_simhash_stream(spark: SparkSession, input_dir: str,
                                hamming_threshold: int = 3, n_chunks: int = 6,
                                schema: str = "doc_id long, text string",
                                available_now: bool = True,
-                               max_files_per_trigger: int = 16):
+                               max_files_per_trigger: int = 16,
+                               compact_every: int | None = 64):
     """SimHash twin of incremental_dedup_stream: EXACT Hamming <= h pairs
     over the accumulated corpus, incrementally.  Per batch: fused-Arrow
     fingerprints + multi-index composite keys (operators/simhash_exact);
@@ -185,6 +251,10 @@ def incremental_simhash_stream(spark: SparkSession, input_dir: str,
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_batch_index(spark, idx_dir, batch_id,
+                                ["doc_id", "combo_id", "key"])
+            compact_batch_index(spark, fps_dir, batch_id, ["doc_id"])
         fps = simhash_md5(batch_df.select("doc_id", "text"), k) \
             .withColumn("batch_id", F.lit(batch_id))
         fps.persist()
@@ -248,7 +318,8 @@ def incremental_substring_stream(spark: SparkSession, input_dir: str,
                                  guarantee: int = 10, min_shared: int = 2,
                                  schema: str = "doc_id long, text string",
                                  available_now: bool = True,
-                                 max_files_per_trigger: int = 16):
+                                 max_files_per_trigger: int = 16,
+                                 compact_every: int | None = 64):
     """Exact-substring twin of incremental_dedup_stream: doc pairs sharing
     >= min_shared winnowed window fingerprints (verbatim spans), found
     incrementally.  A pair's later-arriving doc carries its COMPLETE
@@ -278,6 +349,8 @@ def incremental_substring_stream(spark: SparkSession, input_dir: str,
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_batch_index(spark, idx_dir, batch_id, ["doc_id", "fp"])
         new_fp = (window_fingerprints(batch_df.select("doc_id", "text"),
                                       window=window, guarantee=guarantee)
                   .select("doc_id", "fp").dropDuplicates()
@@ -289,17 +362,23 @@ def incremental_substring_stream(spark: SparkSession, input_dir: str,
                     .where(F.col("batch_id") < batch_id)
                 cross = (new_fp.alias("a").join(old_fp.alias("b"), "fp")
                          .select(F.least("a.doc_id", "b.doc_id").alias("id_a"),
-                                 F.greatest("a.doc_id", "b.doc_id").alias("id_b")))
+                                 F.greatest("a.doc_id", "b.doc_id").alias("id_b"),
+                                 "fp"))
             else:
-                cross = spark.createDataFrame([], "id_a long, id_b long")
+                cross = spark.createDataFrame([], "id_a long, id_b long, fp long")
             a, b = new_fp.alias("a"), new_fp.alias("b")
             within = (a.join(b, "fp")
                       .where(F.col("a.doc_id") < F.col("b.doc_id"))
-                      .select("a.doc_id", "b.doc_id").toDF("id_a", "id_b"))
+                      .select(F.col("a.doc_id").alias("id_a"),
+                              F.col("b.doc_id").alias("id_b"), "fp"))
             pairs = (cross.unionByName(within)
                      # guard re-ingested doc_ids: without it a doc_id seen
                      # again in a later batch self-pairs via least/greatest
                      .where(F.col("id_a") != F.col("id_b"))
+                     # per-(pair, fp) dedup: the count stays exact even if
+                     # the index briefly holds duplicate rows (the
+                     # compaction crash window)
+                     .dropDuplicates(["id_a", "id_b", "fp"])
                      .groupBy("id_a", "id_b")
                      .agg(F.count("*").alias("n_shared_fps"))
                      .where(F.col("n_shared_fps") >= min_shared)

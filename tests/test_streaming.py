@@ -91,9 +91,11 @@ def test_incremental_simhash_matches_batch(spark, tiny_corpus, tmp_path):
                               "doc_id long, text string") \
              .coalesce(1).write.parquet(os.path.join(input_dir, f"drop{n}"))
 
+    # compact_every=2: batch 2's pre-pass merges partitions {0,1} -> {1},
+    # so parity here also covers the compacted-index read path
     q = incremental_simhash_stream(spark, input_dir + "/*", state_dir,
                                    k=5, available_now=True,
-                                   max_files_per_trigger=1)
+                                   max_files_per_trigger=1, compact_every=2)
     q.awaitTermination(240)
 
     got = {(r["id_a"], r["id_b"]): r["hamming"]
@@ -132,7 +134,7 @@ def test_incremental_substring_matches_batch(spark, tiny_corpus, tmp_path):
     q = incremental_substring_stream(spark, input_dir + "/*", state_dir,
                                      window=50, guarantee=10, min_shared=2,
                                      available_now=True,
-                                     max_files_per_trigger=1)
+                                     max_files_per_trigger=1, compact_every=2)
     q.awaitTermination(240)
 
     got = {(r["id_a"], r["id_b"]): r["n_shared_fps"]
@@ -144,6 +146,48 @@ def test_incremental_substring_matches_batch(spark, tiny_corpus, tmp_path):
     assert expect, "fixture must contain long-repeat pairs"
     assert any(a % 3 != b % 3 for a, b in expect), \
         "fixture should plant cross-batch pairs"
+
+
+def test_stream_index_compaction_bounds_partitions(spark, tiny_corpus, tmp_path):
+    """Index maintenance: with compact_every=N the band index never holds
+    more than N+1 batch_id= partitions (vs one per batch forever), and
+    batch/stream parity still holds through multiple compaction cycles."""
+    docs = {i: t for i, t in list(tiny_corpus.texts_by_id().items())[:120]}
+    ids = sorted(docs)
+    input_dir = str(tmp_path / "incoming")
+    state_dir = str(tmp_path / "state")
+    os.makedirs(input_dir)
+    n_drops = 6
+    chunks = [[i for i in ids if i % n_drops == n] for n in range(n_drops)]
+    for n, chunk in enumerate(chunks):
+        spark.createDataFrame([(i, docs[i]) for i in chunk],
+                              "doc_id long, text string") \
+             .coalesce(1).write.parquet(os.path.join(input_dir, f"drop{n}"))
+
+    q = incremental_dedup_stream(
+        spark, input_dir + "/*", state_dir, CFG, available_now=True,
+        max_files_per_trigger=1, compact_every=2)
+    q.awaitTermination(240)
+
+    # 6 batches, compactions at 2 and 4 -> partitions {3, 4, 5} remain
+    bdir = os.path.join(state_dir, "band_index")
+    parts = {f for f in os.listdir(bdir) if f.startswith("batch_id=")}
+    assert len(parts) <= 3, f"compaction must bound partitions, got {parts}"
+    sdir = os.path.join(state_dir, "sigs")
+    sparts = {f for f in os.listdir(sdir) if f.startswith("batch_id=")}
+    assert len(sparts) <= 3
+
+    # no rows lost or duplicated by the merges
+    idx = spark.read.parquet(bdir)
+    assert idx.count() == len(ids) * CFG.num_bands
+    assert idx.dropDuplicates(["doc_id", "band_id", "band_hash"]).count() \
+        == len(ids) * CFG.num_bands
+
+    # parity across compaction cycles
+    got = {(r["id_a"], r["id_b"])
+           for r in spark.read.parquet(os.path.join(state_dir, "pairs")).collect()}
+    oracle = DedupOracle(CFG, docs)
+    assert got == set(oracle.verified_pairs())
 
 
 def test_incremental_simhash_stream_restart(spark, tiny_corpus, tmp_path):
