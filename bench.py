@@ -83,6 +83,46 @@ def main() -> None:
     dedup_sec = times["minhash_lsh_dup_pairs"] + times["dedup_clusters"]
     docs_per_sec = round(2 * n_docs / dedup_sec, 1) if dedup_sec else None
 
+    # OPH leg: the at-scale signature scheme (one-permutation hashing with
+    # rotation densification — SCALE.md's ~15x signature-kernel lever) run
+    # on the same dedup queries, with pair-set recall vs the gate-pinned
+    # kxl scheme recorded so the speed never silently trades correctness.
+    from dataclasses import replace
+
+    from distributed_lsh_spark import entry_queries as eq
+
+    kxl_pairs = {(r["id_a"], r["id_b"])
+                 for r in QUERIES["minhash_lsh_dup_pairs"](spark, sf_dir)
+                 .collect()}
+    oph_times: dict[str, float] = {}
+    old_cfg = eq.CFG
+    eq.CFG = replace(old_cfg, minhash_scheme="oph")
+    try:
+        QUERIES["minhash_lsh_dup_pairs"](spark, "/root/testdata/sf0.001").count()
+        for name in ("minhash_lsh_dup_pairs", "dedup_clusters"):
+            best = float("inf")
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).count()
+                best = min(best, time.perf_counter() - t0)
+            oph_times[name] = round(best, 3)
+        oph_pairs = {(r["id_a"], r["id_b"])
+                     for r in QUERIES["minhash_lsh_dup_pairs"](spark, sf_dir)
+                     .collect()}
+    finally:
+        eq.CFG = old_cfg
+    oph_dedup_sec = sum(oph_times.values())
+    oph = {
+        "queries": oph_times,
+        "dedup_docs_per_sec": round(2 * n_docs / oph_dedup_sec, 1)
+        if oph_dedup_sec else None,
+        "pairs_kxl": len(kxl_pairs),
+        "pairs_oph": len(oph_pairs),
+        "pair_recall_vs_kxl": round(len(oph_pairs & kxl_pairs)
+                                    / len(kxl_pairs), 6) if kxl_pairs else None,
+    }
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "headline_queries_total",
@@ -93,6 +133,7 @@ def main() -> None:
         "cores": cores,
         "n_docs": n_docs,
         "dedup_docs_per_sec": docs_per_sec,
+        "oph": oph,
     }))
     spark.stop()
 
