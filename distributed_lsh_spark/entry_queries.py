@@ -1218,6 +1218,45 @@ SELECT CAST(count(*) AS BIGINT) AS n_exact, TRUE AS passed
 FROM pairs WHERE sim >= {COS_GATE_TAU}"""
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode + feature extraction under the hard gate: REAL
+    PPM/BMP (bottom-up AND top-down) / WAV (16-bit mono+stereo, 8-bit) /
+    y4m payloads, built by encoding PLANTED pixel planes and PCM samples
+    (fixtures.make_media_gate_fixture), run through the production
+    mapInPandas path (functions/multimodal.media_features, fake=False) and
+    exploded to one row per feature value.
+
+    The DuckDB oracle (oracle/multimodal_gate_sql.py) replays the feature
+    math over the planted arrays — which the decoders never produced — so
+    BOTH the byte-level decode and the feature step are value-checked:
+    a wrong BMP row order or WAV channel mean flips gated values."""
+    from distributed_lsh_spark.fixtures import make_media_gate_fixture
+    from distributed_lsh_spark.functions.multimodal import (
+        MEDIA_SCHEMA, media_features,
+    )
+
+    media = make_media_gate_fixture()
+    df = spark.createDataFrame(
+        [(m["media_id"], m["kind"], m["mime"], m["width"], m["height"],
+          m["duration_ms"], bytearray(m["payload"])) for m in media],
+        MEDIA_SCHEMA)
+    return (media_features(df, fake=False)
+            .select("media_id", "kind",
+                    F.posexplode("feature").alias("idx", "val"))
+            .select("media_id", "kind", "idx",
+                    F.round(F.col("val").cast("double"), 6).alias("val"))
+            .orderBy("media_id", "idx"))
+
+
+def _sql_multimodal_features() -> str:
+    from distributed_lsh_spark.fixtures import make_media_gate_fixture
+    from distributed_lsh_spark.oracle.multimodal_gate_sql import (
+        sql_multimodal_features,
+    )
+
+    return sql_multimodal_features(make_media_gate_fixture())
+
+
 def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup mining (training-pipeline requirement):
     EXACT all-pairs cosine >= tau via block-matmul against a broadcast
@@ -1344,6 +1383,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "contamination_check": q_contamination_check,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
+    "multimodal_features": q_multimodal_features,
     "balance_rollup": q_balance_rollup,
     "part_semi_anti": q_part_supplier_semi_anti,
 }
@@ -1382,6 +1422,7 @@ ORACLE_SQL: dict[str, str] = {
     "pii_scrub": _sql_pii_scrub(),
     "contamination_check": _sql_contamination_check(),
     "embedding_cosine_pairs": _SQL_EMBEDDING_COSINE_PAIRS,
+    "multimodal_features": _sql_multimodal_features(),
     "balance_rollup": _SQL_BALANCE_ROLLUP,
     "part_semi_anti": _SQL_PART_SEMI_ANTI,
 }

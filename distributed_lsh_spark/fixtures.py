@@ -233,6 +233,124 @@ def make_cosine_gate_fixture(seed: int = 42) -> "np.ndarray":
     return v
 
 
+def encode_ppm(img) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM (P6) with a header comment (exercises
+    the full header grammar in functions/multimodal.decode_ppm)."""
+    h, w = img.shape[:2]
+    return (b"P6\n# gate fixture\n%d %d\n255\n" % (w, h)) + img.tobytes()
+
+
+def encode_bmp(img, top_down: bool = False) -> bytes:
+    """(h, w, 3) uint8 RGB -> 24-bit BI_RGB BMP with 4-byte row padding;
+    bottom-up by default, top-down (negative height) when requested."""
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    order = range(h) if top_down else range(h - 1, -1, -1)
+    for y in order:
+        row = img[y, :, ::-1].tobytes()                    # RGB -> BGR
+        rows.append(row + b"\x00" * (stride - len(row)))
+    body = b"".join(rows)
+    off = 14 + 40
+    header = (b"BM" + (off + len(body)).to_bytes(4, "little") + b"\x00" * 4
+              + off.to_bytes(4, "little")
+              + (40).to_bytes(4, "little")
+              + w.to_bytes(4, "little", signed=True)
+              + (-h if top_down else h).to_bytes(4, "little", signed=True)
+              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+              + (0).to_bytes(4, "little") + len(body).to_bytes(4, "little")
+              + b"\x00" * 16)
+    return header + body
+
+
+def encode_wav(pcm, bits: int = 16, rate: int = 8000) -> bytes:
+    """(n,) or (n, channels) integer PCM -> RIFF/WAVE.  16-bit signed or
+    8-bit unsigned, interleaved channels, with a junk chunk BEFORE fmt to
+    exercise the chunk walk in functions/multimodal.decode_wav."""
+    import numpy as np
+
+    a = np.asarray(pcm)
+    ch = 1 if a.ndim == 1 else a.shape[1]
+    if bits == 16:
+        data = a.astype("<i2").tobytes()
+    else:
+        data = a.astype(np.uint8).tobytes()
+    block = ch * bits // 8
+    fmt = ((1).to_bytes(2, "little") + ch.to_bytes(2, "little")
+           + rate.to_bytes(4, "little")
+           + (rate * block).to_bytes(4, "little")
+           + block.to_bytes(2, "little") + bits.to_bytes(2, "little"))
+    junk = b"JUNK" + (3).to_bytes(4, "little") + b"pad\x00"  # odd size, padded
+    chunks = junk + b"fmt " + len(fmt).to_bytes(4, "little") + fmt \
+        + b"data" + len(data).to_bytes(4, "little") + data \
+        + (b"\x00" if len(data) % 2 else b"")
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def encode_y4m(frames, fps: tuple[int, int] = (4, 1)) -> bytes:
+    """[(h, w) uint8 luminance planes] -> YUV4MPEG2 C420 stream (neutral
+    chroma)."""
+    import numpy as np
+
+    h, w = frames[0].shape
+    chroma = b"\x80" * (2 * ((w // 2) * (h // 2)))
+    out = [b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 C420\n" % (w, h, *fps)]
+    for f in frames:
+        out.append(b"FRAME\n" + np.asarray(f, np.uint8).tobytes() + chroma)
+    return b"".join(out)
+
+
+def make_media_gate_fixture(seed: int = 42) -> list[dict]:
+    """Deterministic multimodal gate fixture: known pixel/sample arrays,
+    ENCODED to real PPM/BMP/WAV/y4m payloads.  The ground truth is the
+    planted arrays (never produced by the decoders), so a driver-gate
+    oracle can replay the feature math in SQL over the raw values while
+    the engine must DECODE the bytes to reproduce them — decode + feature
+    are both value-checked.
+
+    Rows: media_id, kind, mime, width, height, duration_ms, payload,
+    plus truth arrays (`pixels` (h,w,3) / `plane` (h,w) / `pcm` ints with
+    `pcm_bits`/`pcm_channels`)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed + 77)
+    media: list[dict] = []
+
+    def img(mid, h, w, enc, mime, **kw):
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        media.append(dict(media_id=mid, kind="image", mime=mime, width=w,
+                          height=h, duration_ms=None, payload=enc(px, **kw),
+                          pixels=px))
+
+    img(0, 11, 7, encode_ppm, "image/x-portable-pixmap")
+    img(1, 16, 16, encode_ppm, "image/x-portable-pixmap")
+    img(2, 10, 6, encode_bmp, "image/bmp")                  # bottom-up
+    img(3, 9, 13, encode_bmp, "image/bmp", top_down=True)   # negative height
+
+    def wav(mid, n, bits, channels, rate=8000):
+        if bits == 16:
+            pcm = rng.integers(-32768, 32768, size=(n, channels)
+                               if channels > 1 else n).astype(np.int64)
+        else:
+            pcm = rng.integers(0, 256, size=n).astype(np.int64)
+        media.append(dict(media_id=mid, kind="audio", mime="audio/wav",
+                          width=None, height=None,
+                          duration_ms=int(n * 1000 / rate),
+                          payload=encode_wav(pcm, bits=bits, rate=rate),
+                          pcm=pcm, pcm_bits=bits, pcm_channels=channels))
+
+    wav(4, 320, 16, 1)
+    wav(5, 300, 16, 2)      # stereo -> mono mean
+    wav(6, 200, 8, 1)
+
+    frames = [rng.integers(0, 256, size=(8, 12), dtype=np.uint8)
+              for _ in range(5)]
+    media.append(dict(media_id=7, kind="video", mime="video/x-y4m",
+                      width=12, height=8, duration_ms=1250,
+                      payload=encode_y4m(frames), plane=frames[0]))
+    return media
+
+
 def pages_spark_df(spark, corpus: PagesCorpus):
     """Corpus -> Spark DataFrame with the authoritative pages schema +
     doc_id = row index (tests join on it; production uses xxhash64(url))."""

@@ -438,6 +438,40 @@ def test_y4m_decoder_roundtrip():
     assert (frames[0] == planes[0]).all()
 
 
+def test_multimodal_gate_oracle_matches_decoders():
+    """3-way pin for the multimodal gate row (no Spark needed): the DuckDB
+    oracle — feature math replayed in SQL over the PLANTED arrays — must
+    equal the real decode+feature chain run on the ENCODED payloads, and
+    the image decoders must recover the planted pixels bit-exactly."""
+    import duckdb
+
+    from distributed_lsh_spark.fixtures import make_media_gate_fixture
+    from distributed_lsh_spark.functions import multimodal as mm
+    from distributed_lsh_spark.oracle.multimodal_gate_sql import (
+        sql_multimodal_features,
+    )
+
+    media = make_media_gate_fixture()
+    con = duckdb.connect()
+    duck = sorted(con.sql(sql_multimodal_features(media)).fetchall())
+    exp = []
+    for m in media:
+        if m["kind"] == "audio":
+            f = mm.audio_feature(*mm.decode_wav(m["payload"]))
+        elif m["kind"] == "video":
+            frames, _ = mm.decode_y4m(m["payload"])
+            f = mm.image_feature(frames[0])
+        else:
+            f = mm.image_feature(mm.decode_image(m["payload"]))
+        exp.extend((m["media_id"], m["kind"], i, round(float(v), 6))
+                   for i, v in enumerate(f))
+    assert len(duck) == 8 * mm.FEATURE_DIM
+    assert duck == sorted(exp)
+    for m in media:
+        if m["kind"] == "image":
+            assert (mm.decode_image(m["payload"]) == m["pixels"]).all()
+
+
 def test_frame_sample_real_y4m(spark):
     """fake=False frame sampling: real decode, one sample per every_ms of
     n_frames/fps stream time, luminance-thumbnail features."""
