@@ -64,12 +64,65 @@ def _signature(e: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+#: Below this many distinct edges the driver union-find wins outright: the
+#: Arrow collect is <= ~1.2 MB (two longs/edge) and finishes in
+#: milliseconds, while every large-star/small-star round costs two
+#: shuffles plus driver-synchronized jobs — seconds of fixed latency per
+#: round regardless of data size.  Kept well below any measured-protocol
+#: edge set (the 800k-doc scaling ladder carries ~155k edges) so the
+#: distributed algorithm remains the path the scaling evidence measures.
+DRIVER_CC_MAX_EDGES = 50_000
+
+
+def _driver_components(e: DataFrame) -> DataFrame:
+    """Exact same labeling contract as the distributed loop, computed by
+    union-find (union-by-min-id + path halving) on the driver after one
+    Arrow collect.  Only reachable under DRIVER_CC_MAX_EDGES."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = e.toPandas()
+    if not len(pdf):
+        return e.sparkSession.createDataFrame([], "doc_id long, cluster_id long")
+    src = pdf["src"].to_numpy(np.int64)
+    dst = pdf["dst"].to_numpy(np.int64)
+    ids, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    parent = np.arange(len(ids))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    # ids is sorted, so union-by-min-INDEX makes every final root the
+    # min doc_id of its component — the distributed loop's labeling.
+    for x, y in zip(inv[: len(src)].tolist(), inv[len(src):].tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    roots = np.array([find(i) for i in range(len(ids))])
+    out = pd.DataFrame({"doc_id": ids, "cluster_id": ids[roots]})
+    return e.sparkSession.createDataFrame(out, "doc_id long, cluster_id long")
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 50,
-                         checkpoint: bool = True, probe_every: int = 2) -> DataFrame:
+                         checkpoint: bool = True, probe_every: int = 2,
+                         n_edges: int | None = None,
+                         driver_max_edges: int = DRIVER_CC_MAX_EDGES) -> DataFrame:
     """pairs(id_a, id_b) -> (doc_id, cluster_id = min doc_id in component).
 
     Every doc that appears in >=1 edge gets a row (component minima label
     themselves).  Deterministic.
+
+    Size dispatch (same pattern as operators/vector_ann.cosine_pairs):
+    under `driver_max_edges` distinct edges the O(log^2 n)-round
+    distributed loop pays seconds of per-round shuffle + driver latency
+    just to label a graph that fits in a ~1 MB collect — union-find on
+    the driver returns the identical labeling in one job.  Above the
+    threshold, the large-star/small-star loop is the only shape that
+    scales.  `n_edges` is an optional size hint (e.g. a checkpoint
+    manifest row count) that skips the routing count().
 
     `probe_every`: run the fixpoint probe (a collect) every N iterations.
     Labels are monotonically non-increasing under large-star/small-star, so
@@ -82,6 +135,10 @@ def connected_components(pairs: DataFrame, max_iter: int = 50,
              .where(F.col("src") != F.col("dst")).distinct()
     if checkpoint:
         e = e.localCheckpoint(eager=True)
+    if n_edges is None:
+        n_edges = e.count()          # cheap: counts the materialized checkpoint
+    if n_edges <= driver_max_edges:
+        return _driver_components(e)
 
     prev_sig = None
     for it in range(1, max_iter + 1):

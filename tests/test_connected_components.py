@@ -20,8 +20,14 @@ def _run(spark, edges):
     df = spark.createDataFrame(list(edges) or [(0, 0)], "id_a long, id_b long")
     if not edges:
         df = df.where("id_a != id_a")
+    # both dispatch routes must produce the identical labeling: the driver
+    # union-find (default at these sizes) and the distributed
+    # large-star/small-star loop (forced via driver_max_edges=0)
     got = {r["doc_id"]: r["cluster_id"] for r in connected_components(df).collect()}
     assert got == _oracle_labels(edges)
+    dist = {r["doc_id"]: r["cluster_id"]
+            for r in connected_components(df, driver_max_edges=0).collect()}
+    assert dist == _oracle_labels(edges)
 
 
 def test_cc_empty(spark):
