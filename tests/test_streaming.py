@@ -6,6 +6,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from distributed_lsh_spark.conf import DEFAULT_CONFIG as CFG
 from distributed_lsh_spark.oracle.dedup import DedupOracle
@@ -188,6 +189,40 @@ def test_stream_index_compaction_bounds_partitions(spark, tiny_corpus, tmp_path)
            for r in spark.read.parquet(os.path.join(state_dir, "pairs")).collect()}
     oracle = DedupOracle(CFG, docs)
     assert got == set(oracle.verified_pairs())
+
+
+def test_compaction_self_heals_duplicate_rows(spark, tmp_path):
+    """Crash window: if a previous compaction wrote the merged partition
+    but died before deleting the stale ones, the index briefly holds
+    duplicate rows.  The next compaction must dedup on the index key and
+    leave exactly one partition with the distinct row set."""
+    from distributed_lsh_spark.streaming.dedup_stream import (
+        compact_batch_index,
+    )
+
+    d = str(tmp_path / "band_index")
+    rows = [(i, i % 4, 1000 + i % 7) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, band_id int, band_hash long")
+    # batch 0 and batch 1 partitions, where batch 1 ALSO contains all of
+    # batch 0's rows (the half-compacted crash state)
+    df.where("doc_id < 20").withColumn("batch_id", F.lit(0)) \
+      .write.partitionBy("batch_id").mode("append").parquet(d)
+    df.withColumn("batch_id", F.lit(1)) \
+      .write.partitionBy("batch_id").mode("append").parquet(d)
+    assert spark.read.parquet(d).count() == 60          # 20 duplicated
+
+    assert compact_batch_index(spark, d, current_batch_id=2,
+                               dedup_cols=["doc_id", "band_id", "band_hash"])
+    parts = {f for f in os.listdir(d) if f.startswith("batch_id=")}
+    assert parts == {"batch_id=1"}
+    healed = spark.read.parquet(d)
+    assert healed.count() == 40                         # duplicates gone
+    got = {(r["doc_id"], r["band_id"], r["band_hash"])
+           for r in healed.collect()}
+    assert got == set(rows)
+    # fewer than two mergeable partitions -> no-op (replayed-batch case)
+    assert not compact_batch_index(spark, d, current_batch_id=2,
+                                   dedup_cols=["doc_id", "band_id", "band_hash"])
 
 
 def test_incremental_simhash_stream_restart(spark, tiny_corpus, tmp_path):
