@@ -70,10 +70,10 @@ def _md5_vocab(uniques: list[str]) -> "np.ndarray":
                        dtype=np.uint64, count=len(uniques))
 
 
-_WFP_SCHEMA = T.ArrayType(T.StructType([
-    T.StructField("pos", T.LongType(), False),
-    T.StructField("fp", T.LongType(), False),
-]))
+_WFP_SCHEMA = T.StructType([
+    T.StructField("pos", T.ArrayType(T.LongType()), False),
+    T.StructField("fp", T.ArrayType(T.LongType()), False),
+])
 
 
 def _window_fp_udf(window: int, guarantee: int):
@@ -86,7 +86,7 @@ def _window_fp_udf(window: int, guarantee: int):
     pows = np.array(window_pows(W), dtype=np.uint64)
 
     @F.pandas_udf(_WFP_SCHEMA)
-    def _wfp(texts: pd.Series) -> pd.Series:
+    def _wfp(texts: pd.Series) -> pd.DataFrame:
         from distributed_lsh_spark.functions.signature import _token_hashes
 
         tok_h, lens = _token_hashes(texts, token_hash=_md5_vocab)
@@ -101,11 +101,14 @@ def _window_fp_udf(window: int, guarantee: int):
         offsets = np.zeros(len(lens) + 1, dtype=np.int64)
         np.cumsum(lens, out=offsets[1:])
 
-        out: list[list[dict]] = []
+        out_pos: list[np.ndarray] = []
+        out_fp: list[np.ndarray] = []
+        empty = np.empty(0, dtype=np.int64)
         for d in range(len(lens)):
             n = int(lens[d])
             if n < W:
-                out.append([])
+                out_pos.append(empty)
+                out_fp.append(empty)
                 continue
             # windows starting inside doc d never cross its end for
             # start offsets 0..n-W, so the global H slice is exact
@@ -116,8 +119,10 @@ def _window_fp_udf(window: int, guarantee: int):
             # BIGINT ordering the DuckDB oracle uses)
             idx = (g - 1) - np.argmin(sw[:, ::-1], axis=1)
             sel = np.unique(np.arange(len(sw), dtype=np.int64) + idx)
-            out.append([{"pos": int(p) + 1, "fp": int(wh[p])} for p in sel])
-        return pd.Series(out)
+            # parallel arrays (Arrow list columns) — no per-element Python
+            out_pos.append(sel + 1)
+            out_fp.append(wh[sel])
+        return pd.DataFrame({"pos": out_pos, "fp": out_fp})
 
     return _wfp
 
@@ -125,9 +130,13 @@ def _window_fp_udf(window: int, guarantee: int):
 def window_fingerprints(df: DataFrame, text_col: str = "text",
                         window: int = 50, guarantee: int = 10) -> DataFrame:
     """-> (doc_id, pos, fp): winnowed fingerprints of W-token windows.
-    Docs with fewer than `window` tokens yield no fingerprints."""
+    Docs with fewer than `window` tokens yield no fingerprints.  The UDF
+    emits parallel pos/fp Arrow list columns; the zip + explode to rows
+    happens JVM-side."""
     wfp = _window_fp_udf(window, guarantee)
-    return (df.select("doc_id", F.explode(wfp(F.col(text_col))).alias("w"))
+    return (df.select("doc_id", wfp(F.col(text_col)).alias("s"))
+              .select("doc_id",
+                      F.explode(F.arrays_zip("s.pos", "s.fp")).alias("w"))
               .select("doc_id", F.col("w.pos").alias("pos"),
                       F.col("w.fp").alias("fp")))
 
