@@ -567,6 +567,29 @@ def _sql_ann_topk() -> str:
     return sql_ann_topk(make_ann_gate_fixture())
 
 
+def q_ann_topk_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 (MRLSH, radius loop inside the job) under the hard gate: the
+    same c-k-ANN search as `ann_topk` built as ONE unrolled Spark plan
+    with zero per-radius driver actions (operators/ann.
+    ann_search_spark_fused, SearchMapper.java:244-353).  Same fixture,
+    same DuckDB oracle — the gate pins that the fused form reproduces
+    the radius-loop semantics exactly."""
+    from distributed_lsh_spark.fixtures import make_ann_gate_fixture
+    from distributed_lsh_spark.operators.ann import ann_search_spark_fused
+
+    fx = make_ann_gate_fixture()
+    pts = spark.createDataFrame(
+        [(i, [int(v) for v in row]) for i, row in enumerate(fx.points)],
+        "id long, vec array<long>")
+    qrs = spark.createDataFrame(
+        [(i, [int(v) for v in row]) for i, row in enumerate(fx.queries)],
+        "query_id long, vec array<long>")
+    out = ann_search_spark_fused(spark, pts, qrs, fx.model, fx.k)
+    return (out.select("query_id", "point_id",
+                       F.round("dist", 6).alias("dist"), "rank")
+            .orderBy("query_id", "rank"))
+
+
 def q_ann_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's A5 evaluation metric as a gated query: run the
     c-k-ANN search on the gate fixture, then compute
@@ -1366,6 +1389,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curated_docs": q_curated_docs,
     "embedding_topk": q_embedding_topk,
     "ann_topk": q_ann_topk,
+    "ann_topk_fused": q_ann_topk_fused,
     "ann_accuracy": q_ann_accuracy,
     "pricing_summary": q_pricing_summary,
     "top_unshipped_orders": q_top_unshipped_orders,
@@ -1403,6 +1427,7 @@ ORACLE_SQL: dict[str, str] = {
     "curated_docs": _sql_curated_docs(),
     "embedding_topk": _SQL_EMBEDDING_TOPK,
     "ann_topk": _sql_ann_topk(),
+    "ann_topk_fused": _sql_ann_topk(),     # same semantics, same oracle
     "ann_accuracy": _sql_ann_accuracy(),
     "pricing_summary": _SQL_PRICING_SUMMARY,
     "top_unshipped_orders": _SQL_TOP_UNSHIPPED,

@@ -100,6 +100,38 @@ def test_spark_ann_matches_oracle(spark, model, fx):
         assert math.isclose(gd, dist, rel_tol=1e-9)
 
 
+def test_fused_ann_matches_driver_loop_and_oracle(spark, model, fx):
+    """C1 (MRLSH, radius loop inside the job — ann_search_spark_fused
+    builds the whole unrolled search as ONE Spark plan with zero
+    per-radius driver actions) must return exactly what the C2 driver
+    loop and the NumPy reference oracle return."""
+    from distributed_lsh_spark.operators.ann import (
+        ann_search_spark, ann_search_spark_fused,
+    )
+
+    k = 5
+    pts = spark.createDataFrame(
+        [(i, fx.points[i].tolist()) for i in range(len(fx.points))],
+        "id long, vec array<int>")
+    qs = spark.createDataFrame(
+        [(i, fx.queries[i].tolist()) for i in range(len(fx.queries))],
+        "query_id long, vec array<int>")
+    fused = {(r["query_id"], r["rank"]): (r["point_id"], r["dist"])
+             for r in ann_search_spark_fused(spark, pts, qs, model, k=k).collect()}
+    loop = {(r["query_id"], r["rank"]): (r["point_id"], r["dist"])
+            for r in ann_search_spark(spark, pts, qs, model, k=k).collect()}
+    assert set(fused) == set(loop)
+    for key, (idx, dist) in loop.items():
+        fi, fd = fused[key]
+        assert fi == idx and math.isclose(fd, dist, rel_tol=1e-9)
+
+    oracle = ann_search(model, fx.points, fx.queries, k=k)
+    expect = {(r.query_id, rank): idx
+              for r in oracle if len(r.neighbors) == k
+              for rank, (_, idx) in enumerate(r.neighbors, start=1)}
+    assert {key: v[0] for key, v in fused.items()} == expect
+
+
 def test_ann_gate_sql_oracle_three_way(spark):
     """The driver-gate ann_topk row: NumPy reference oracle == unrolled
     DuckDB SQL oracle == Spark engine, on the gate fixture.  This is the
