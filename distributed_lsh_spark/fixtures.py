@@ -165,9 +165,12 @@ def make_vectors_fixture(n: int = 1000, d: int = 16, t: int = 255,
 class AnnGateFixture:
     """Self-contained c-k-ANN driver-gate fixture: a deterministic
     integer-vector corpus plus the reference hash model's bucket tables
-    for EVERY (radius, table), so a pure-SQL oracle can replay the
-    radius-expansion search without recomputing Gaussian projections
-    (which no SQL engine can reproduce bit-for-bit)."""
+    for EVERY (radius, table).  The SQL oracle computes its own buckets
+    from the embedded hash-family parameters (oracle/ann_gate_sql.
+    _bucket_ctes — the explicit left-to-right float chain reproduces
+    NumPy bit-for-bit on this fixture, with floor() arguments >= 9.5e-6
+    from integer boundaries); the bucket tables here remain as the
+    cross-check target for tests/test_ann_parity.py."""
 
     model: object                  # ReferenceLSHModel
     points: "np.ndarray"           # (n, d) int64, point_id = row index

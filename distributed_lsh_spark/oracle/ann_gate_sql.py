@@ -17,21 +17,103 @@ into one CTE block per radius:
   fin{i}     queries with >= k accepted so far (CheckCandidateReducer.
              java:61-73); they drop out of cand{i+1}
 
-The Gaussian hash family itself cannot be replayed bit-for-bit by a SQL
-engine (BLAS vs left-to-right float summation shifts floor() boundaries),
-so the bucket tables — the deterministic model, seeded NumPy identical to
-what pytest pins against the reference semantics — are embedded as VALUES.
-Everything downstream of the buckets (candidate join, dedup, cap order,
+The bucket tables (P1/P2) are COMPUTED IN SQL too: the hash family's
+parameters (Gaussian projections, uniform shifts, standard-hash ints) are
+embedded as float64/int literals and the whole chain — explicit
+left-to-right dot product, + shift, floor((hv + U/2)/(w*R)), then the
+iterated standard-hash compression with the 64->32 fold
+(x & (2^32-1)) + 5*(x >> 32) mod 2^31-1 (LSH.java:242-270) — replays in
+DuckDB arithmetic.  This reproduces NumPy's buckets bit-for-bit on the
+gate fixture: the only floating-point freedom is the dot-product
+summation order (BLAS vs sequential), measured at <= 1e-16 relative,
+while the nearest floor() argument to an integer boundary sits 9.5e-6
+away (pinned by tests/test_ann_parity.py::
+test_bucket_ids_reproducible_without_numpy) — eleven orders of magnitude
+of slack.  Everything downstream (candidate join, dedup, cap order,
 checked anti-join, acceptance, finish logic, top-k ranking) is replayed
-independently in SQL, which is exactly the search semantics the Spark
-engine (operators/ann.py) implements with DataFrame ops.
+independently in SQL as before, so the ENTIRE gate query is now
+SQL-independent of the engine's NumPy code.
 
 Every per-radius CTE is MATERIALIZED: each references the previous round's
 CTEs twice, and DuckDB's default inlining makes the plan exponential in
-n_radii without it.
+n_radii without it.  The bucket fold chain is MATERIALIZED per step for
+the same reason.
 """
 
 from __future__ import annotations
+
+
+def _bucket_ctes(fx) -> str:
+    """CTEs computing pb/qb — (id, radius_id, table_id, bucket) for every
+    (radius, table) — from the embedded hash-family parameters, replaying
+    ReferenceLSHModel.bucket_ids in DuckDB arithmetic."""
+    m_ = fx.model
+    d = fx.points.shape[1]
+    proj_rows = ",".join(
+        "(%d,%d,%s,%s)" % (
+            tid, i,
+            ",".join(repr(float(m_.proj[tid][i][j])) for j in range(d)),
+            repr(float(m_.shift[tid][i])))
+        for tid in range(m_.L) for i in range(m_.m))
+    pcols = ",".join(f"p{j + 1}" for j in range(d))
+    # every float literal is CAST to DOUBLE: DuckDB parses decimal-point
+    # literals as exact DECIMALs, whose arithmetic would diverge from the
+    # float64 chain being replayed (and overflow DECIMAL(18) in the fold);
+    # repr() round-trips through DECIMAL -> DOUBLE to the identical double
+    dcols = ",".join(f"CAST(p{j + 1} AS DOUBLE) AS p{j + 1}"
+                     for j in range(d))
+    radii_rows = ",".join(
+        f"({rid},{repr(4.0 * radius)})"          # WIDTH * radius, as the
+        for rid, radius in enumerate(m_.radii()))  # model computes it
+    u2 = f"CAST({repr(m_.U / 2.0)} AS DOUBLE)"
+    # explicit left-to-right dot product — the order the reproducibility
+    # pytest pins against NumPy's BLAS result
+    dot = "v.vec[1] * p.p1"
+    for j in range(1, d):
+        dot = f"({dot}) + v.vec[{j + 1}] * p.p{j + 1}"
+    parts = [f"""proj_raw(tid, i, {pcols}, shift) AS (VALUES {proj_rows}),
+proj AS MATERIALIZED (
+  SELECT tid, i, {dcols}, CAST(shift AS DOUBLE) AS shift FROM proj_raw
+),
+radii_raw(rid, wr) AS (VALUES {radii_rows}),
+radii AS (SELECT rid, CAST(wr AS DOUBLE) AS wr FROM radii_raw),
+all_vecs(side, id, vec) AS (
+  SELECT 'p', point_id, vec FROM pts
+  UNION ALL SELECT 'q', query_id, vec FROM qrs
+),
+hv_all AS MATERIALIZED (
+  SELECT v.side, v.id, p.tid, p.i, ({dot}) + p.shift AS hv
+  FROM all_vecs v CROSS JOIN proj p
+),
+s_all AS MATERIALIZED (
+  SELECT h.side, h.id, r.rid, h.tid, h.i,
+         CAST(floor((h.hv + {u2}) / r.wr) AS BIGINT) AS s
+  FROM hv_all h CROSS JOIN radii r
+)"""]
+    prev = None
+    for i in range(m_.m):
+        std_i = int(m_.standard_hash[i])
+        if prev is None:
+            x = f"(s.s * {std_i})"
+            src = f"FROM s_all s WHERE s.i = {i}"
+        else:
+            x = f"(b.bucket + s.s * {std_i})"
+            src = (f"FROM {prev} b JOIN s_all s ON s.side = b.side "
+                   f"AND s.id = b.id AND s.rid = b.rid AND s.tid = b.tid "
+                   f"AND s.i = {i}")
+        parts.append(f"""bf{i} AS MATERIALIZED (
+  SELECT s.side, s.id, s.rid, s.tid,
+         (({x} & 4294967295) + 5 * ({x} >> 32)) % 2147483647 AS bucket
+  {src}
+)""")
+        prev = f"bf{i}"
+    parts.append(f"""pb(point_id, radius_id, table_id, bucket) AS (
+  SELECT id, rid, tid, bucket FROM {prev} WHERE side = 'p'
+),
+qb(query_id, radius_id, table_id, bucket) AS (
+  SELECT id, rid, tid, bucket FROM {prev} WHERE side = 'q'
+)""")
+    return ",\n".join(parts)
 
 
 def _chain_parts(fx) -> tuple[list, str, str]:
@@ -41,9 +123,6 @@ def _chain_parts(fx) -> tuple[list, str, str]:
     model, k = fx.model, fx.k
     thr = model.prune_factor * model.L + k
     d = fx.points.shape[1]
-
-    def vals(rows):
-        return ",".join(f"({a},{b},{c},{x})" for a, b, c, x in rows)
 
     def vec_vals(arr):
         return ",".join(
@@ -58,8 +137,7 @@ def _chain_parts(fx) -> tuple[list, str, str]:
 
     parts = [f"""WITH pts(point_id, vec) AS (VALUES {vec_vals(fx.points)}),
 qrs(query_id, vec) AS (VALUES {vec_vals(fx.queries)}),
-pb(point_id, radius_id, table_id, bucket) AS (VALUES {vals(fx.point_buckets)}),
-qb(query_id, radius_id, table_id, bucket) AS (VALUES {vals(fx.query_buckets)}),
+{_bucket_ctes(fx)},
 dist AS MATERIALIZED (
   SELECT q.query_id, p.point_id, {l2} AS dist FROM qrs q, pts p
 )"""]

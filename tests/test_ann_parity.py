@@ -100,6 +100,64 @@ def test_spark_ann_matches_oracle(spark, model, fx):
         assert math.isclose(gd, dist, rel_tol=1e-9)
 
 
+def test_bucket_ids_reproducible_without_numpy():
+    """P1/P2 independence pin for the SQL gate oracle: pure sequential
+    left-to-right Python float arithmetic (no NumPy, no BLAS) reproduces
+    every bucket id of the gate fixture bit-for-bit, and the nearest
+    floor() argument to an integer boundary sits far outside double
+    rounding error — so any IEEE-754 engine evaluating the same explicit
+    expression (e.g. DuckDB in oracle/ann_gate_sql._bucket_ctes) computes
+    identical buckets."""
+    import math
+
+    import duckdb
+
+    from distributed_lsh_spark.fixtures import make_ann_gate_fixture
+    from distributed_lsh_spark.oracle.ann_gate_sql import _bucket_ctes
+    from distributed_lsh_spark.oracle.reference_lsh import MASK32, PRIME_31, WIDTH
+
+    fx = make_ann_gate_fixture()
+    m = fx.model
+    min_gap = 1.0
+    for vecs in (fx.points, fx.queries):
+        for radius in m.radii():
+            for tid in range(m.L):
+                ref = m.bucket_ids(tid, radius, vecs)
+                for vi, v in enumerate(vecs):
+                    out = 0
+                    for i in range(m.m):
+                        hv = 0.0
+                        for j in range(m.dim):        # left-to-right
+                            hv += float(v[j]) * float(m.proj[tid][i][j])
+                        hv += float(m.shift[tid][i])
+                        x = (hv + m.U / 2.0) / (WIDTH * radius)
+                        gap = abs(x - round(x))
+                        if gap > 0:
+                            min_gap = min(min_gap, gap)
+                        out += math.floor(x) * int(m.standard_hash[i])
+                        out = (out & MASK32) + 5 * (out >> 32)
+                        out %= PRIME_31
+                    assert out == ref[vi]
+    # double rounding error is ~1e-16 relative; require >= 1e9x slack
+    assert min_gap > 1e-7, min_gap
+
+    # and DuckDB, evaluating the generated expression, agrees exactly
+    def vec_vals(arr):
+        return ",".join("(%d,[%s])" % (i, ",".join(str(int(x)) for x in row))
+                        for i, row in enumerate(arr))
+    sql = f"""WITH pts(point_id, vec) AS (VALUES {vec_vals(fx.points)}),
+qrs(query_id, vec) AS (VALUES {vec_vals(fx.queries)}),
+{_bucket_ctes(fx)}
+SELECT 'p' AS side, point_id, radius_id, table_id, bucket FROM pb
+UNION ALL SELECT 'q', query_id, radius_id, table_id, bucket FROM qb"""
+    con = duckdb.connect()
+    rows = con.sql(sql).fetchall()
+    got_p = {(i, r, t): b for s, i, r, t, b in rows if s == "p"}
+    got_q = {(i, r, t): b for s, i, r, t, b in rows if s == "q"}
+    assert got_p == {(i, r, t): b for i, r, t, b in fx.point_buckets}
+    assert got_q == {(i, r, t): b for i, r, t, b in fx.query_buckets}
+
+
 def test_fused_ann_matches_driver_loop_and_oracle(spark, model, fx):
     """C1 (MRLSH, radius loop inside the job — ann_search_spark_fused
     builds the whole unrolled search as ONE Spark plan with zero
