@@ -1371,6 +1371,255 @@ ORDER BY p_partkey"""
 
 
 # --------------------------------------------------------------------------
+# web-scale curation extras: line-level dedup, repetition signals, URL dedup
+# --------------------------------------------------------------------------
+# These are the remaining standard web-corpus curation passes (C4 /
+# RefinedWeb line dedup, Gopher repetition filters, per-URL latest-crawl
+# dedup over the north_star's (url, warc_ts) shape).  All per-doc work is
+# lambda-free: "lines" are derived by a greedy 8-token regexp chunker over
+# the normalized token stream (whole-stage codegen; identical to chunking
+# the token ARRAY 8 at a time, which is what the DuckDB oracles do via
+# 1-based list slices), 2-grams come from a lead() window, and ordered
+# per-doc reconstruction uses array_sort(collect_list(struct))[field]
+# extraction (GetArrayStructFields, codegen) — no interpreted HOF lambdas.
+
+# one "line" = up to 8 consecutive normalized tokens (greedy, sequential,
+# so matches the token-array chunking t[(i-1)*8+1 : (i-1)*8+8] exactly)
+_LINE_RX = "[^ ]+( [^ ]+){0,7}"
+
+
+def _lines_col(norm: "F.Column") -> "F.Column":
+    """array<string> of 8-token lines of a normalized token stream."""
+    return F.regexp_extract_all(norm, F.lit(_LINE_RX), 0)
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style GLOBAL exact line dedup: every 8-token line
+    whose text occurs >= 2 times anywhere in the corpus (same doc or not)
+    is removed from every document; output per doc = surviving-line count
+    + md5 of the cleaned text, so the gate value-checks the removal AND
+    the ordered reconstruction.
+
+    Planting (exact_dup_groups pattern): every doc_id % 61 == 0 document
+    is re-unioned under doc_id + 2_000_000 as its first 24 tokens +
+    ' planteddup' — a partial copy whose first 3 lines collide with the
+    original's (the corpus also carries natural cross-doc line
+    collisions; both engines see the identical union).
+
+    Scale shape (100 TB): lines carry an xxhash64 key, so the global
+    duplicate-line detection shuffles 8-byte keys, not line strings (the
+    C4 pipeline's own trick; a 64-bit collision mis-removing a line is
+    ~n_lines^2/2^64 — negligible and tolerated by the real pipelines).
+    One explode -> one narrow groupBy -> one narrow join -> one per-doc
+    groupBy; no driver collects, no per-row Python."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    norm = F.expr(_TOK_STREAM.format(col="text"))
+    docs = df.select("doc_id", norm.alias("norm"))
+    prefix24 = F.regexp_extract(F.col("norm"), "[^ ]+( [^ ]+){0,23}", 0)
+    planted = (docs.where(F.pmod(F.col("doc_id"), F.lit(61)) == 0)
+               .select((F.col("doc_id") + 2_000_000).alias("doc_id"),
+                       F.concat(prefix24, F.lit(" planteddup")).alias("norm")))
+    lines = (docs.unionByName(planted)
+             .select("doc_id", F.posexplode(_lines_col(F.col("norm")))
+                     .alias("pos", "line"))
+             .withColumn("lk", F.xxhash64("line")))
+    dup = (lines.groupBy("lk").agg(F.count("*").alias("c"))
+           .where(F.col("c") >= 2).select("lk", F.lit(1).alias("is_dup")))
+    flagged = lines.join(dup, "lk", "left")
+    kept = F.array_sort(F.collect_list(
+        F.when(F.col("is_dup").isNull(), F.struct("pos", "line"))))
+    return (flagged.groupBy("doc_id")
+            .agg(F.count("*").alias("n_lines"),
+                 F.count("is_dup").alias("n_removed"),
+                 F.md5(F.concat_ws("\n", kept["line"]).cast("binary"))
+                  .alias("clean_md5"))
+            .select("doc_id", "n_lines", "n_removed", "clean_md5")
+            .orderBy("doc_id"))
+
+
+def _sql_line_dedup() -> str:
+    return f"""WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         array_to_string(({_DUCK_TOKS})[1:24], ' ') || ' planteddup' AS text
+  FROM documents WHERE doc_id % 61 = 0
+),
+tk AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM base),
+lnl AS (
+  SELECT doc_id,
+         [{{'pos': i, 'line': array_to_string(t[(i-1)*8+1:(i-1)*8+8], ' ')}}
+          for i in range(1, CAST(ceil(len(t)/8.0) AS INT) + 1)] AS ls
+  FROM tk
+),
+ln AS (SELECT doc_id, unnest(ls, recursive := true) FROM lnl),
+dup AS (SELECT line FROM ln GROUP BY line HAVING count(*) >= 2),
+fl AS (SELECT ln.doc_id, ln.pos, ln.line, dup.line IS NOT NULL AS is_dup
+       FROM ln LEFT JOIN dup ON ln.line = dup.line)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       md5(coalesce(string_agg(CASE WHEN NOT is_dup THEN line END, chr(10)
+                               ORDER BY pos), '')) AS clean_md5
+FROM fl GROUP BY doc_id ORDER BY doc_id"""
+
+
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition signals (Rae et al. 2021 §A1.1,
+    the standard quality-filter family the reference's corpus tooling
+    lacks): per doc —
+      top_token_frac       max token multiplicity / n_tokens
+      dup_line_frac        sum(line multiplicity - 1) / n_lines
+      top_2gram_char_frac  max over 2-grams of count*len(gram) / n_chars
+                           (deterministic variant: ties collapse under the
+                           max of the PRODUCT, no arbitrary gram pick)
+    Docs with doc_id % 53 == 0 get their first 16 tokens PREPENDED
+    (identically on both sides), planting aligned within-doc duplicate
+    lines so dup_line_frac is value-checked on non-zero data.
+
+    Shuffle shape: one posexplode of the token stream feeds the token
+    counts AND (via a lead() window, JVM-side) the 2-gram counts; lines
+    reuse the codegen chunker.  Three narrow per-doc aggregates joined on
+    doc_id — no interpreted lambdas, no Python."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    norm = F.expr(_TOK_STREAM.format(col="text"))
+    prefix16 = F.regexp_extract(norm, "[^ ]+( [^ ]+){0,15}", 0)
+    norm2 = F.when((F.pmod(F.col("doc_id"), F.lit(53)) == 0) & (norm != ""),
+                   F.concat(prefix16, F.lit(" "), norm)).otherwise(norm)
+    docs = df.select("doc_id", norm2.alias("norm")).where(F.col("norm") != "")
+    tok = docs.select("doc_id", F.posexplode(F.split("norm", " "))
+                      .alias("pos", "w"))
+    ttop = (tok.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+            .groupBy("doc_id").agg(F.sum("c").alias("n_tokens"),
+                                   F.max("c").alias("top_tok")))
+    w2 = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (tok.withColumn("nxt", F.lead("w").over(w2))
+             .where(F.col("nxt").isNotNull())
+             .select("doc_id", F.concat_ws(" ", "w", "nxt").alias("g")))
+    gtop = (grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+            .groupBy("doc_id")
+            .agg(F.max(F.col("c") * F.length("g")).alias("top_gchars")))
+    lagg = (docs.select("doc_id", F.explode(_lines_col(F.col("norm")))
+                        .alias("line"))
+            .groupBy("doc_id", "line").agg(F.count("*").alias("c"))
+            .groupBy("doc_id").agg(F.sum("c").alias("n_lines"),
+                                   F.sum(F.col("c") - 1).alias("n_dup_lines")))
+    base = docs.select("doc_id", F.length("norm").alias("n_chars"))
+    return (base.join(ttop, "doc_id").join(lagg, "doc_id")
+            .join(gtop, "doc_id", "left")
+            .select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.col("n_lines").cast("long").alias("n_lines"),
+                    F.round(F.col("top_tok") / F.col("n_tokens"), 6)
+                     .alias("top_token_frac"),
+                    F.round(F.col("n_dup_lines") / F.col("n_lines"), 6)
+                     .alias("dup_line_frac"),
+                    F.round(F.coalesce(F.col("top_gchars"), F.lit(0))
+                            / F.col("n_chars"), 6)
+                     .alias("top_2gram_char_frac"))
+            .orderBy("doc_id"))
+
+
+def _sql_gopher_repetition() -> str:
+    return f"""WITH tk0 AS (SELECT doc_id, {_DUCK_TOKS} AS t0 FROM documents),
+tk AS (SELECT doc_id,
+              CASE WHEN doc_id % 53 = 0 AND len(t0) > 0
+                   THEN list_concat(t0[1:16], t0) ELSE t0 END AS t
+       FROM tk0),
+tok AS (SELECT doc_id, unnest(t) AS w FROM tk),
+tcnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+ttop AS (SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_tok
+         FROM tcnt GROUP BY doc_id),
+g2l AS (SELECT doc_id, [t[i] || ' ' || t[i+1] for i in range(1, len(t))] AS gs
+        FROM tk),
+g2 AS (SELECT doc_id, unnest(gs) AS g FROM g2l),
+gcnt AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+gtop AS (SELECT doc_id, max(c * len(g)) AS top_gchars FROM gcnt GROUP BY doc_id),
+lnl AS (SELECT doc_id, [array_to_string(t[(i-1)*8+1:(i-1)*8+8], ' ')
+        for i in range(1, CAST(ceil(len(t)/8.0) AS INT) + 1)] AS ls FROM tk),
+ln AS (SELECT doc_id, unnest(ls) AS line FROM lnl),
+lcnt AS (SELECT doc_id, line, count(*) AS c FROM ln GROUP BY 1, 2),
+lagg AS (SELECT doc_id, sum(c) AS n_lines, sum(c - 1) AS n_dup_lines
+         FROM lcnt GROUP BY doc_id),
+base AS (SELECT doc_id, length(array_to_string(t, ' ')) AS n_chars
+         FROM tk WHERE len(t) > 0)
+SELECT b.doc_id,
+       CAST(tt.n_tokens AS BIGINT) AS n_tokens,
+       CAST(l.n_lines AS BIGINT) AS n_lines,
+       round(tt.top_tok * 1.0 / tt.n_tokens, 6) AS top_token_frac,
+       round(l.n_dup_lines * 1.0 / l.n_lines, 6) AS dup_line_frac,
+       round(coalesce(gt.top_gchars, 0) * 1.0 / b.n_chars, 6)
+         AS top_2gram_char_frac
+FROM base b JOIN ttop tt USING (doc_id) JOIN lagg l USING (doc_id)
+LEFT JOIN gtop gt USING (doc_id)
+ORDER BY b.doc_id"""
+
+
+def q_url_latest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-URL latest-crawl dedup over the north_star input shape
+    (url, warc_ts): a Common-Crawl corpus carries many snapshots of the
+    same url; keep exactly the newest (warc_ts desc, doc_id desc
+    tie-break) and report crawl multiplicity + the kept text's md5.
+
+    The sf tables carry no url column, so (ann_topk fixture precedent)
+    url and warc epoch are derived DETERMINISTICALLY from doc_id on both
+    sides: path = doc_id % 97 (so ~n/97 snapshots per url), host =
+    path % 7, epoch = 1735689600 + (doc_id * 7919) % 1e6 (pseudo-shuffled
+    so the winner is not simply max doc_id).  Host extraction is the same
+    regexp on both engines.
+
+    Scale shape: ONE window over the url-partitioned shuffle — the
+    canonical keep-latest plan; skewed hot urls are exactly the hot-key
+    class the dedup cap handles elsewhere, and a (url, epoch desc)
+    pre-sorted bucketed layout would make it shuffle-free."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    p = F.pmod(F.col("doc_id"), F.lit(97))
+    url = F.concat(F.lit("https://h"), F.pmod(p, F.lit(7)).cast("string"),
+                   F.lit(".example.com/p/"), p.cast("string"))
+    epoch = (F.lit(1735689600)
+             + F.pmod(F.col("doc_id") * 7919, F.lit(1_000_000)))
+    crawl = df.select("doc_id", "text", url.alias("url"),
+                      epoch.cast("long").alias("warc_epoch"))
+    wu = Window.partitionBy("url")
+    rk = (crawl
+          .withColumn("rn", F.row_number().over(
+              wu.orderBy(F.col("warc_epoch").desc(), F.col("doc_id").desc())))
+          .withColumn("n_crawls", F.count("*").over(wu)))
+    return (rk.where(F.col("rn") == 1)
+            .select("url",
+                    F.regexp_extract("url", "https?://([^/]+)/", 1)
+                     .alias("host"),
+                    F.col("doc_id").alias("kept_doc_id"),
+                    F.col("n_crawls").cast("long").alias("n_crawls"),
+                    "warc_epoch",
+                    F.md5(F.col("text").cast("binary")).alias("kept_md5"))
+            .orderBy("url"))
+
+
+_SQL_URL_LATEST_DEDUP = """
+WITH crawl AS (
+  SELECT doc_id, text,
+         'https://h' || ((doc_id % 97) % 7) || '.example.com/p/'
+           || (doc_id % 97) AS url,
+         1735689600 + (doc_id * 7919) % 1000000 AS warc_epoch
+  FROM documents
+),
+rk AS (SELECT *,
+              row_number() OVER (PARTITION BY url
+                                 ORDER BY warc_epoch DESC, doc_id DESC) AS rn,
+              count(*) OVER (PARTITION BY url) AS n_crawls
+       FROM crawl)
+SELECT url, regexp_extract(url, 'https?://([^/]+)/', 1) AS host,
+       CAST(doc_id AS BIGINT) AS kept_doc_id,
+       CAST(n_crawls AS BIGINT) AS n_crawls,
+       CAST(warc_epoch AS BIGINT) AS warc_epoch,
+       md5(text) AS kept_md5
+FROM rk WHERE rn = 1 ORDER BY url"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1410,6 +1659,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "balance_rollup": q_balance_rollup,
     "part_semi_anti": q_part_supplier_semi_anti,
+    "line_dedup": q_line_dedup,
+    "gopher_repetition": q_gopher_repetition,
+    "url_latest_dedup": q_url_latest_dedup,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1450,4 +1702,7 @@ ORACLE_SQL: dict[str, str] = {
     "multimodal_features": _sql_multimodal_features(),
     "balance_rollup": _SQL_BALANCE_ROLLUP,
     "part_semi_anti": _SQL_PART_SEMI_ANTI,
+    "line_dedup": _sql_line_dedup(),
+    "gopher_repetition": _sql_gopher_repetition(),
+    "url_latest_dedup": _SQL_URL_LATEST_DEDUP,
 }

@@ -1,0 +1,89 @@
+"""Web-scale curation extras: C4-style global line dedup, Gopher
+repetition signals, per-URL latest-crawl dedup — Spark vs the DuckDB
+oracle at sf0.001, plus semantic pins on the planted structures."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from distributed_lsh_spark.entry_queries import ORACLE_SQL, QUERIES  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["documents"]
+NAMES = ["line_dedup", "gopher_repetition", "url_latest_dedup"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+@pytest.fixture(scope="module")
+def results(spark, duck):
+    out = {}
+    for name in NAMES:
+        sp = QUERIES[name](spark, SF_DIR).toPandas()
+        dk = duck.sql(ORACLE_SQL[name]).df()
+        out[name] = (sp, dk)
+    return out
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_matches_duckdb_oracle(results, name):
+    sp, dk = results[name]
+    assert sorted(sp.columns) == sorted(dk.columns), name
+    assert len(sp) == len(dk), name
+    cols = sorted(sp.columns)
+    sp = sp[cols].sort_values(cols).reset_index(drop=True)
+    dk = dk[cols].sort_values(cols).reset_index(drop=True)
+    for c in cols:
+        a, b = sp[c], dk[c]
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            assert (abs(a.astype(float) - b.astype(float)) < 1e-9).all(), (name, c)
+        else:
+            assert (a.astype(str) == b.astype(str)).all(), (name, c)
+
+
+def test_line_dedup_planted_lines_removed(results):
+    sp, _ = results["line_dedup"]
+    planted = sp[sp.doc_id >= 2_000_000]
+    assert len(planted) > 0
+    # each planted doc shares its leading 24 tokens (3 full lines) with its
+    # original, so at least those lines must be flagged duplicate
+    assert (planted.n_removed >= planted.n_lines - 1).all()
+    originals = sp[(sp.doc_id % 61 == 0) & (sp.doc_id < 2_000_000)]
+    assert (originals.n_removed > 0).any()
+
+
+def test_gopher_planted_docs_have_dup_lines(results):
+    sp, _ = results["gopher_repetition"]
+    planted = sp[(sp.doc_id % 53 == 0) & (sp.n_tokens >= 32)]
+    assert len(planted) > 0
+    # prepending the first 16 tokens re-aligns lines 1-2 as dups of 3-4
+    assert (planted.dup_line_frac > 0).all()
+    assert ((sp.top_token_frac > 0) & (sp.top_token_frac <= 1)).all()
+
+
+def test_url_latest_keeps_newest_crawl(results):
+    sp, _ = results["url_latest_dedup"]
+    assert (sp.n_crawls > 1).any()
+    # winner must carry the max epoch of its url group — recompute directly
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")[["doc_id"]]
+    docs["url_key"] = docs.doc_id % 97
+    docs["epoch"] = 1735689600 + (docs.doc_id * 7919) % 1_000_000
+    best = docs.groupby("url_key").epoch.max()
+    sp2 = sp.copy()
+    sp2["url_key"] = sp2.kept_doc_id % 97
+    got = sp2.set_index("url_key").warc_epoch.sort_index()
+    assert (got.values == best.sort_index().values).all()
