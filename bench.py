@@ -39,6 +39,9 @@ def main() -> None:
         "top_unshipped_orders",
         "events_hourly",
         "user_sessions",
+        "line_dedup",
+        "gopher_repetition",
+        "url_latest_dedup",
     ]
 
     spark = get_spark(app_name="bench", cores=cores, shuffle_partitions=cores)

@@ -233,8 +233,7 @@ FROM all_docs GROUP BY 1 HAVING count(*) > 1 ORDER BY text_md5"""
 #                 stopwords still match (a single-separator padding would
 #                 undercount every other hit in a stopword run)
 
-_TOK_STREAM = ("trim(BOTH ' ' FROM regexp_replace(lower({col}), "
-               "'[^a-z0-9]+', ' '))")
+from distributed_lsh_spark.functions.text import TOK_STREAM_SQL as _TOK_STREAM  # noqa: E402
 _TOK_PADDED = ("concat('||', regexp_replace(lower({col}), '[^a-z0-9]+', "
                "'||'), '||')")
 
@@ -1383,13 +1382,15 @@ ORDER BY p_partkey"""
 # per-doc reconstruction uses array_sort(collect_list(struct))[field]
 # extraction (GetArrayStructFields, codegen) — no interpreted HOF lambdas.
 
-# one "line" = up to 8 consecutive normalized tokens (greedy, sequential,
-# so matches the token-array chunking t[(i-1)*8+1 : (i-1)*8+8] exactly)
-_LINE_RX = "[^ ]+( [^ ]+){0,7}"
+from distributed_lsh_spark.functions.text import (  # noqa: E402
+    LINE_RX as _LINE_RX,
+    doc_lines as _doc_lines,
+)
 
 
 def _lines_col(norm: "F.Column") -> "F.Column":
-    """array<string> of 8-token lines of a normalized token stream."""
+    """array<string> of 8-token lines of a normalized token stream
+    (greedy regexp == the oracle's token-array chunking; functions.text)."""
     return F.regexp_extract_all(norm, F.lit(_LINE_RX), 0)
 
 
@@ -1420,13 +1421,17 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = (docs.where(F.pmod(F.col("doc_id"), F.lit(61)) == 0)
                .select((F.col("doc_id") + 2_000_000).alias("doc_id"),
                        F.concat(prefix24, F.lit(" planteddup")).alias("norm")))
-    lines = (docs.unionByName(planted)
-             .select("doc_id", F.posexplode(_lines_col(F.col("norm")))
-                     .alias("pos", "line"))
-             .withColumn("lk", F.xxhash64("line")))
+    # doc_lines re-normalizes, which is the identity on an already-
+    # normalized stream — batch and stream share this exact chunker
+    lines = _doc_lines(docs.unionByName(planted), text_col="norm")
     dup = (lines.groupBy("lk").agg(F.count("*").alias("c"))
            .where(F.col("c") >= 2).select("lk", F.lit(1).alias("is_dup")))
-    flagged = lines.join(dup, "lk", "left")
+    # removed lines shuffle into the per-doc groupBy as NULLs, not strings
+    # (SCALE.md: only surviving lines move text into the reconstruction)
+    flagged = (lines.join(dup, "lk", "left")
+               .select("doc_id", "pos", "is_dup",
+                       F.when(F.col("is_dup").isNull(), F.col("line"))
+                        .alias("line")))
     kept = F.array_sort(F.collect_list(
         F.when(F.col("is_dup").isNull(), F.struct("pos", "line"))))
     return (flagged.groupBy("doc_id")

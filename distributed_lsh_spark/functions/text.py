@@ -45,6 +45,39 @@ def normalized_tokens(col: str | Column) -> Column:
     return F.expr(_NORMALIZE_SQL.format(col=name))
 
 
+# Normalized token STREAM (tokens joined by single spaces) as a plain
+# string expression — the lambda-free base of the scalar text queries and
+# the line-level dedup family.  Token chars are exactly [a-z0-9].
+TOK_STREAM_SQL = ("trim(BOTH ' ' FROM regexp_replace(lower({col}), "
+                  "'[^a-z0-9]+', ' '))")
+
+# One "line" = up to LINE_TOKENS consecutive normalized tokens.  The
+# greedy regexp consumes tokens left-to-right LINE_TOKENS at a time, so
+# the chunking is IDENTICAL to slicing the token array
+# t[(i-1)*L+1 : (i-1)*L+L] (what the DuckDB oracles do) — but stays
+# whole-stage-codegen, no interpreted HOF slicing.
+LINE_TOKENS = 8
+LINE_RX = "[^ ]+( [^ ]+){0,%d}" % (LINE_TOKENS - 1)
+
+
+def token_stream(col: str | Column) -> Column:
+    """string of normalized tokens joined by single spaces (JVM, codegen)."""
+    name = col if isinstance(col, str) else col._jc.toString()
+    return F.expr(TOK_STREAM_SQL.format(col=name))
+
+
+def doc_lines(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """(id_col, pos, line, lk) — the corpus exploded into 8-token lines
+    with their xxhash64 keys; shared by q_line_dedup and the streaming
+    line-dedup twin so batch and stream chunk identically."""
+    norm = token_stream(text_col)
+    return (df.select(id_col,
+                      F.posexplode(F.regexp_extract_all(norm, F.lit(LINE_RX), 0))
+                       .alias("pos", "line"))
+              .withColumn("lk", F.xxhash64("line")))
+
+
 def shingle_strings(col: str, k: int) -> Column:
     """array<string> of word k-shingles of `col` (JVM)."""
     toks = _NORMALIZE_SQL.format(col=col)
