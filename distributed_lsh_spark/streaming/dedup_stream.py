@@ -397,6 +397,98 @@ def incremental_substring_stream(spark: SparkSession, input_dir: str,
     return writer.start()
 
 
+def incremental_line_dedup_stream(spark: SparkSession, input_dir: str,
+                                  state_dir: str,
+                                  schema: str = "doc_id long, text string",
+                                  available_now: bool = True,
+                                  max_files_per_trigger: int = 16,
+                                  compact_every: int | None = 64):
+    """Streaming twin of entry_queries.q_line_dedup (C4-style GLOBAL
+    exact line dedup): 8-token lines come from functions.text.doc_lines —
+    the SAME chunker as the batch query — keyed by xxhash64(line).  An
+    occurrence (doc_id, pos) is emitted to `removed/` exactly once, in
+    the batch where its line's GLOBAL occurrence count first reaches 2.
+    That includes RETROACTIVE occurrences: a line seen once in batch 3
+    becomes a duplicate when batch 7 repeats it, and batch 3's occurrence
+    is emitted in batch 7 (global line dedup is inherently retroactive —
+    the batch semantics remove ALL occurrences of a duplicated line).
+    After any batch prefix, removed/ equals the batch removal set over
+    the ingested corpus (parity + restart pinned in tests).
+
+    State layout under `state_dir`:
+      checkpoint/   Spark streaming checkpoint
+      line_index/   accumulated (doc_id, pos, lk) occurrences
+      removed/      removed occurrences, with batch_id lineage
+
+    Per-batch cost: O(batch lines + index occurrences of lks present in
+    the batch) — the history probe joins on the 8-byte lk only; boilerplate
+    lks (the hot keys) leave the index via upstream exact dedup of the
+    identical pages that carry them, the same composition seam as the
+    other twins.  doc_ids are assumed unique across batches (upstream
+    stateful exact pass / ingest dedup).  Index rows duplicated by a
+    compaction crash window are tolerated: occurrence counts use distinct
+    (doc_id, pos)."""
+    from distributed_lsh_spark.functions.text import doc_lines
+
+    idx_dir = os.path.join(state_dir, "line_index")
+    rm_dir = os.path.join(state_dir, "removed")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", str(max_files_per_trigger))
+              .parquet(input_dir))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_batch_index(spark, idx_dir, batch_id,
+                                ["doc_id", "pos"])
+        new = (doc_lines(batch_df.select("doc_id", "text"))
+               .select("doc_id", "pos", "lk")
+               .withColumn("batch_id", F.lit(batch_id)))
+        new.persist()
+        old = None
+        try:
+            bc = new.groupBy("lk").agg(F.count("*").alias("bc"))
+            if has_band_history(spark, idx_dir):
+                old = (spark.read.parquet(idx_dir)
+                       .where(F.col("batch_id") < batch_id)
+                       .join(bc.select("lk"), "lk")
+                       .dropDuplicates(["doc_id", "pos"]))
+                old.persist()
+                oc = old.groupBy("lk").agg(F.count("*").alias("oc"))
+            else:
+                oc = spark.createDataFrame([], "lk long, oc long")
+            tot = (bc.join(oc, "lk", "left")
+                   .fillna(0, subset=["oc"])
+                   .where(F.col("bc") + F.col("oc") >= 2))
+            removed = (new.drop("batch_id")
+                       .join(tot.select("lk"), "lk"))
+            if old is not None:
+                # a lk with 0 < oc < 2 crossed the duplicate threshold in
+                # THIS batch: its single pre-existing occurrence emits now;
+                # oc >= 2 lks emitted their old occurrences in past batches
+                retro = (old.select("doc_id", "pos", "lk")
+                         .join(tot.where((F.col("oc") > 0) & (F.col("oc") < 2))
+                                  .select("lk"), "lk"))
+                removed = removed.unionByName(retro)
+            removed = removed.withColumn("batch_id", F.lit(batch_id))
+            for df, d in ((removed, rm_dir), (new, idx_dir)):
+                (df.write.mode("overwrite").partitionBy("batch_id")
+                   .option("partitionOverwriteMode", "dynamic").parquet(d))
+        finally:
+            new.unpersist()
+            if old is not None:
+                old.unpersist()
+
+    writer = (stream.writeStream
+              .foreachBatch(process_batch)
+              .option("checkpointLocation", os.path.join(state_dir, "checkpoint")))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_hourly_counts(spark: SparkSession, input_dir: str,
                             schema: str = ("event_id long, ts timestamp, user_id long, "
                                            "event_type string, value double"),
