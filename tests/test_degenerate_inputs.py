@@ -59,3 +59,36 @@ def test_single_doc_corpus(spark, text):
     assert build_stages(df, CFG).verified.count() == 0
     # clusters contract: singletons (docs in no dup pair) are excluded
     assert run_dedup(df, CFG).count() == 0
+
+
+def test_line_chunker_degenerate_and_exact(spark):
+    """doc_lines (the shared batch/stream line chunker): empty and
+    punctuation-only docs yield no lines; the greedy regexp chunking
+    equals manual 8-token array chunking, including the short tail."""
+    import re
+
+    from distributed_lsh_spark.functions.text import LINE_TOKENS, doc_lines
+
+    docs = {
+        1: "",
+        2: "... !!! ;;;",
+        3: "solo",
+        4: " ".join(f"w{i}" for i in range(17)),   # 8 + 8 + 1 tail
+        5: "Héllo, Wörld!  Ça va; très bien---oui " * 5,
+    }
+    df = spark.createDataFrame(sorted(docs.items()),
+                               "doc_id long, text string")
+    got = {}
+    for r in doc_lines(df).collect():
+        got.setdefault(r["doc_id"], []).append((r["pos"], r["line"]))
+    for d in got:
+        got[d] = [line for _, line in sorted(got[d])]
+
+    for d, text in docs.items():
+        toks = [t for t in re.sub(r"[^a-z0-9]+", " ", text.lower()).split(" ")
+                if t]
+        expect = [" ".join(toks[i:i + LINE_TOKENS])
+                  for i in range(0, len(toks), LINE_TOKENS)]
+        assert got.get(d, []) == expect, d
+    assert 1 not in got and 2 not in got
+    assert len(got[4]) == 3 and got[4][2] == "w16"
