@@ -17,6 +17,7 @@ form; each docstring cites the reference operator it re-expresses.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -199,7 +200,13 @@ def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     planting pattern) every doc_id % 97 == 0 document is unioned back in
     as a byte-identical copy under doc_id + 1_000_000 — the md5 groupBy
     path is then value-checked on real groups in the gate, not just the
-    empty case."""
+    empty case.
+
+    GATE SCAFFOLDING ONLY: the planting (offset + pmod selection) assumes
+    the sf corpora's dense non-negative doc_ids; production ids are
+    xxhash64(url) (possibly negative, full 64-bit range), where the
+    production path is pipeline.build_stages' exact pre-pass over the raw
+    table — no planting, no offset arithmetic."""
     df = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id", "text")
     copies = (df.where(F.pmod(F.col("doc_id"), F.lit(97)) == 0)
@@ -559,11 +566,21 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id", "rank"))
 
 
-def _sql_ann_topk() -> str:
+@functools.lru_cache(maxsize=1)
+def _ann_oracle_fixture():
+    """One shared fixture instance for the ORACLE-SQL builders only (the
+    queries build their own per call): the gate fixture + its multi-
+    hundred-KB unrolled SQL chain otherwise gets constructed three times
+    on every import (ann_topk, ann_topk_fused, ann_accuracy)."""
     from distributed_lsh_spark.fixtures import make_ann_gate_fixture
+
+    return make_ann_gate_fixture()
+
+
+def _sql_ann_topk() -> str:
     from distributed_lsh_spark.oracle.ann_gate_sql import sql_ann_topk
 
-    return sql_ann_topk(make_ann_gate_fixture())
+    return sql_ann_topk(_ann_oracle_fixture())
 
 
 def q_ann_topk_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -627,10 +644,9 @@ def q_ann_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_ann_accuracy() -> str:
-    from distributed_lsh_spark.fixtures import make_ann_gate_fixture
     from distributed_lsh_spark.oracle.ann_gate_sql import sql_ann_accuracy
 
-    return sql_ann_accuracy(make_ann_gate_fixture())
+    return sql_ann_accuracy(_ann_oracle_fixture())
 
 
 # --------------------------------------------------------------------------
@@ -1405,7 +1421,10 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is re-unioned under doc_id + 2_000_000 as its first 24 tokens +
     ' planteddup' — a partial copy whose first 3 lines collide with the
     original's (the corpus also carries natural cross-doc line
-    collisions; both engines see the identical union).
+    collisions; both engines see the identical union).  The planting is
+    gate scaffolding for the sf corpora's dense non-negative doc_ids; a
+    production corpus (xxhash64(url) ids) runs the same line-dedup shape
+    with no planted union.
 
     Scale shape (100 TB): lines carry an xxhash64 key, so the global
     duplicate-line detection shuffles 8-byte keys, not line strings (the
@@ -1669,6 +1688,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_latest_dedup": q_url_latest_dedup,
 }
 
+_ANN_TOPK_SQL = _sql_ann_topk()
+
 ORACLE_SQL: dict[str, str] = {
     "minhash_lsh_dup_pairs": _sql_dup_pairs(),
     "ngram_jaccard_dup_pairs": _sql_dup_pairs(),
@@ -1683,8 +1704,8 @@ ORACLE_SQL: dict[str, str] = {
     "doc_quality": _sql_doc_quality(),
     "curated_docs": _sql_curated_docs(),
     "embedding_topk": _SQL_EMBEDDING_TOPK,
-    "ann_topk": _sql_ann_topk(),
-    "ann_topk_fused": _sql_ann_topk(),     # same semantics, same oracle
+    "ann_topk": _ANN_TOPK_SQL,
+    "ann_topk_fused": _ANN_TOPK_SQL,       # same semantics, same oracle
     "ann_accuracy": _sql_ann_accuracy(),
     "pricing_summary": _SQL_PRICING_SUMMARY,
     "top_unshipped_orders": _SQL_TOP_UNSHIPPED,

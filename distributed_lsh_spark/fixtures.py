@@ -345,6 +345,8 @@ def make_media_gate_fixture(seed: int = 42) -> list[dict]:
     wav(4, 320, 16, 1)
     wav(5, 300, 16, 2)      # stereo -> mono mean
     wav(6, 200, 8, 1)
+    wav(8, 50, 16, 1)       # shorter than FEATURE_DIM: empty RMS windows
+                            # must yield 0.0 rows, not dropped rows
 
     frames = [rng.integers(0, 256, size=(8, 12), dtype=np.uint8)
               for _ in range(5)]

@@ -157,6 +157,12 @@ def ann_search_spark_fused(spark: SparkSession, points: DataFrame,
     if tables is None:
         tables = _exploded_buckets(pts, "point_id", "p_vec", model)
     q_tables = _exploded_buckets(qrs, "query_id", "q_vec", model)
+    # every radius level re-reads both bucket frames; without a barrier
+    # each level's subplan embeds its own copy of the bucket pandas-UDF
+    # scan and the hashing of all points/queries re-runs once per radius
+    # (the driver-loop form lazy-checkpoints these for the same reason)
+    tables = tables.localCheckpoint(eager=False)
+    q_tables = q_tables.localCheckpoint(eager=False)
 
     w_cap = Window.partitionBy("query_id").orderBy("point_id")
     checked = accepted = fin = None

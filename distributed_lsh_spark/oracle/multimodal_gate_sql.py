@@ -94,11 +94,17 @@ win AS (
   FROM auds a JOIN idx64 w ON TRUE
 ),
 aud_feats AS (
+  -- LEFT join + coalesce + GREATEST(count, 1): audio shorter than
+  -- {FEATURE_DIM} samples has EMPTY windows (lo == hi), for which the
+  -- engine's audio_feature emits 0.0 (counts clamped to 1) — an inner
+  -- join would silently drop those (media_id, idx) rows and the contract
+  -- is 64 feature values per media row
   SELECT w.media_id, w.j AS idx,
-         sqrt(sum((p.num / CAST(p.den AS DOUBLE))
-                  * (p.num / CAST(p.den AS DOUBLE))) / (w.hi - w.lo)) AS val
-  FROM win w JOIN smp p ON p.media_id = w.media_id
-                       AND p.i >= w.lo AND p.i < w.hi
+         sqrt(coalesce(sum((p.num / CAST(p.den AS DOUBLE))
+                           * (p.num / CAST(p.den AS DOUBLE))), 0.0)
+              / GREATEST(w.hi - w.lo, 1)) AS val
+  FROM win w LEFT JOIN smp p ON p.media_id = w.media_id
+                            AND p.i >= w.lo AND p.i < w.hi
   GROUP BY w.media_id, w.j, w.hi, w.lo
 )
 SELECT CAST(f.media_id AS BIGINT) AS media_id, k.kind,

@@ -59,6 +59,13 @@ class _HadoopFS:
     def exists(self, p: str) -> bool:
         return bool(self._fs.exists(self._Path(p)))
 
+    def list_names(self, p: str) -> list[str]:
+        """Child entry names of a directory ([] if it doesn't exist)."""
+        if not self.exists(p):
+            return []
+        return [st.getPath().getName()
+                for st in self._fs.listStatus(self._Path(p))]
+
     def mkdirs(self, p: str) -> None:
         self._fs.mkdirs(self._Path(p))
 
@@ -82,14 +89,29 @@ class _HadoopFS:
 
     def write_text_atomic(self, p: str, text: str) -> None:
         """Write via `p + ".tmp"` then rename, so a reader never sees a
-        torn manifest (the commit point of a stage)."""
+        torn manifest (the commit point of a stage).
+
+        HDFS rename does NOT overwrite an existing destination (it returns
+        false), so a pre-existing manifest — an Iceberg-backed stage being
+        REBUILT under a new config keeps its old manifest.json in place,
+        unlike the Parquet path which deletes the whole stage dir — is
+        deleted first.  A crash inside the delete->rename window leaves NO
+        manifest, which `is_complete` reads as incomplete -> rebuild: the
+        fail-safe direction."""
         tmp = p + ".tmp"
         out = self._fs.create(self._Path(tmp), True)
         try:
             out.write(bytearray(text.encode("utf-8")))
         finally:
             out.close()
+        if self._fs.exists(self._Path(p)):
+            self._fs.delete(self._Path(p), False)
         self.rename(tmp, p)
+
+
+# public name for use outside this module (streaming state maintenance
+# shares the same facade instead of re-resolving Path/FileSystem by hand)
+HadoopFS = _HadoopFS
 
 
 def _iceberg_available(spark: SparkSession) -> bool:

@@ -45,40 +45,34 @@ def _sign(df: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 def has_band_history(spark: SparkSession, d: str) -> bool:
     """True iff `d` holds at least one batch_id=... partition of the band
-    index.  Goes through the Hadoop FileSystem API (works on file:, hdfs:,
-    s3a:, ... — whatever the state dir actually lives on): an os.listdir
-    probe silently answers "no history" for any non-local URI, which would
-    degrade the stream to within-batch-only dedup — a wrong-results
-    failure, not a perf one."""
-    jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(d)
-    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(path):
-        return False
-    return any(st.getPath().getName().startswith("batch_id=")
-               for st in fs.listStatus(path))
+    index.  Goes through the shared Hadoop FileSystem facade (works on
+    file:, hdfs:, s3a:, ... — whatever the state dir actually lives on):
+    an os.listdir probe silently answers "no history" for any non-local
+    URI, which would degrade the stream to within-batch-only dedup — a
+    wrong-results failure, not a perf one."""
+    from distributed_lsh_spark.sources.checkpoint import HadoopFS
+
+    return any(n.startswith("batch_id=")
+               for n in HadoopFS(spark, d).list_names(d))
 
 
 def _batch_partitions(spark: SparkSession, d: str):
-    """[(batch_id, hadoop Path)] for every batch_id= partition under d."""
-    jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(d)
-    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(path):
-        return fs, []
-    out = []
-    for st in fs.listStatus(path):
-        name = st.getPath().getName()
-        if name.startswith("batch_id="):
-            out.append((int(name.split("=", 1)[1]), st.getPath()))
+    """(HadoopFS facade, [(batch_id, partition path str)]) for every
+    batch_id= partition under d."""
+    from distributed_lsh_spark.sources.checkpoint import HadoopFS
+
+    fs = HadoopFS(spark, d)
+    out = [(int(n.split("=", 1)[1]), d.rstrip("/") + "/" + n)
+           for n in fs.list_names(d) if n.startswith("batch_id=")]
     return fs, out
 
 
 def compact_batch_index(spark: SparkSession, d: str, current_batch_id: int,
-                        dedup_cols: list[str], target_files: int = 8,
-                        ) -> bool:
+                        dedup_cols: list[str] | None = None,
+                        target_files: int = 8) -> bool:
     """Merge every committed batch_id partition (< current_batch_id) of a
-    streaming state dir into ONE partition labeled current_batch_id - 1.
+    streaming state dir into ONE fresh partition (labeled
+    -current_batch_id; see crash safety below).
 
     Without this, each foreachBatch leaves a new batch_id= partition and
     every later batch's history scan pays O(#batches) file-system metadata
@@ -86,13 +80,25 @@ def compact_batch_index(spark: SparkSession, d: str, current_batch_id: int,
     batches bounds the partition count at N+1 and amortizes one bounded
     O(history) rewrite per N batches.
 
-    Crash safety: the merged partition is written first (dynamic partition
-    overwrite — staged then committed), then the stale partitions are
-    deleted.  A crash between the two leaves duplicate index rows; the
-    dropDuplicates(dedup_cols) here makes the NEXT compaction self-heal,
-    and consumers are duplicate-tolerant meanwhile (candidate pairs are
-    dropDuplicates'd in every stream; duplicated sig rows can at worst
-    duplicate an output pair row within one batch's partition).
+    Crash safety: the merged partition is written under a FRESH partition
+    id that cannot pre-exist (`batch_id = -current_batch_id`; real batch
+    ids are >= 0 and current strictly increases across compactions), so
+    the dynamic-partition-overwrite commit never deletes an existing
+    committed partition — writing into an EXISTING partition id would open
+    a window (between Spark's delete-old-dir and rename-staged steps, or
+    between our write and the stale deletes) where committed, never-
+    replayable index rows exist nowhere.  With a fresh id the only crash
+    window (after the write, before/among the stale deletes) leaves
+    DUPLICATE rows; the dropDuplicates(dedup_cols) here makes the NEXT
+    compaction self-heal, and consumers are duplicate-tolerant meanwhile
+    (candidate pairs are dropDuplicates'd in every stream; occurrence
+    counts use distinct identity keys).  Negative merged ids stay inside
+    every reader's `batch_id < current` history predicate.
+
+    `dedup_cols=None` dedups on ALL columns except batch_id — the safe
+    default: identity-key dedup (e.g. just doc_id) would NONdeterministically
+    discard one of two DIFFERENT rows if a doc_id were ever re-ingested
+    with changed content, silently changing downstream results.
 
     Only partitions STRICTLY below current_batch_id are touched: those
     batches have committed in the streaming checkpoint and can never be
@@ -102,20 +108,21 @@ def compact_batch_index(spark: SparkSession, d: str, current_batch_id: int,
     parts = [(b, p) for b, p in parts if b < current_batch_id]
     if len(parts) < 2:
         return False
-    merged_id = current_batch_id - 1
-    merged = (spark.read.parquet(d)
-              .where(F.col("batch_id") < current_batch_id)
-              .dropDuplicates(dedup_cols)
+    merged_id = -current_batch_id
+    df = spark.read.parquet(d).where(F.col("batch_id") < current_batch_id)
+    if dedup_cols is None:
+        dedup_cols = [c for c in df.columns if c != "batch_id"]
+    merged = (df.dropDuplicates(dedup_cols)
               .withColumn("batch_id", F.lit(merged_id))
               .repartition(target_files)
               # eager checkpoint: finish READING the partitions before the
-              # overwrite below starts touching the same directory
+              # write below starts touching the same directory
               .localCheckpoint(eager=True))
     (merged.write.mode("overwrite").partitionBy("batch_id")
            .option("partitionOverwriteMode", "dynamic").parquet(d))
     for b, p in parts:
         if b != merged_id:
-            fs.delete(p, True)
+            fs.delete(p)
     return True
 
 
@@ -151,9 +158,8 @@ def incremental_dedup_stream(spark: SparkSession, input_dir: str, state_dir: str
         if batch_df.isEmpty():
             return
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
-            compact_batch_index(spark, bands_dir, batch_id,
-                                ["doc_id", "band_id", "band_hash"])
-            compact_batch_index(spark, sigs_dir, batch_id, ["doc_id"])
+            compact_batch_index(spark, bands_dir, batch_id)
+            compact_batch_index(spark, sigs_dir, batch_id)
         new_sigs = _sign(batch_df, cfg).withColumn("batch_id", F.lit(batch_id))
         new_sigs.persist()
         try:
@@ -252,9 +258,8 @@ def incremental_simhash_stream(spark: SparkSession, input_dir: str,
         if batch_df.isEmpty():
             return
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
-            compact_batch_index(spark, idx_dir, batch_id,
-                                ["doc_id", "combo_id", "key"])
-            compact_batch_index(spark, fps_dir, batch_id, ["doc_id"])
+            compact_batch_index(spark, idx_dir, batch_id)
+            compact_batch_index(spark, fps_dir, batch_id)
         fps = simhash_md5(batch_df.select("doc_id", "text"), k) \
             .withColumn("batch_id", F.lit(batch_id))
         fps.persist()
@@ -350,7 +355,7 @@ def incremental_substring_stream(spark: SparkSession, input_dir: str,
         if batch_df.isEmpty():
             return
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
-            compact_batch_index(spark, idx_dir, batch_id, ["doc_id", "fp"])
+            compact_batch_index(spark, idx_dir, batch_id)
         new_fp = (window_fingerprints(batch_df.select("doc_id", "text"),
                                       window=window, guarantee=guarantee)
                   .select("doc_id", "fp").dropDuplicates()
@@ -441,8 +446,7 @@ def incremental_line_dedup_stream(spark: SparkSession, input_dir: str,
         if batch_df.isEmpty():
             return
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
-            compact_batch_index(spark, idx_dir, batch_id,
-                                ["doc_id", "pos"])
+            compact_batch_index(spark, idx_dir, batch_id)
         new = (doc_lines(batch_df.select("doc_id", "text"))
                .select("doc_id", "pos", "lk")
                .withColumn("batch_id", F.lit(batch_id)))

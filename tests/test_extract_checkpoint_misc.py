@@ -179,6 +179,21 @@ def test_checkpoint_file_uri_roundtrip(spark, tmp_path):
     assert not ckpt3.is_complete("sigs")
 
 
+def test_manifest_rewrite_over_existing(spark, tmp_path):
+    """write_text_atomic must replace an EXISTING manifest: Hadoop rename
+    does not overwrite (HDFS returns false), so the rewrite path — an
+    Iceberg-backed stage rebuilt under a new config, whose old
+    manifest.json stays in place — needs the delete-then-rename branch."""
+    from distributed_lsh_spark.sources.checkpoint import _HadoopFS
+
+    fs = _HadoopFS(spark, "file:" + str(tmp_path))
+    p = "file:" + str(tmp_path / "manifest.json")
+    fs.write_text_atomic(p, '{"v": 1}')
+    fs.write_text_atomic(p, '{"v": 2}')
+    assert fs.read_text(p) == '{"v": 2}'
+    assert not fs.exists(p + ".tmp")
+
+
 def test_checkpoint_iceberg_branch(spark, tmp_path, monkeypatch):
     """No Iceberg jars in this sandbox, so exercise the branch itself:
     use_iceberg=True must route through writeTo with the bucket transform
@@ -465,7 +480,7 @@ def test_multimodal_gate_oracle_matches_decoders():
             f = mm.image_feature(mm.decode_image(m["payload"]))
         exp.extend((m["media_id"], m["kind"], i, round(float(v), 6))
                    for i, v in enumerate(f))
-    assert len(duck) == 8 * mm.FEATURE_DIM
+    assert len(duck) == len(media) * mm.FEATURE_DIM
     assert duck == sorted(exp)
     for m in media:
         if m["kind"] == "image":

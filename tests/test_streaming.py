@@ -170,7 +170,8 @@ def test_stream_index_compaction_bounds_partitions(spark, tiny_corpus, tmp_path)
         max_files_per_trigger=1, compact_every=2)
     q.awaitTermination(240)
 
-    # 6 batches, compactions at 2 and 4 -> partitions {3, 4, 5} remain
+    # 6 batches, compactions at 2 and 4 -> partitions {-4, 4, 5} remain
+    # (merged partitions carry fresh negative ids; see compact_batch_index)
     bdir = os.path.join(state_dir, "band_index")
     parts = {f for f in os.listdir(bdir) if f.startswith("batch_id=")}
     assert len(parts) <= 3, f"compaction must bound partitions, got {parts}"
@@ -214,7 +215,9 @@ def test_compaction_self_heals_duplicate_rows(spark, tmp_path):
     assert compact_batch_index(spark, d, current_batch_id=2,
                                dedup_cols=["doc_id", "band_id", "band_hash"])
     parts = {f for f in os.listdir(d) if f.startswith("batch_id=")}
-    assert parts == {"batch_id=1"}
+    # merged partition carries a FRESH id (-current) so the overwrite can
+    # never delete an existing committed partition mid-commit
+    assert parts == {"batch_id=-2"}
     healed = spark.read.parquet(d)
     assert healed.count() == 40                         # duplicates gone
     got = {(r["doc_id"], r["band_id"], r["band_hash"])
