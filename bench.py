@@ -42,6 +42,7 @@ def main() -> None:
         "line_dedup",
         "gopher_repetition",
         "url_latest_dedup",
+        "dedup_funnel",
     ]
 
     spark = get_spark(app_name="bench", cores=cores, shuffle_partitions=cores)

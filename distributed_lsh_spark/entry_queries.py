@@ -41,10 +41,10 @@ _DUCK_TOKS = (
 )
 
 
-def _duck_shingle_cte(k: int) -> str:
+def _duck_shingle_cte(k: int, src: str = "documents") -> str:
     return f"""
 toks AS (
-  SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+  SELECT doc_id, {_DUCK_TOKS} AS t FROM {src}
 ),
 sh AS (
   SELECT doc_id,
@@ -402,7 +402,7 @@ qt AS (
          length(regexp_replace(lower(text), '[a-z0-9 \\t\\n\\r]', '', 'g'))
            AS n_punct,
          {toks} AS toks
-  FROM documents
+  FROM {src}
 ),
 qs AS (
   SELECT doc_id, n_chars, n_alpha, n_punct, len(toks) AS n_tokens,
@@ -437,7 +437,7 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_doc_quality() -> str:
-    cte = _SQL_QUALITY_CTE.format(toks=_DUCK_TOKS, sw=repr(_STOPWORDS["en"]))
+    cte = _SQL_QUALITY_CTE.format(toks=_DUCK_TOKS, sw=repr(_STOPWORDS["en"]), src="documents")
     return f"""
 WITH {cte}
 SELECT doc_id, n_chars, n_alpha, n_punct, n_tokens, n_stop,
@@ -468,7 +468,7 @@ def q_curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_curated_docs() -> str:
-    cte = _SQL_QUALITY_CTE.format(toks=_DUCK_TOKS, sw=repr(_STOPWORDS["en"]))
+    cte = _SQL_QUALITY_CTE.format(toks=_DUCK_TOKS, sw=repr(_STOPWORDS["en"]), src="documents")
     return f"""WITH RECURSIVE {_duck_shingle_cte(CFG.shingle_k)},
 pairs AS (SELECT id_a, id_b FROM jac WHERE j >= {CFG.jaccard_threshold}),
 edges AS (SELECT id_a AS a, id_b AS b FROM pairs
@@ -1643,6 +1643,123 @@ SELECT url, regexp_extract(url, 'https?://([^/]+)/', 1) AS host,
 FROM rk WHERE rn = 1 ORDER BY url"""
 
 
+def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered dedup funnel (the graft's "tier dedup" composition,
+    operators/funnel.py): url-latest -> exact-hash -> quality gate ->
+    near-dup cluster collapse, each tier consuming only the previous
+    tier's survivors; result = the per-tier metrics frame
+    (tier_no, tier, docs_in, docs_out, docs_removed).
+
+    Gate planting (sf corpora carry no url column and no byte-dups; the
+    offset+pmod scaffolds assume their dense non-negative doc_ids):
+      - url family: every doc_id % 89 == 0 re-unioned at +3_000_000 with
+        ' urlcopy' appended (distinct bytes, same DERIVED url) — removed
+        at tier 1 (keep latest warc_epoch, pseudo-shuffled so the winner
+        is not simply max doc_id);
+      - exact family: every doc_id % 97 == 0 re-unioned at +1_000_000
+        byte-identical (exact_dup_groups planting) with a UNIQUE derived
+        url — survives tier 1, removed at tier 2;
+      - quality + near-dup removals are the corpus's natural ones (the
+        same keep rule doc_quality gates; the same pairs
+        minhash_lsh_dup_pairs gates).
+    url derivation: path = doc_id % 3_000_000 (copies at +3M share their
+    original's url; everything else unique), epoch = 1735689600 +
+    (doc_id * 7919) % 1e6.  Production corpora pass real (url, warc_ts)
+    and skip all planting.
+
+    Scale shape: tier order is the cost ladder — window < hash groupBy <
+    codegen scan < LSH self-join — so the only shuffle-heavy stage runs
+    on the cheap tiers' survivors; 5-row metrics frame computed in ONE
+    action over the persisted tiers (or read from checkpoint manifests
+    on a checkpointed run, zero jobs)."""
+    from distributed_lsh_spark.operators.funnel import curation_funnel
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    url_copies = (df.where(F.pmod(F.col("doc_id"), F.lit(89)) == 0)
+                    .select((F.col("doc_id") + 3_000_000).alias("doc_id"),
+                            F.concat(F.col("text"),
+                                     F.lit(" urlcopy")).alias("text")))
+    exact_copies = (df.where(F.pmod(F.col("doc_id"), F.lit(97)) == 0)
+                      .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                              "text"))
+    base = df.unionByName(url_copies).unionByName(exact_copies)
+    path = F.pmod(F.col("doc_id"), F.lit(3_000_000))
+    pages = (base
+             .withColumn("url", F.concat(F.lit("https://example.com/p/"),
+                                         path.cast("string")))
+             .withColumn("warc_epoch",
+                         (F.lit(1735689600)
+                          + F.pmod(F.col("doc_id") * 7919,
+                                   F.lit(1_000_000))).cast("long")))
+    n_chars, _, _, n_tokens, _, keep = _quality_exprs()
+    res = curation_funnel(
+        pages, CFG, quality_keep=keep & (n_chars > 0) & (n_tokens > 0))
+    return res.metrics.orderBy("tier_no")
+
+
+def _sql_dedup_funnel() -> str:
+    q = _SQL_QUALITY_CTE.format(toks=_DUCK_TOKS, sw=repr(_STOPWORDS["en"]),
+                                src="t2")
+    return f"""WITH RECURSIVE base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000, text || ' urlcopy' FROM documents
+  WHERE doc_id % 89 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 97 = 0
+),
+crawl AS (
+  SELECT doc_id, text,
+         'https://example.com/p/' || (doc_id % 3000000) AS url,
+         1735689600 + (doc_id * 7919) % 1000000 AS warc_epoch
+  FROM base
+),
+r1 AS (SELECT doc_id, text,
+              row_number() OVER (PARTITION BY url
+                                 ORDER BY warc_epoch DESC, doc_id DESC) AS rn
+       FROM crawl),
+t1 AS (SELECT doc_id, text FROM r1 WHERE rn = 1),
+r2 AS (SELECT doc_id, text,
+              row_number() OVER (PARTITION BY md5(text)
+                                 ORDER BY doc_id) AS rn
+       FROM t1),
+t2 AS (SELECT doc_id, text FROM r2 WHERE rn = 1),
+{q.lstrip()},
+t3 AS (SELECT k.doc_id, t2.text
+       FROM qk k JOIN t2 USING (doc_id)
+       WHERE k.keep AND k.n_chars > 0 AND k.n_tokens > 0),
+{_duck_shingle_cte(CFG.shingle_k, src="t3").lstrip()},
+pairs AS (SELECT id_a, id_b FROM jac WHERE j >= {CFG.jaccard_threshold}),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+clusters AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+             FROM reach GROUP BY a),
+t4 AS (SELECT doc_id FROM t3
+       WHERE doc_id NOT IN (SELECT doc_id FROM clusters
+                            WHERE doc_id != cluster_id)),
+counts AS (
+  SELECT 0 AS tier_no, 'input' AS tier,
+         (SELECT count(*) FROM base) AS docs_out
+  UNION ALL SELECT 1, 'url_latest', (SELECT count(*) FROM t1)
+  UNION ALL SELECT 2, 'exact', (SELECT count(*) FROM t2)
+  UNION ALL SELECT 3, 'quality', (SELECT count(*) FROM t3)
+  UNION ALL SELECT 4, 'near_dup', (SELECT count(*) FROM t4)
+)
+SELECT CAST(tier_no AS INT) AS tier_no, tier,
+       CAST(coalesce(lag(docs_out) OVER (ORDER BY tier_no), docs_out)
+            AS BIGINT) AS docs_in,
+       CAST(docs_out AS BIGINT) AS docs_out,
+       CAST(coalesce(lag(docs_out) OVER (ORDER BY tier_no), docs_out)
+            - docs_out AS BIGINT) AS docs_removed
+FROM counts ORDER BY tier_no"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1686,6 +1803,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup": q_line_dedup,
     "gopher_repetition": q_gopher_repetition,
     "url_latest_dedup": q_url_latest_dedup,
+    "dedup_funnel": q_dedup_funnel,
 }
 
 _ANN_TOPK_SQL = _sql_ann_topk()
@@ -1731,4 +1849,5 @@ ORACLE_SQL: dict[str, str] = {
     "line_dedup": _sql_line_dedup(),
     "gopher_repetition": _sql_gopher_repetition(),
     "url_latest_dedup": _SQL_URL_LATEST_DEDUP,
+    "dedup_funnel": _sql_dedup_funnel(),
 }

@@ -1,0 +1,160 @@
+"""Tiered dedup funnel: the standard web-curation cascade run as ORDERED
+tiers, each consuming only the previous tier's survivors, with per-tier
+survivor metrics — the composed form a production Common-Crawl curation
+run executes (the "tier dedup" shape):
+
+  0. input            raw crawl pages
+  1. url_latest       keep the newest snapshot per url (crawl dedup)
+  2. exact            byte-identical collapse, md5(text) keep-min-doc_id
+  3. quality          document quality gate (caller-supplied keep rule)
+  4. near_dup         MinHash-LSH near-dup clusters, keep the cluster
+                      representative (min doc_id in component)
+
+Tier ORDER is the cost argument, not a correctness choice: each tier is
+cheaper per-row than the next (window < hash-groupBy < codegen scan <
+LSH self-join), so running them as a funnel means the expensive stages
+only ever see the cheap stages' survivors.  At Common-Crawl ratios the
+url tier alone removes most bytes (recrawls), so the LSH stage — the
+only shuffle-heavy one — runs on a small fraction of the input.
+
+Each tier reuses the standalone operator the catalog already gates
+(`url_latest_dedup`, `exact_dup_groups` / pipeline.exact_collapse,
+`doc_quality` keep rule, `dedup_clusters`); this module only supplies
+the composition, the per-tier metrics frame, and optional per-tier
+checkpointing (resume mid-funnel via sources/checkpoint.py — the
+north_rule's "resumable from checkpoint with per-partition lineage +
+metrics", applied to the whole cascade).
+
+Reference analogue: the reference chains its MapReduce jobs the same way
+(hash build -> bucket join -> verify), persisting each stage's output
+dir before the next job starts (Naive-DLSH/.../lsh/searcher/
+LSHSearcher.java:327-352); the funnel is that chaining generalized to
+the web-curation tier set.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from distributed_lsh_spark.conf import DedupConfig, DEFAULT_CONFIG
+from distributed_lsh_spark.pipeline import run_dedup
+
+TIER_NAMES = ("input", "url_latest", "exact", "quality", "near_dup")
+
+
+@dataclass
+class FunnelResult:
+    survivors: DataFrame            # final tier's (doc_id, text, ...) frame
+    tiers: dict[str, DataFrame]     # tier name -> that tier's survivor frame
+    metrics: DataFrame              # tier_no, tier, docs_in, docs_out, docs_removed
+
+
+def curation_funnel(pages: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG, *,
+                    url_col: str = "url", ts_col: str = "warc_epoch",
+                    quality_keep: Column | None = None,
+                    ckpt=None) -> FunnelResult:
+    """Run the 4-tier dedup funnel over `pages(doc_id, text[, url, ts])`.
+
+    - The url tier runs only when `url_col` is present (a corpus without
+      crawl metadata starts at the exact tier).
+    - `quality_keep`: boolean Column over the page row (e.g. the gated
+      doc_quality keep rule); None skips the tier (keeps the row count).
+    - `ckpt`: optional sources.checkpoint.CheckpointManager.  With it,
+      every tier materializes through `ckpt.stage("funnel_<tier>", ...)`
+      (Parquet/Iceberg + manifest + per-partition lineage counters), so a
+      killed run resumes at the first incomplete tier and the metrics
+      row counts come from the committed manifests — zero extra jobs.
+      Without it, tiers persist in memory and the metrics frame computes
+      every count in ONE action (union of aggregates over the persisted
+      tiers).
+
+    Scale shape (100 TB): tier 1 is one window over the url-partitioned
+    shuffle; tier 2 is a map-side-combining groupBy on md5; tier 3 is a
+    codegen scan; tier 4 is the gated LSH plan (bucketed band self-join +
+    capped hot keys + small-star/large-star CC) running only on tiers
+    1-3's survivors.  No tier collects rows to the driver; the metrics
+    frame is 5 rows.
+    """
+    has_url = url_col in pages.columns
+
+    def checkpointed(name: str, df_or_thunk) -> DataFrame:
+        if ckpt is not None:
+            return ckpt.stage(f"funnel_{name}",
+                              (df_or_thunk if callable(df_or_thunk)
+                               else (lambda: df_or_thunk)))
+        df = df_or_thunk() if callable(df_or_thunk) else df_or_thunk
+        return df.persist()
+
+    tiers: dict[str, DataFrame] = {}
+    cur = checkpointed("input", pages)
+    tiers["input"] = cur
+
+    if has_url:
+        w = Window.partitionBy(url_col).orderBy(
+            F.col(ts_col).desc(), F.col("doc_id").desc())
+        latest = (cur.withColumn("_rn", F.row_number().over(w))
+                     .where(F.col("_rn") == 1).drop("_rn"))
+        cur = checkpointed("url_latest", latest)
+        tiers["url_latest"] = cur
+
+    # exact tier: same keep-min-doc_id semantics as pipeline.exact_collapse,
+    # expressed as a window so non-key columns (url, ts, ...) ride along
+    we = Window.partitionBy(F.md5(F.col("text").cast("binary"))) \
+               .orderBy("doc_id")
+    exact = (cur.withColumn("_rn", F.row_number().over(we))
+                .where(F.col("_rn") == 1).drop("_rn"))
+    cur = checkpointed("exact", exact)
+    tiers["exact"] = cur
+
+    if quality_keep is not None:
+        cur = checkpointed("quality", cur.where(quality_keep))
+        tiers["quality"] = cur
+
+    # near-dup tier: LSH clusters over the survivors; drop every
+    # non-representative member (cluster_id = min doc_id in component).
+    # exact_first=False: tier 2 already collapsed byte-identical texts.
+    prev = cur
+
+    def build_near_dup() -> DataFrame:
+        non_reps = (run_dedup(prev, cfg, exact_first=False)
+                    .where(F.col("doc_id") != F.col("cluster_id"))
+                    .select("doc_id"))
+        return prev.join(non_reps, "doc_id", "left_anti")
+
+    cur = checkpointed("near_dup", build_near_dup)
+    tiers["near_dup"] = cur
+
+    return FunnelResult(survivors=cur, tiers=tiers,
+                        metrics=_metrics(tiers, ckpt))
+
+
+def _metrics(tiers: dict[str, DataFrame], ckpt) -> DataFrame:
+    """5-row (tier_no, tier, docs_in, docs_out, docs_removed) frame.
+
+    Checkpointed runs read row counts from the committed stage manifests
+    (driver ints, no job); in-memory runs union one count-aggregate per
+    persisted tier — a single action computes the whole frame."""
+    order = [n for n in TIER_NAMES if n in tiers]
+    some_df = next(iter(tiers.values()))
+    spark = some_df.sparkSession
+    if ckpt is not None:
+        rows = [(i, n, int(ckpt.rows(f"funnel_{n}")))
+                for i, n in enumerate(order)]
+        m = spark.createDataFrame(
+            rows, "tier_no int, tier string, docs_out long")
+    else:
+        counts = [tiers[n].agg(F.count(F.lit(1)).alias("docs_out"))
+                          .select(F.lit(i).alias("tier_no"),
+                                  F.lit(n).alias("tier"), "docs_out")
+                  for i, n in enumerate(order)]
+        m = counts[0]
+        for c in counts[1:]:
+            m = m.unionByName(c)
+    w = Window.orderBy("tier_no")
+    docs_in = F.coalesce(F.lag("docs_out").over(w), F.col("docs_out"))
+    return (m.withColumn("docs_in", docs_in)
+             .withColumn("docs_removed", F.col("docs_in") - F.col("docs_out"))
+             .select("tier_no", "tier", "docs_in", "docs_out", "docs_removed"))
