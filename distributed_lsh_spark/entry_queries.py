@@ -1667,7 +1667,7 @@ def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id * 7919) % 1e6.  Production corpora pass real (url, warc_ts)
     and skip all planting.
 
-    Scale shape: tier order is the cost ladder — window < hash groupBy <
+    Scale shape: tier order is the cost ladder — projection groupBy <
     codegen scan < LSH self-join — so the only shuffle-heavy stage runs
     on the cheap tiers' survivors; 5-row metrics frame computed in ONE
     action over the persisted tiers (or read from checkpoint manifests

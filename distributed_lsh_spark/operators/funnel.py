@@ -71,12 +71,13 @@ def curation_funnel(pages: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG, *,
       every count in ONE action (union of aggregates over the persisted
       tiers).
 
-    Scale shape (100 TB): tier 1 is one window over the url-partitioned
-    shuffle; tier 2 is a map-side-combining groupBy on md5; tier 3 is a
-    codegen scan; tier 4 is the gated LSH plan (bucketed band self-join +
-    capped hot keys + small-star/large-star CC) running only on tiers
-    1-3's survivors.  No tier collects rows to the driver; the metrics
-    frame is 5 rows.
+    Scale shape (100 TB): tiers 1-2 are map-side-combining groupBys over
+    (url, ts, doc_id) / (md5, doc_id) projections + doc_id semi-joins —
+    full page rows are never window-sorted and hot urls / hot hashes
+    collapse before their shuffle; tier 3 is a codegen scan; tier 4 is
+    the gated LSH plan (bucketed band self-join + capped hot keys +
+    small-star/large-star CC) running only on tiers 1-3's survivors.  No
+    tier collects rows to the driver; the metrics frame is 5 rows.
     """
     has_url = url_col in pages.columns
 
@@ -92,21 +93,31 @@ def curation_funnel(pages: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG, *,
     cur = checkpointed("input", pages)
     tiers["input"] = cur
 
+    # Tiers 1-2 compute their keep-set on a PROJECTION and semi-join the
+    # ids back, never windowing the full page rows: a window partitioned
+    # by url/md5 would shuffle AND sort every page byte (html included at
+    # production shape) and a hot url (the canonical skew key) would sort
+    # its whole snapshot family in one task.  max/min over the projection
+    # are map-side combinable, so hot keys collapse BEFORE the shuffle —
+    # the same argument as pipeline.exact_collapse — and both semi-joins
+    # hash-partition pages by doc_id, a partitioning Catalyst reuses
+    # across the consecutive tiers.
     if has_url:
-        w = Window.partitionBy(url_col).orderBy(
-            F.col(ts_col).desc(), F.col("doc_id").desc())
-        latest = (cur.withColumn("_rn", F.row_number().over(w))
-                     .where(F.col("_rn") == 1).drop("_rn"))
-        cur = checkpointed("url_latest", latest)
+        keep_latest = (cur.select(url_col, ts_col, "doc_id")
+                       .groupBy(url_col)
+                       .agg(F.max(F.struct(F.col(ts_col),
+                                           F.col("doc_id"))).alias("_w"))
+                       .select(F.col("_w.doc_id").alias("doc_id")))
+        cur = checkpointed("url_latest",
+                           cur.join(keep_latest, "doc_id", "left_semi"))
         tiers["url_latest"] = cur
 
-    # exact tier: same keep-min-doc_id semantics as pipeline.exact_collapse,
-    # expressed as a window so non-key columns (url, ts, ...) ride along
-    we = Window.partitionBy(F.md5(F.col("text").cast("binary"))) \
-               .orderBy("doc_id")
-    exact = (cur.withColumn("_rn", F.row_number().over(we))
-                .where(F.col("_rn") == 1).drop("_rn"))
-    cur = checkpointed("exact", exact)
+    # exact tier: keep-min-doc_id per md5(text), hash/id projection only
+    keep_rep = (cur.select(F.md5(F.col("text").cast("binary")).alias("_h"),
+                           "doc_id")
+                .groupBy("_h").agg(F.min("doc_id").alias("doc_id"))
+                .select("doc_id"))
+    cur = checkpointed("exact", cur.join(keep_rep, "doc_id", "left_semi"))
     tiers["exact"] = cur
 
     if quality_keep is not None:
