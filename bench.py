@@ -43,6 +43,8 @@ def main() -> None:
         "gopher_repetition",
         "url_latest_dedup",
         "dedup_funnel",
+        "token_rarity",
+        "domain_stats",
     ]
 
     spark = get_spark(app_name="bench", cores=cores, shuffle_partitions=cores)

@@ -1643,6 +1643,105 @@ SELECT url, regexp_extract(url, 'https?://([^/]+)/', 1) AS host,
 FROM rk WHERE rn = 1 ORDER BY url"""
 
 
+def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency document scoring — the CCNet "train a model on the
+    corpus, then score each document against it" two-pass shape, with an
+    integer-exact unigram count table standing in for the LM (float
+    log-prob sums are not bit-reproducible across engines; every number
+    here is integer arithmetic plus ONE int/int division).
+
+    Pass 1 builds the corpus term-frequency table; pass 2 scores each doc:
+    n_tokens, hapax occurrences (corpus tf = 1), rare occurrences
+    (tf <= 5), rare fraction, and the doc's most-common-token tf.  Rare
+    mass is the standard automatically-derived quality signal (high
+    rare_frac = OCR noise / gibberish; near-zero + low max_tf diversity =
+    boilerplate).
+
+    Scale shape (100 TB): occurrences pre-aggregate to (doc_id, token)
+    WITH map-side combine before anything joins — the zipfian hot token
+    ("the") collapses to one row per doc, so the tf join carries no
+    occurrence-level skew (AQE skew-join covers the residual); the tf
+    table derives from the same pre-aggregate (persisted, computed once).
+    No Python on any row path."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dt = (df.select("doc_id", F.explode(normalized_tokens("text")).alias("tok"))
+            .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+            .persist())
+    tf = dt.groupBy("tok").agg(F.sum("c").alias("tf"))
+    rare = F.when(F.col("tf") <= 5, F.col("c")).otherwise(F.lit(0))
+    hapax = F.when(F.col("tf") == 1, F.col("c")).otherwise(F.lit(0))
+    return (dt.join(tf, "tok")
+              .groupBy("doc_id")
+              .agg(F.sum("c").alias("n_tokens"),
+                   F.sum(hapax).alias("n_hapax"),
+                   F.sum(rare).alias("n_rare"),
+                   F.max("tf").alias("max_tf"))
+              .select("doc_id", "n_tokens", "n_hapax", "n_rare",
+                      F.round(F.col("n_rare") / F.col("n_tokens"), 6)
+                       .alias("rare_frac"),
+                      "max_tf")
+              .orderBy("doc_id"))
+
+
+_SQL_TOKEN_RARITY = f"""
+WITH t AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents),
+dt AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+tf AS (SELECT tok, sum(c) AS tf FROM dt GROUP BY tok)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN tf = 1 THEN c ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(sum(CASE WHEN tf <= 5 THEN c ELSE 0 END) AS BIGINT) AS n_rare,
+       round(sum(CASE WHEN tf <= 5 THEN c ELSE 0 END) * 1.0 / sum(c), 6)
+         AS rare_frac,
+       CAST(max(tf) AS BIGINT) AS max_tf
+FROM dt JOIN tf USING (tok)
+GROUP BY doc_id ORDER BY doc_id"""
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain reputation rollup (the host-level table CC curation
+    keeps: crawl volume, dedup pressure, quality yield per domain).
+    Hosts derive from the same deterministic url scheme as
+    `url_latest_dedup` (sf tables carry no url column); production
+    corpora group by the real registrable domain.  One groupBy with
+    map-side combine; every metric integer-exact plus one division."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = F.pmod(F.col("doc_id"), F.lit(97))
+    host = F.concat(F.lit("h"), F.pmod(p, F.lit(7)).cast("string"),
+                    F.lit(".example.com"))
+    _, _, _, _, _, keep = _quality_exprs()
+    n = _n_tokens_col()
+    return (df.select(host.alias("host"), p.alias("_path"),
+                      n.alias("_n"), keep.cast("int").alias("_k"))
+              .groupBy("host")
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.countDistinct("_path").alias("n_urls"),
+                   F.sum("_n").alias("total_tokens"),
+                   F.sum("_k").alias("n_keep"))
+              .select("host", "n_docs", "n_urls", "total_tokens", "n_keep",
+                      F.round(F.col("n_keep") / F.col("n_docs"), 6)
+                       .alias("keep_frac"))
+              .orderBy("host"))
+
+
+def _sql_domain_stats() -> str:
+    q = _SQL_QUALITY_CTE.format(toks=_DUCK_TOKS, sw=repr(_STOPWORDS["en"]),
+                                src="documents")
+    return f"""WITH {q.lstrip()},
+d AS (
+  SELECT 'h' || ((doc_id % 97) % 7) || '.example.com' AS host,
+         doc_id % 97 AS path, n_tokens,
+         CASE WHEN keep THEN 1 ELSE 0 END AS k
+  FROM qk
+)
+SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT path) AS BIGINT) AS n_urls,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(k) AS BIGINT) AS n_keep,
+       round(sum(k) * 1.0 / count(*), 6) AS keep_frac
+FROM d GROUP BY host ORDER BY host"""
+
+
 def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tiered dedup funnel (the graft's "tier dedup" composition,
     operators/funnel.py): url-latest -> exact-hash -> quality gate ->
@@ -1804,6 +1903,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_repetition": q_gopher_repetition,
     "url_latest_dedup": q_url_latest_dedup,
     "dedup_funnel": q_dedup_funnel,
+    "token_rarity": q_token_rarity,
+    "domain_stats": q_domain_stats,
 }
 
 _ANN_TOPK_SQL = _sql_ann_topk()
@@ -1850,4 +1951,6 @@ ORACLE_SQL: dict[str, str] = {
     "gopher_repetition": _sql_gopher_repetition(),
     "url_latest_dedup": _SQL_URL_LATEST_DEDUP,
     "dedup_funnel": _sql_dedup_funnel(),
+    "token_rarity": _SQL_TOKEN_RARITY,
+    "domain_stats": _sql_domain_stats(),
 }

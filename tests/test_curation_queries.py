@@ -16,7 +16,8 @@ from distributed_lsh_spark.entry_queries import ORACLE_SQL, QUERIES  # noqa: E40
 
 SF_DIR = "/root/testdata/sf0.001"
 TABLES = ["documents"]
-NAMES = ["line_dedup", "gopher_repetition", "url_latest_dedup"]
+NAMES = ["line_dedup", "gopher_repetition", "url_latest_dedup",
+         "dedup_funnel", "token_rarity", "domain_stats"]
 
 
 @pytest.fixture(scope="module")
@@ -87,3 +88,47 @@ def test_url_latest_keeps_newest_crawl(results):
     sp2["url_key"] = sp2.kept_doc_id % 97
     got = sp2.set_index("url_key").warc_epoch.sort_index()
     assert (got.values == best.sort_index().values).all()
+
+
+def test_token_rarity_hapax_mass_matches_python(results, duck):
+    """Independent pin (same tokenizer re-implemented in Python, no SQL):
+    the corpus-wide hapax mass — sum over docs of n_hapax — must equal
+    the number of tokens whose corpus frequency is exactly 1, and the
+    rare mass must equal the total occurrences of tokens with tf <= 5."""
+    import collections
+    import re
+
+    sp, _ = results["token_rarity"]
+    texts = duck.sql("SELECT text FROM documents").fetchall()
+    tf = collections.Counter()
+    for (t,) in texts:
+        tf.update(x for x in re.split(r"[^a-z0-9]+", t.lower()) if x)
+    assert sp.n_hapax.sum() == sum(1 for c in tf.values() if c == 1)
+    assert sp.n_rare.sum() == sum(c for c in tf.values() if c <= 5)
+    assert (sp.n_hapax <= sp.n_rare).all()
+    assert (sp.n_rare <= sp.n_tokens).all()
+    assert (sp.max_tf >= 1).all()
+
+
+def test_domain_stats_partition_the_corpus(results, duck):
+    """The 7 derived hosts partition the corpus: doc counts per host match
+    a pure-Python derivation and sum to the corpus size."""
+    sp, _ = results["domain_stats"]
+    ids = [r[0] for r in duck.sql("SELECT doc_id FROM documents").fetchall()]
+    import collections
+    exp = collections.Counter(f"h{(i % 97) % 7}.example.com" for i in ids)
+    got = dict(zip(sp.host, sp.n_docs))
+    assert got == dict(exp)
+    assert sp.n_docs.sum() == len(ids)
+    assert ((sp.keep_frac >= 0) & (sp.keep_frac <= 1)).all()
+
+
+def test_funnel_gate_tiers_all_remove_rows(results):
+    """Every funnel tier must remove at least one row in the gate (the
+    planting guarantees url/exact removals; quality/near-dup removals are
+    the corpus's natural ones) — otherwise the gate row is vacuous."""
+    sp, _ = results["dedup_funnel"]
+    removed = dict(zip(sp.tier, sp.docs_removed))
+    for tier in ("url_latest", "exact", "quality", "near_dup"):
+        assert removed[tier] > 0, tier
+    assert removed["input"] == 0
