@@ -63,10 +63,12 @@ def curation_funnel(pages: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG, *,
     - `quality_keep`: boolean Column over the page row (e.g. the gated
       doc_quality keep rule); None skips the tier (keeps the row count).
     - `ckpt`: optional sources.checkpoint.CheckpointManager.  With it,
-      every tier materializes through `ckpt.stage("funnel_<tier>", ...)`
-      (Parquet/Iceberg + manifest + per-partition lineage counters), so a
-      killed run resumes at the first incomplete tier and the metrics
-      row counts come from the committed manifests — zero extra jobs.
+      every tier AFTER the raw input materializes through
+      `ckpt.stage("funnel_<tier>", ...)` (Parquet/Iceberg + manifest +
+      per-partition lineage counters), so a killed run resumes at the
+      first incomplete tier and the tier metrics counts come from the
+      committed manifests (the input row costs one column-pruned
+      count()).
       Without it, tiers persist in memory and the metrics frame computes
       every count in ONE action (union of aggregates over the persisted
       tiers).
@@ -90,7 +92,11 @@ def curation_funnel(pages: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG, *,
         return df.persist()
 
     tiers: dict[str, DataFrame] = {}
-    cur = checkpointed("input", pages)
+    # the raw input is NEVER checkpointed — staging it would write a full
+    # copy of the crawl before any reduction; tier 1 reads it straight
+    # from the source (its metrics count comes from one count() in ckpt
+    # mode, a column-pruned metadata-cheap scan)
+    cur = pages if ckpt is not None else pages.persist()
     tiers["input"] = cur
 
     # Tiers 1-2 compute their keep-set on a PROJECTION and semi-join the
@@ -152,7 +158,9 @@ def _metrics(tiers: dict[str, DataFrame], ckpt) -> DataFrame:
     some_df = next(iter(tiers.values()))
     spark = some_df.sparkSession
     if ckpt is not None:
-        rows = [(i, n, int(ckpt.rows(f"funnel_{n}")))
+        rows = [(i, n,
+                 (tiers[n].select("doc_id").count() if n == "input"
+                  else int(ckpt.rows(f"funnel_{n}"))))
                 for i, n in enumerate(order)]
         m = spark.createDataFrame(
             rows, "tier_no int, tier string, docs_out long")

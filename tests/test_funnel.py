@@ -102,9 +102,10 @@ def test_funnel_checkpointed_resume(spark, tiny_corpus, funnel_input, tmp_path):
     got = {(r["tier_no"], r["tier"], r["docs_in"], r["docs_out"])
            for r in res.metrics.collect()}
     assert got == direct                  # manifest counts == computed counts
-    for name in ("funnel_input", "funnel_url_latest", "funnel_exact",
-                 "funnel_near_dup"):
+    for name in ("funnel_url_latest", "funnel_exact", "funnel_near_dup"):
         assert ck.is_complete(name)
+    # the raw input must NOT be staged (it would copy the whole crawl)
+    assert not ck.is_complete("funnel_input")
 
     # resume: a fresh manager over the same root serves every tier from the
     # committed stages — metrics identical, survivors identical
@@ -115,3 +116,18 @@ def test_funnel_checkpointed_resume(spark, tiny_corpus, funnel_input, tmp_path):
     assert got2 == direct
     assert (sorted(r["doc_id"] for r in res2.survivors.collect())
             == sorted(r["doc_id"] for r in res.survivors.collect()))
+
+
+def test_funnel_empty_input(spark):
+    """Degenerate input: an empty pages frame flows through every tier
+    (groupBys, semi-joins, the LSH near-dup build) and yields all-zero
+    metrics and zero survivors."""
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, url string, warc_epoch long")
+    res = curation_funnel(empty, CFG)
+    assert res.survivors.count() == 0
+    rows = res.metrics.orderBy("tier_no").collect()
+    assert [r["tier"] for r in rows] == ["input", "url_latest", "exact",
+                                         "near_dup"]
+    assert all(r["docs_in"] == 0 and r["docs_out"] == 0
+               and r["docs_removed"] == 0 for r in rows)
