@@ -45,6 +45,7 @@ def main() -> None:
         "dedup_funnel",
         "token_rarity",
         "domain_stats",
+        "semantic_dedup",
     ]
 
     spark = get_spark(app_name="bench", cores=cores, shuffle_partitions=cores)

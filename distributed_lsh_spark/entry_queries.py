@@ -1327,6 +1327,75 @@ SELECT id_a, id_b, round(sim, 6) AS sim
 FROM s WHERE sim >= 0.5 ORDER BY id_a, id_b"""
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embedding space (Abbas et
+    al. 2023's curation pass, exact-verified form): cosine-similar pairs
+    (tau=0.5 — the synthetic embeddings are near-random; production
+    near-dup uses ~0.95) -> connected components -> keep one
+    representative (min vec_id) per semantic cluster; report each
+    multi-member cluster's size and drop count.
+
+    Composes the two already-gated primitives: `cosine_pairs` (exact
+    under the broadcast budget, SRP-LSH + exact verify above it — a
+    10^9-vector corpus never collects to the driver) and the size-
+    dispatched large-star/small-star `connected_components`.  The oracle
+    replays brute-force cosine + recursive-CTE transitive closure.
+
+    Gate planting (pii_scrub pattern; sf corpora's dense non-negative
+    vec_ids): every vec_id % 101 == 0 vector re-unioned byte-identical at
+    +1_000_000 — cosine exactly 1.0 — so the gate value-checks real
+    multi-member semantic clusters beyond the corpus's single natural
+    pair; production corpora skip the planting."""
+    from distributed_lsh_spark.operators.connected_components import (
+        connected_components,
+    )
+    from distributed_lsh_spark.operators.vector_ann import cosine_pairs
+
+    emb0 = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    copies = (emb0.where(F.pmod(F.col("vec_id"), F.lit(101)) == 0)
+                  .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                          "embedding"))
+    emb = emb0.unionByName(copies)
+    edges = cosine_pairs(emb, tau=0.5).select("id_a", "id_b")
+    cc = connected_components(edges)
+    return (cc.groupBy("cluster_id")
+              .agg(F.count(F.lit(1)).alias("n_members"),
+                   (F.count(F.lit(1)) - 1).alias("n_dropped"),
+                   F.max("doc_id").alias("max_vec_id"))
+              .orderBy("cluster_id"))
+
+
+_SQL_SEMANTIC_DEDUP = """
+WITH RECURSIVE base AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 101 = 0
+),
+n AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM base),
+s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]))
+             / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+                * sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS sim
+      FROM n a JOIN n b ON a.vec_id < b.vec_id),
+pairs AS (SELECT id_a, id_b FROM s WHERE sim >= 0.5),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+clusters AS (SELECT a AS vec_id, least(a, min(b)) AS cluster_id
+             FROM reach GROUP BY a)
+SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       CAST(count(*) - 1 AS BIGINT) AS n_dropped,
+       CAST(max(vec_id) AS BIGINT) AS max_vec_id
+FROM clusters GROUP BY cluster_id ORDER BY cluster_id"""
+
+
 def q_balance_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets aggregation over a 3-way dim join (region->nation->
     customer): per-(region, nation) and per-region customer counts +
@@ -1905,6 +1974,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_funnel": q_dedup_funnel,
     "token_rarity": q_token_rarity,
     "domain_stats": q_domain_stats,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 _ANN_TOPK_SQL = _sql_ann_topk()
@@ -1953,4 +2023,5 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_funnel": _sql_dedup_funnel(),
     "token_rarity": _SQL_TOKEN_RARITY,
     "domain_stats": _sql_domain_stats(),
+    "semantic_dedup": _SQL_SEMANTIC_DEDUP,
 }

@@ -15,9 +15,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from distributed_lsh_spark.entry_queries import ORACLE_SQL, QUERIES  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
-TABLES = ["documents"]
+TABLES = ["documents", "embeddings"]
 NAMES = ["line_dedup", "gopher_repetition", "url_latest_dedup",
-         "dedup_funnel", "token_rarity", "domain_stats"]
+         "dedup_funnel", "token_rarity", "domain_stats", "semantic_dedup"]
 
 
 @pytest.fixture(scope="module")
@@ -132,3 +132,16 @@ def test_funnel_gate_tiers_all_remove_rows(results):
     for tier in ("url_latest", "exact", "quality", "near_dup"):
         assert removed[tier] > 0, tier
     assert removed["input"] == 0
+
+
+def test_semantic_dedup_planted_copies_cluster(results):
+    """Every planted identical-embedding copy (vec_id % 101 == 0, copy at
+    +1M) must land in a 2+-member cluster whose max member is the copy."""
+    sp, _ = results["semantic_dedup"]
+    planted = set(sp[sp.max_vec_id >= 1_000_000].cluster_id)
+    import pandas as pd
+    emb_ids = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")["vec_id"]
+    expected = {int(v) for v in emb_ids if v % 101 == 0}
+    assert planted == expected
+    assert (sp.n_members >= 2).all()
+    assert (sp.n_dropped == sp.n_members - 1).all()
