@@ -59,7 +59,11 @@ def curation_funnel(pages: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG, *,
     """Run the 4-tier dedup funnel over `pages(doc_id, text[, url, ts])`.
 
     - The url tier runs only when `url_col` is present (a corpus without
-      crawl metadata starts at the exact tier).
+      crawl metadata starts at the exact tier).  NULL crawl timestamps
+      sort below every real one inside `max(struct(ts, doc_id))` (Spark
+      orders NULL struct fields first ascending), i.e. a NULL-ts snapshot
+      only wins a url group whose every snapshot is NULL-ts — coalesce
+      upstream if different semantics are wanted.
     - `quality_keep`: boolean Column over the page row (e.g. the gated
       doc_quality keep rule); None skips the tier (keeps the row count).
     - `ckpt`: optional sources.checkpoint.CheckpointManager.  With it,

@@ -81,9 +81,8 @@ def test_funnel_without_url_column(spark, tiny_corpus, funnel_input):
     assert "url_latest" not in res.tiers
     tiers = [r["tier"] for r in res.metrics.orderBy("tier_no").collect()]
     assert tiers == ["input", "exact", "near_dup"]
-    # exact tier now sees ALL rows (url-dup snapshots included), so its
-    # byte-identical families are at least as large as the with-url run's
-    _, t2_with_url, _ = _python_funnel(tiny_corpus.rows)
+    # exact tier now sees ALL rows (url-dup snapshots included): survivors
+    # = exactly one doc per distinct text
     n_exact = [r["docs_out"] for r in res.metrics.collect()
                if r["tier"] == "exact"][0]
     texts = {r["text"] for r in tiny_corpus.rows}
