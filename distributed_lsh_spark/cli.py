@@ -11,6 +11,8 @@ verbs:
   dedup   pages table -> signatures -> dup pairs -> clusters, checkpointed
           per stage (resumable: rerun with the same --run-id skips
           completed stages)
+  curate  tiered dedup funnel (url-latest -> exact -> quality -> near-dup),
+          every tier checkpointed, per-tier metrics JSON
   query   c-k-ANN over an integer-vector table (reference parity mode)
 
 (the two-parallelism scaling protocol lives in bench_scaling.py at the
@@ -105,6 +107,56 @@ def cmd_dedup(args: argparse.Namespace) -> None:
     # process exit tears it down for CLI runs
 
 
+def cmd_curate(args: argparse.Namespace) -> None:
+    """Tiered dedup funnel over a pages table (operators/funnel.py):
+    url-latest -> exact -> quality -> near-dup, each tier checkpointed
+    under --output/--run-id (resume mid-funnel), per-tier metrics JSON on
+    stdout.  The survivors table is the committed `funnel_near_dup` stage
+    — no second copy is written."""
+    from pyspark.sql import functions as F
+
+    from distributed_lsh_spark.conf import DedupConfig
+    from distributed_lsh_spark.entry_queries import quality_keep_expr
+    from distributed_lsh_spark.functions.extract import with_extracted_text
+    from distributed_lsh_spark.operators.funnel import curation_funnel
+    from distributed_lsh_spark.session import get_spark
+    from distributed_lsh_spark.sources.checkpoint import CheckpointManager
+
+    cfg = DedupConfig(shingle_k=args.shingle_k, num_perm=args.num_perm,
+                      num_bands=args.bands, rows_per_band=args.num_perm // args.bands,
+                      jaccard_threshold=args.threshold, seed=args.seed)
+    spark = get_spark("curate", cores=args.cores,
+                      shuffle_partitions=args.shuffle_partitions)
+    pages = spark.read.parquet(args.input)
+    if "text" not in pages.columns:
+        pages = with_extracted_text(pages)
+    if "doc_id" not in pages.columns:
+        pages = pages.withColumn("doc_id", F.xxhash64("url"))
+    # url tier needs a crawl timestamp; accept either north_star warc_ts
+    # or a precomputed epoch — without one the funnel starts at exact
+    ts_col = next((c for c in ("warc_ts", "warc_epoch")
+                   if c in pages.columns), None)
+    url_col = "url" if ("url" in pages.columns and ts_col) else "__no_url__"
+
+    ckpt = CheckpointManager(spark, args.output, run_id=args.run_id,
+                             config_echo=cfg.__dict__)
+    t0 = time.time()
+    res = curation_funnel(
+        pages, cfg, url_col=url_col, ts_col=ts_col or "warc_epoch",
+        quality_keep=None if args.no_quality else quality_keep_expr(),
+        ckpt=ckpt)
+    metrics = [r.asDict() for r in res.metrics.orderBy("tier_no").collect()]
+    dt = time.time() - t0
+    n_in = metrics[0]["docs_out"]
+    print(json.dumps({
+        "run_id": args.run_id, "tiers": metrics,
+        "n_docs": n_in, "n_survivors": metrics[-1]["docs_out"],
+        "wall_sec": round(dt, 2),
+        "docs_per_sec": round(n_in / dt, 1) if dt else None,
+        "survivors_stage": "funnel_near_dup",
+    }))
+
+
 def cmd_query(args: argparse.Namespace) -> None:
     from distributed_lsh_spark.oracle.reference_lsh import ReferenceLSHModel
     from distributed_lsh_spark.operators.ann import ann_search_spark, build_hash_tables
@@ -155,6 +207,21 @@ def main(argv: list[str] | None = None) -> None:
     d.add_argument("--seed", type=int, default=42)
     _add_spark_args(d)
     d.set_defaults(fn=cmd_dedup)
+
+    c = sub.add_parser("curate",
+                       help="tiered dedup funnel (url/exact/quality/near-dup)")
+    c.add_argument("--input", required=True)
+    c.add_argument("--output", required=True)
+    c.add_argument("--run-id", default="run0")
+    c.add_argument("--shingle-k", type=int, default=5)
+    c.add_argument("--num-perm", type=int, default=128)
+    c.add_argument("--bands", type=int, default=32)
+    c.add_argument("--threshold", type=float, default=0.8)
+    c.add_argument("--seed", type=int, default=42)
+    c.add_argument("--no-quality", action="store_true",
+                   help="skip the quality tier (e.g. non-English corpora)")
+    _add_spark_args(c)
+    c.set_defaults(fn=cmd_curate)
 
     q = sub.add_parser("query", help="c-k-ANN over integer vectors")
     q.add_argument("--input", required=True, help="parquet with (id, vec)")

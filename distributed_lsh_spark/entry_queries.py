@@ -395,6 +395,15 @@ def _quality_exprs():
     return n_chars, n_alpha, n_punct, n_tokens, n_stop, keep
 
 
+def quality_keep_expr():
+    """The gated doc-quality keep rule as one boolean Column over a `text`
+    column (non-degenerate: empty/token-less docs fail) — the form the
+    funnel / CLI quality tier consumes.  Requires English-stopword-bearing
+    text; a stopword-free corpus fails wholesale (n_stop >= 2)."""
+    n_chars, _, _, n_tokens, _, keep = _quality_exprs()
+    return keep & (n_chars > 0) & (n_tokens > 0)
+
+
 _SQL_QUALITY_CTE = """
 qt AS (
   SELECT doc_id, length(text) AS n_chars,
@@ -1860,9 +1869,7 @@ def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                          (F.lit(1735689600)
                           + F.pmod(F.col("doc_id") * 7919,
                                    F.lit(1_000_000))).cast("long")))
-    n_chars, _, _, n_tokens, _, keep = _quality_exprs()
-    res = curation_funnel(
-        pages, CFG, quality_keep=keep & (n_chars > 0) & (n_tokens > 0))
+    res = curation_funnel(pages, CFG, quality_keep=quality_keep_expr())
     return res.metrics.orderBy("tier_no")
 
 

@@ -84,3 +84,40 @@ def test_ann_prebuilt_tables_match_direct(spark):
                                              tables=tables).collect()))
     tables.unpersist()
     assert via_tables == direct
+
+
+def test_cli_curate_and_resume(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "cur")
+    (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+          .select("doc_id", "text")
+          .withColumn("url", F.concat(F.lit("https://x/p/"),
+                                      F.pmod("doc_id", F.lit(97)).cast("string")))
+          .withColumn("warc_epoch", (F.col("doc_id") * 7).cast("long"))
+          .write.parquet(src))
+
+    args = ["curate", "--input", src, "--output", out, "--run-id", "c1",
+            "--cores", "8"]
+    main(args)
+    r1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    tiers = {t["tier"]: t for t in r1["tiers"]}
+    assert list(tiers) == ["input", "url_latest", "exact", "quality",
+                           "near_dup"]
+    assert tiers["url_latest"]["docs_removed"] > 0      # ~n/97 urls
+    assert r1["n_survivors"] == tiers["near_dup"]["docs_out"]
+    surv = spark.read.parquet(os.path.join(out, "c1", "funnel_near_dup", "data"))
+    assert surv.count() == r1["n_survivors"]
+
+    # resume: every tier served from its manifest, identical metrics
+    main(args)
+    r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r2["tiers"] == r1["tiers"]
+
+    # --no-quality drops the tier
+    main(["curate", "--input", src, "--output", out, "--run-id", "c2",
+          "--cores", "8", "--no-quality"])
+    r3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [t["tier"] for t in r3["tiers"]] == ["input", "url_latest",
+                                                "exact", "near_dup"]
