@@ -138,8 +138,14 @@ def cmd_curate(args: argparse.Namespace) -> None:
                    if c in pages.columns), None)
     url_col = "url" if ("url" in pages.columns and ts_col) else "__no_url__"
 
+    # the tier SET is part of the config: rerunning a run-id with a
+    # different --no-quality (or a url/ts column appearing) must
+    # invalidate the staged tiers, not resume them under old semantics
     ckpt = CheckpointManager(spark, args.output, run_id=args.run_id,
-                             config_echo=cfg.__dict__)
+                             config_echo={**cfg.__dict__,
+                                          "no_quality": args.no_quality,
+                                          "url_col": url_col,
+                                          "ts_col": ts_col})
     t0 = time.time()
     res = curation_funnel(
         pages, cfg, url_col=url_col, ts_col=ts_col or "warc_epoch",

@@ -121,3 +121,25 @@ def test_cli_curate_and_resume(spark, tmp_path, capsys):
     r3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert [t["tier"] for t in r3["tiers"]] == ["input", "url_latest",
                                                 "exact", "near_dup"]
+
+
+def test_cli_curate_tier_set_change_invalidates(spark, tmp_path, capsys):
+    """Re-running a run-id with a different tier SET (--no-quality) must
+    REBUILD, not resume stale tiers built under the old semantics."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "cur")
+    (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+          .select("doc_id", "text").write.parquet(src))
+
+    main(["curate", "--input", src, "--output", out, "--run-id", "cq",
+          "--cores", "8"])
+    r1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    main(["curate", "--input", src, "--output", out, "--run-id", "cq",
+          "--cores", "8", "--no-quality"])
+    r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "quality" in {t["tier"] for t in r1["tiers"]}
+    assert "quality" not in {t["tier"] for t in r2["tiers"]}
+    # quality removes rows at sf0.001, so the rebuilt near_dup input differs
+    assert r2["tiers"][-1]["docs_in"] != r1["tiers"][-1]["docs_in"]
