@@ -25,6 +25,14 @@ checkpointing (resume mid-funnel via sources/checkpoint.py — the
 north_rule's "resumable from checkpoint with per-partition lineage +
 metrics", applied to the whole cascade).
 
+Streaming twins: every funnel tier has a streaming counterpart — url
+tier: `streaming/stateful.stateful_url_latest` (running keep-latest in
+the state store); exact tier: `streaming/stateful.stateful_exact_dedup`;
+quality tier: a stateless map on any stream; near-dup tier:
+`streaming/dedup_stream.incremental_dedup_stream` — composed in
+`streaming/ingest.py` (exact -> near-dup ordering, the same as tiers
+2->4 here).
+
 Reference analogue: the reference chains its MapReduce jobs the same way
 (hash build -> bucket join -> verify), persisting each stage's output
 dir before the next job starts (Naive-DLSH/.../lsh/searcher/

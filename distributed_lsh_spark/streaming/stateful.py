@@ -84,3 +84,71 @@ def run_stateful_dedup(spark: SparkSession, input_dir: str, state_dir: str,
             .outputMode("append")
             .trigger(availableNow=True)
             .start())
+
+
+# --------------------------------------------------------------------------
+# stateful keep-latest-per-url: the funnel's url tier as a stream
+# --------------------------------------------------------------------------
+
+URL_OUT_SCHEMA = ("url string, doc_id long, warc_epoch long, "
+                  "n_crawls long, changed boolean")
+URL_STATE_SCHEMA = "doc_id long, warc_epoch long, n_crawls long"
+
+
+def _latest_group(key: tuple, pdfs: "Iterator[pd.DataFrame]",
+                  state: GroupState) -> "Iterator[pd.DataFrame]":
+    (doc_id, epoch, n) = state.get if state.exists else (None, None, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        # lexicographic max over (epoch, doc_id) — the batch tier's
+        # max(struct(ts, doc_id)) keep rule
+        top = pdf.sort_values(["warc_epoch", "doc_id"]).iloc[-1]
+        be, bd = int(top["warc_epoch"]), int(top["doc_id"])
+        changed = epoch is None or (be, bd) > (epoch, doc_id)
+        if changed:
+            epoch, doc_id = be, bd
+        yield pd.DataFrame({"url": [key[0]], "doc_id": [doc_id],
+                            "warc_epoch": [epoch], "n_crawls": [n],
+                            "changed": [changed]})
+    state.update((doc_id, epoch, n))
+
+
+def stateful_url_latest(stream_df: DataFrame) -> DataFrame:
+    """(doc_id, url, warc_epoch) stream -> one row per (url, micro-batch
+    the url appears in) carrying the url's CURRENT winner under the batch
+    funnel's keep rule (max (warc_epoch, doc_id)), its crawl count so
+    far, and whether this batch changed the winner.
+
+    The streaming twin of the funnel's url_latest tier.  Global
+    keep-latest is inherently revisionary — a later batch can dethrone an
+    earlier winner — so the stream emits the running winner in append
+    mode (one row per appearance) instead of retracting: downstream takes
+    each url's row with max (warc_epoch, doc_id), which is exactly the
+    final winner because winners are monotone under the keep rule.
+    State per url is a 24-byte tuple in the state store (same scale
+    argument as stateful_exact_dedup); one shuffle on url per batch —
+    the same key the batch tier groups by."""
+    keyed = stream_df.select("url", "doc_id", "warc_epoch")
+    return keyed.groupBy("url").applyInPandasWithState(
+        _latest_group, URL_OUT_SCHEMA, URL_STATE_SCHEMA, "append",
+        GroupStateTimeout.NoTimeout)
+
+
+def run_stateful_url_latest(spark: SparkSession, input_dir: str,
+                            state_dir: str,
+                            schema: str = ("doc_id long, url string, "
+                                           "warc_epoch long"),
+                            max_files_per_trigger: int = 1):
+    """availableNow runner, same contract as run_stateful_dedup: winners
+    land in `state_dir`/latest, query state under `state_dir`/checkpoint;
+    re-invoking after new drops resumes with per-url state intact."""
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", max_files_per_trigger)
+           .parquet(input_dir))
+    return (stateful_url_latest(src).writeStream
+            .format("parquet")
+            .option("path", f"{state_dir}/latest")
+            .option("checkpointLocation", f"{state_dir}/checkpoint")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start())

@@ -38,3 +38,65 @@ def test_stateful_exact_dedup_across_restarts(spark, tmp_path):
         5: (5, False), 7: (5, True),                    # "ccc" family
         8: (8, False),                                  # unique
     }
+
+
+def test_stateful_url_latest_parity_and_restart(spark, tmp_path):
+    """Streaming twin of the funnel url tier: per-url running winner under
+    max (warc_epoch, doc_id); final winners == batch keep-latest; state
+    survives a query restart; dethroning across batches emits changed."""
+    import os
+
+    from distributed_lsh_spark.streaming.stateful import run_stateful_url_latest
+
+    input_dir = str(tmp_path / "in")
+    state_dir = str(tmp_path / "st")
+    os.makedirs(input_dir)
+    sch = "doc_id long, url string, warc_epoch long"
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, sch).coalesce(1) \
+             .write.parquet(os.path.join(input_dir, name))
+
+    # u1: winner moves across batches (epoch 5 -> 9); u2: ties on epoch
+    # break by doc_id; u3 appears once
+    drop("d1", [(1, "u1", 5), (2, "u2", 7), (3, "u2", 7)])
+    drop("d2", [(4, "u1", 9), (5, "u3", 1)])
+    q = run_stateful_url_latest(spark, input_dir + "/*", state_dir)
+    q.awaitTermination(240)
+
+    # restart with a LOSING revisit of u1 (older epoch): must not dethrone
+    drop("d3", [(6, "u1", 2)])
+    q = run_stateful_url_latest(spark, input_dir + "/*", state_dir)
+    q.awaitTermination(240)
+
+    out = spark.read.parquet(f"{state_dir}/latest").collect()
+    # final winner per url = emitted row with max (warc_epoch, doc_id)
+    final = {}
+    for r in out:
+        # same winner may be re-emitted by later batches with a higher
+        # crawl count — the freshest row is max (epoch, doc_id, n_crawls)
+        k = (r["warc_epoch"], r["doc_id"], r["n_crawls"])
+        if r["url"] not in final or k > final[r["url"]]:
+            final[r["url"]] = k
+    assert final == {"u1": (9, 4, 3),    # 3 crawls seen, winner (9, 4)
+                     "u2": (7, 3, 2),    # epoch tie -> max doc_id
+                     "u3": (1, 5, 1)}
+    # u1's d3 appearance must emit the STANDING winner unchanged
+    u1_rows = sorted([(r["n_crawls"], r["doc_id"], r["changed"])
+                      for r in out if r["url"] == "u1"])
+    assert u1_rows == [(1, 1, True), (2, 4, True), (3, 4, False)]
+
+    # batch parity: funnel url tier over the union of all drops keeps
+    # exactly the streaming winners
+    from distributed_lsh_spark.conf import DEFAULT_CONFIG as CFG
+    from distributed_lsh_spark.operators.funnel import curation_funnel
+
+    pages = spark.createDataFrame(
+        [(1, "u1", 5), (2, "u2", 7), (3, "u2", 7),
+         (4, "u1", 9), (5, "u3", 1), (6, "u1", 2)], sch) \
+        .selectExpr("doc_id", "url", "warc_epoch",
+                    "concat('t', doc_id) AS text")
+    res = curation_funnel(pages, CFG)
+    kept = {r["url"]: r["doc_id"]
+            for r in res.tiers["url_latest"].collect()}
+    assert kept == {u: d for u, (_, d, _) in final.items()}
