@@ -11,9 +11,9 @@ run executes (the "tier dedup" shape):
                       representative (min doc_id in component)
 
 Tier ORDER is the cost argument, not a correctness choice: each tier is
-cheaper per-row than the next (window < hash-groupBy < codegen scan <
-LSH self-join), so running them as a funnel means the expensive stages
-only ever see the cheap stages' survivors.  At Common-Crawl ratios the
+cheaper per-row than the next (16-40 B projection groupBys < codegen
+scan < LSH band self-join), so running them as a funnel means the
+expensive stages only ever see the cheap stages' survivors.  At Common-Crawl ratios the
 url tier alone removes most bytes (recrawls), so the LSH stage — the
 only shuffle-heavy one — runs on a small fraction of the input.
 
