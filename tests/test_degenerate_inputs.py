@@ -92,3 +92,44 @@ def test_line_chunker_degenerate_and_exact(spark):
         assert got.get(d, []) == expect, d
     assert 1 not in got and 2 not in got
     assert len(got[4]) == 3 and got[4][2] == "w16"
+
+
+def test_funnel_degenerate_corpus(spark):
+    """The funnel over the degenerate corpus (empty / punctuation-only /
+    duplicate texts): exact tier collapses the identical pair, the
+    near-dup tier matches the oracle's cluster collapse over the exact
+    survivors, and metrics stay coherent."""
+    from distributed_lsh_spark.operators.funnel import curation_funnel
+
+    res = curation_funnel(_df(spark, DOCS), CFG)
+    exact_ids = sorted(r["doc_id"] for r in res.tiers["exact"].collect())
+    assert exact_ids == [1, 2, 3, 4, 6, 7, 8, 9]   # doc 5 == doc 4 bytes
+    survivors = {r["doc_id"] for r in res.survivors.collect()}
+    oc = DedupOracle(CFG, {i: DOCS[i] for i in exact_ids})
+    non_reps = {d for d, c in oc.clusters().items() if d != c}
+    assert survivors == set(exact_ids) - non_reps
+    m = {r["tier"]: r for r in res.metrics.collect()}
+    assert m["exact"]["docs_removed"] == 1
+    assert m["near_dup"]["docs_out"] == len(survivors)
+
+
+def test_token_rarity_counts_on_degenerate_corpus(spark, tmp_path):
+    """token_rarity over a corpus holding token-less docs: those docs
+    yield NO rows (no occurrences), hapax/rare accounting exact."""
+    import collections
+    import re
+
+    src = str(tmp_path / "documents.parquet")
+    _df(spark, DOCS).write.parquet(src)
+    from distributed_lsh_spark.entry_queries import q_token_rarity
+
+    rows = {r["doc_id"]: r for r in
+            q_token_rarity(spark, str(tmp_path)).collect()}
+    assert set(rows) == {4, 5, 6, 7, 8, 9}          # 1-3 have no tokens
+    tf = collections.Counter()
+    for t in DOCS.values():
+        tf.update(x for x in re.split(r"[^a-z0-9]+", t.lower()) if x)
+    assert sum(r["n_hapax"] for r in rows.values()) \
+        == sum(1 for c in tf.values() if c == 1)
+    assert rows[4]["n_tokens"] == 1
+    assert rows[4]["max_tf"] == 2                   # "tokenless" ×2 (docs 4+5)
