@@ -1110,15 +1110,25 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy("doc_id"))
 
 
-def _sql_html_extract() -> str:
+def _duck_lit(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _duck_html_expr() -> str:
+    """The planted-html expression (DuckDB SQL) — the exact twin of the
+    F.concat planting in q_html_extract / q_warc_extract."""
+    p0, p1, p2 = _HTML_PRE_PARTS
+    return " || ".join([_duck_lit(p0), "doc_id", _duck_lit(p1), "doc_id",
+                        _duck_lit(p2), "replace(text, '&#', '&')",
+                        _duck_lit(_HTML_POST)])
+
+
+def _duck_extract_chain(expr: str) -> str:
+    """Wrap `expr` (an html string expression) in the full extract-pass
+    sequence of functions/extract.py, as DuckDB regexp_replace/replace
+    calls (RE2 on both engines; shared pattern source strings)."""
     from distributed_lsh_spark.functions import extract as X
 
-    def lit(s: str) -> str:
-        return "'" + s.replace("'", "''") + "'"
-
-    p0, p1, p2 = _HTML_PRE_PARTS
-    expr = " || ".join([lit(p0), "doc_id", lit(p1), "doc_id", lit(p2),
-                        "replace(text, '&#', '&')", lit(_HTML_POST)])
     passes = ([("re", X.P_DROP_BLOCKS, " "), ("re", X.P_BREAK_TAGS, "\n"),
                ("re", X.P_ANY_TAG, " ")]
               + [("lit", ent, ch) for ent, ch in X._ENTITIES.items()]
@@ -1126,12 +1136,110 @@ def _sql_html_extract() -> str:
                  ("re", X.P_BLANK_LINES, "\n"), ("re", X.P_FULL_EDGES, "")])
     for kind, pat, rep in passes:
         if kind == "re":
-            expr = f"regexp_replace({expr}, {lit(pat)}, {lit(rep)}, 'g')"
+            expr = (f"regexp_replace({expr}, {_duck_lit(pat)}, "
+                    f"{_duck_lit(rep)}, 'g')")
         else:
-            expr = f"replace({expr}, {lit(pat)}, {lit(rep)})"
+            expr = f"replace({expr}, {_duck_lit(pat)}, {_duck_lit(rep)})"
+    return expr
+
+
+def _sql_html_extract() -> str:
+    expr = _duck_extract_chain(_duck_html_expr())
     return f"""WITH e AS (SELECT doc_id, {expr} AS ext FROM documents)
 SELECT doc_id, md5(ext) AS ext_md5, length(ext) AS n_chars
 FROM e ORDER BY doc_id"""
+
+
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Common-Crawl ingest edge under the hard gate: documents are
+    framed into REAL WARC files (sources/warc.py writer — 17 multi-record
+    files, per-record-gzip members on even file ids, plain on odd), parsed
+    back by the PRODUCTION parser (`iter_warc_records`, the same code
+    `read_warc` runs inside mapInPandas), and the recovered payloads run
+    through the gate-pinned html->text extractor.
+
+    The DuckDB oracle never sees WARC bytes: it recomputes url, WARC-Date,
+    record id, payload byte length, and the extracted-text md5 directly
+    from `documents` — so a framing bug anywhere in the writer/parser pair
+    (Content-Length, member boundaries, header casing, date round-trip)
+    breaks value parity.  Parser independence from the writer is pinned
+    separately by tests/test_warc.py against hand-written raw bytes.
+
+    Scale shape: one WARC file = one task (binaryFile is non-splittable;
+    Common Crawl ships ~1 GB members-gzip files, so a 100 TB crawl is
+    ~100k independent parse tasks, zero shuffle before re-sharding)."""
+    from distributed_lsh_spark.functions.extract import extract_text_udf
+    from distributed_lsh_spark.sources import warc as W
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    p0, p1, p2 = _HTML_PRE_PARTS
+    html = F.concat(
+        F.lit(p0), F.col("doc_id").cast("string"),
+        F.lit(p1), F.col("doc_id").cast("string"), F.lit(p2),
+        F.replace(F.col("text"), F.lit("&#"), F.lit("&")),
+        F.lit(_HTML_POST))
+    docs = df.select("doc_id", html.alias("html"),
+                     F.pmod(F.col("doc_id"), F.lit(17)).alias("file_id"))
+
+    def encode_parse(key, pdf):
+        import hashlib
+        from datetime import datetime, timezone
+
+        import pandas as pd
+
+        file_id = int(key[0])
+        pdf = pdf.sort_values("doc_id")
+        recs = []
+        for doc_id, html_s in zip(pdf["doc_id"], pdf["html"]):
+            doc_id = int(doc_id)
+            epoch = 1735689600 + (doc_id * 7919) % 1_000_000
+            date_iso = datetime.fromtimestamp(epoch, tz=timezone.utc) \
+                .strftime("%Y-%m-%dT%H:%M:%SZ")
+            url = f"https://h{doc_id % 7}.example.com/p/{doc_id}"
+            rec_id = hashlib.md5(f"warc-{doc_id}".encode()).hexdigest()
+            recs.append(W.build_response_record(
+                url, date_iso, html_s.encode("utf-8"), rec_id))
+        blob = W.encode_warc_file(recs, gzipped=(file_id % 2 == 0))
+        rows = [(r["headers"]["warc-target-uri"],
+                 r["headers"]["warc-date"],
+                 r["headers"]["warc-record-id"],
+                 r["payload"])
+                for r in W.iter_warc_records(blob)]
+        return pd.DataFrame(
+            rows, columns=["url", "warc_date", "record_id", "payload"])
+
+    parsed = docs.groupBy("file_id").applyInPandas(
+        encode_parse,
+        schema="url string, warc_date string, record_id string, "
+               "payload binary")
+    ext = extract_text_udf(F.col("payload").cast("string"))
+    return (parsed.select(
+                "url", "warc_date", "record_id",
+                F.length("payload").alias("payload_len"),
+                F.md5(ext.cast("binary")).alias("ext_md5"),
+                F.length(ext).alias("n_text_chars"))
+            .orderBy("url"))
+
+
+def _sql_warc_extract() -> str:
+    html = _duck_html_expr()
+    ext = _duck_extract_chain("html")
+    return f"""
+WITH e AS (
+  SELECT doc_id,
+         'https://h' || (doc_id % 7) || '.example.com/p/' || doc_id AS url,
+         strftime(make_timestamp(CAST((1735689600
+                    + (doc_id * 7919) % 1000000) AS BIGINT) * 1000000),
+                  '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+         '<urn:uuid:' || md5('warc-' || doc_id) || '>' AS record_id,
+         {html} AS html
+  FROM documents
+), x AS (SELECT *, {ext} AS ext FROM e)
+SELECT url, warc_date, record_id,
+       octet_length(encode(html)) AS payload_len,
+       md5(ext) AS ext_md5, length(ext) AS n_text_chars
+FROM x ORDER BY url"""
 
 
 def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1982,6 +2090,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_rarity": q_token_rarity,
     "domain_stats": q_domain_stats,
     "semantic_dedup": q_semantic_dedup,
+    "warc_extract": q_warc_extract,
 }
 
 _ANN_TOPK_SQL = _sql_ann_topk()
@@ -2031,4 +2140,5 @@ ORACLE_SQL: dict[str, str] = {
     "token_rarity": _SQL_TOKEN_RARITY,
     "domain_stats": _sql_domain_stats(),
     "semantic_dedup": _SQL_SEMANTIC_DEDUP,
+    "warc_extract": _sql_warc_extract(),
 }
