@@ -1222,6 +1222,78 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("url"))
 
 
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions/url.py, RFC 3986 §6 + tracking-param
+    strip) under the hard gate: each doc gets ONE of 8 planted messy
+    spellings (doc_id % 8 — canonical, uppercased scheme/host, explicit
+    default port, fragment, tracking query, unsorted query, percent-encoded
+    unreserved char, dot-segments) of a base url keyed on
+    (doc_id % 7, doc_id % 61); the production pandas UDF canonicalizes and
+    the query groups per canonical url.
+
+    The DuckDB oracle never parses a url: it states the EXPECTED canonical
+    form directly from doc_id (base, plus '?a=1&b=2' only for the
+    sorted-query variant) and groups identically — any wrong
+    canonicalization moves a row to a different group and breaks
+    n_docs/n_forms/min_doc_id parity.  Scale shape: map-only UDF pass +
+    one groupBy shuffle on 8-byte-ish keys."""
+    from distributed_lsh_spark.functions.url import canonicalize_url_udf
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = F.pmod(F.col("doc_id"), F.lit(7)).cast("string")
+    m = F.pmod(F.col("doc_id"), F.lit(61)).cast("string")
+    k = F.pmod(F.col("doc_id"), F.lit(8))
+    base = F.concat(F.lit("https://h"), n, F.lit(".example.com/a/p-"), m)
+    messy = (F.when(k == 1, F.concat(F.lit("HTTPS://H"), n,
+                                     F.lit(".EXAMPLE.COM/a/p-"), m))
+             .when(k == 2, F.concat(F.lit("https://h"), n,
+                                    F.lit(".example.com:443/a/p-"), m))
+             .when(k == 3, F.concat(base, F.lit("#section-2")))
+             .when(k == 4, F.concat(
+                 base, F.lit("?utm_source=x&utm_campaign=y&gclid=1")))
+             .when(k == 5, F.concat(base, F.lit("?b=2&a=1")))
+             .when(k == 6, F.concat(F.lit("https://h"), n,
+                                    F.lit(".example.com/a/p%2D"), m))
+             .when(k == 7, F.concat(F.lit("https://h"), n,
+                                    F.lit(".example.com/a/../a/./p-"), m))
+             .otherwise(base))
+    return (df.select("doc_id", messy.alias("messy"))
+            .withColumn("canonical_url", canonicalize_url_udf(F.col("messy")))
+            .groupBy("canonical_url")
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("messy").alias("n_forms"),
+                 F.min("doc_id").alias("min_doc_id"))
+            .orderBy("canonical_url"))
+
+
+_SQL_URL_CANONICAL_DEDUP = """
+WITH d AS (
+  SELECT doc_id, doc_id % 7 AS n, doc_id % 61 AS m, doc_id % 8 AS k
+  FROM documents
+), v AS (
+  SELECT doc_id,
+    'https://h' || n || '.example.com/a/p-' || m
+      || CASE WHEN k = 5 THEN '?a=1&b=2' ELSE '' END AS canonical_url,
+    CASE k
+      WHEN 1 THEN 'HTTPS://H' || n || '.EXAMPLE.COM/a/p-' || m
+      WHEN 2 THEN 'https://h' || n || '.example.com:443/a/p-' || m
+      WHEN 3 THEN 'https://h' || n || '.example.com/a/p-' || m
+                  || '#section-2'
+      WHEN 4 THEN 'https://h' || n || '.example.com/a/p-' || m
+                  || '?utm_source=x&utm_campaign=y&gclid=1'
+      WHEN 5 THEN 'https://h' || n || '.example.com/a/p-' || m || '?b=2&a=1'
+      WHEN 6 THEN 'https://h' || n || '.example.com/a/p%2D' || m
+      WHEN 7 THEN 'https://h' || n || '.example.com/a/../a/./p-' || m
+      ELSE 'https://h' || n || '.example.com/a/p-' || m
+    END AS messy
+  FROM d
+)
+SELECT canonical_url, count(*) AS n_docs,
+       count(DISTINCT messy) AS n_forms,
+       min(doc_id) AS min_doc_id
+FROM v GROUP BY canonical_url ORDER BY canonical_url"""
+
+
 def _sql_warc_extract() -> str:
     html = _duck_html_expr()
     ext = _duck_extract_chain("html")
@@ -2091,6 +2163,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_stats": q_domain_stats,
     "semantic_dedup": q_semantic_dedup,
     "warc_extract": q_warc_extract,
+    "url_canonical_dedup": q_url_canonical_dedup,
 }
 
 _ANN_TOPK_SQL = _sql_ann_topk()
@@ -2141,4 +2214,5 @@ ORACLE_SQL: dict[str, str] = {
     "domain_stats": _sql_domain_stats(),
     "semantic_dedup": _SQL_SEMANTIC_DEDUP,
     "warc_extract": _sql_warc_extract(),
+    "url_canonical_dedup": _SQL_URL_CANONICAL_DEDUP,
 }
