@@ -107,6 +107,41 @@ def cmd_dedup(args: argparse.Namespace) -> None:
     # process exit tears it down for CLI runs
 
 
+def cmd_ingest(args: argparse.Namespace) -> None:
+    """WARC files -> the north-star pages table (url, warc_ts, html, text,
+    lang) as parquet: sources/warc.read_warc (one file per task, no
+    shuffle), optional RFC 3986 url canonicalization, the gate-pinned
+    html->text extractor, stopword-vote lang id.  The output is exactly
+    the table `dedup` / `curate` consume, so the full Common-Crawl flow is
+    `ingest` -> `curate` end to end."""
+    from pyspark.sql import functions as F
+
+    from distributed_lsh_spark.entry_queries import pred_lang_expr
+    from distributed_lsh_spark.functions.extract import with_extracted_text
+    from distributed_lsh_spark.session import get_spark
+    from distributed_lsh_spark.sources.warc import read_warc
+
+    spark = get_spark("ingest", cores=args.cores,
+                      shuffle_partitions=args.shuffle_partitions)
+    t0 = time.time()
+    pages = read_warc(spark, args.input)
+    if not args.raw_urls:
+        from distributed_lsh_spark.functions.url import canonicalize_url_udf
+        pages = pages.withColumn("url", canonicalize_url_udf(F.col("url")))
+    pages = with_extracted_text(pages).withColumn("lang", pred_lang_expr())
+    out = pages.select("url", "warc_ts", "html", "text", "lang")
+    if args.partitions:
+        # re-shard away from one-row-group-per-warc-file before writing
+        out = out.repartition(args.partitions)
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    dt = time.time() - t0
+    print(json.dumps({"n_pages": n, "wall_sec": round(dt, 2),
+                      "pages_per_sec": round(n / dt, 1) if dt else None,
+                      "canonical_urls": not args.raw_urls,
+                      "output": args.output}))
+
+
 def cmd_curate(args: argparse.Namespace) -> None:
     """Tiered dedup funnel over a pages table (operators/funnel.py):
     url-latest -> exact -> quality -> near-dup, each tier checkpointed
@@ -137,13 +172,21 @@ def cmd_curate(args: argparse.Namespace) -> None:
     ts_col = next((c for c in ("warc_ts", "warc_epoch")
                    if c in pages.columns), None)
     url_col = "url" if ("url" in pages.columns and ts_col) else "__no_url__"
+    if args.canonical_urls and url_col == "url":
+        # fold url spellings together BEFORE keep-latest-per-url, so
+        # HTTP://Ex.COM:80/a#f and http://ex.com/a dedup as one page
+        from distributed_lsh_spark.functions.url import canonicalize_url_udf
+        pages = pages.withColumn("url", canonicalize_url_udf(F.col("url")))
 
     # the tier SET is part of the config: rerunning a run-id with a
-    # different --no-quality (or a url/ts column appearing) must
-    # invalidate the staged tiers, not resume them under old semantics
+    # different --no-quality / --canonical-urls (or a url/ts column
+    # appearing) must invalidate the staged tiers, not resume them under
+    # old semantics
     ckpt = CheckpointManager(spark, args.output, run_id=args.run_id,
                              config_echo={**cfg.__dict__,
                                           "no_quality": args.no_quality,
+                                          "canonical_urls":
+                                              bool(args.canonical_urls),
                                           "url_col": url_col,
                                           "ts_col": ts_col})
     t0 = time.time()
@@ -226,8 +269,24 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("--seed", type=int, default=42)
     c.add_argument("--no-quality", action="store_true",
                    help="skip the quality tier (e.g. non-English corpora)")
+    c.add_argument("--canonical-urls", action="store_true",
+                   help="canonicalize urls (RFC 3986 + tracking-param "
+                        "strip) before the keep-latest-per-url tier")
     _add_spark_args(c)
     c.set_defaults(fn=cmd_curate)
+
+    i = sub.add_parser("ingest",
+                       help="WARC files -> pages parquet "
+                            "(url, warc_ts, html, text, lang)")
+    i.add_argument("--input", required=True,
+                   help="dir/glob of .warc / .warc.gz files")
+    i.add_argument("--output", required=True)
+    i.add_argument("--raw-urls", action="store_true",
+                   help="keep urls as crawled (skip canonicalization)")
+    i.add_argument("--partitions", type=int, default=None,
+                   help="repartition before the parquet write")
+    _add_spark_args(i)
+    i.set_defaults(fn=cmd_ingest)
 
     q = sub.add_parser("query", help="c-k-ANN over integer vectors")
     q.add_argument("--input", required=True, help="parquet with (id, vec)")

@@ -341,18 +341,28 @@ _STOPWORDS = {
 }
 
 
+def pred_lang_expr(col: str = "text") -> "F.Column":
+    """The gated stopword-vote language-id rule as ONE Column (argmax of
+    per-language token hits, fixed priority en>de>fr>es, 'und' when all
+    zero) — the form the ingest CLI consumes; q_lang_id gates the same
+    expressions with the per-language hit counts exposed."""
+    scores = {lang: _word_hits_col(words, col)
+              for lang, words in _STOPWORDS.items()}
+    best = F.greatest(*scores.values())
+    return (F.when(best == 0, "und")
+            .when(scores["en"] == best, "en")
+            .when(scores["de"] == best, "de")
+            .when(scores["fr"] == best, "fr")
+            .otherwise("es"))
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID (deterministic heuristic): per-language
     token-hit counts, argmax with fixed priority en>de>fr>es, 'und' when
     all zero."""
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     scores = {lang: _word_hits_col(words) for lang, words in _STOPWORDS.items()}
-    best = F.greatest(*scores.values())
-    pred = (F.when(best == 0, "und")
-             .when(scores["en"] == best, "en")
-             .when(scores["de"] == best, "de")
-             .when(scores["fr"] == best, "fr")
-             .otherwise("es"))
+    pred = pred_lang_expr()
     sel = [F.col("doc_id")] + \
           [scores[lang].alias(f"hits_{lang}") for lang in _STOPWORDS] + \
           [pred.alias("pred_lang"), F.col("lang")]
