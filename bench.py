@@ -46,6 +46,8 @@ def main() -> None:
         "token_rarity",
         "domain_stats",
         "semantic_dedup",
+        "warc_extract",
+        "url_canonical_dedup",
     ]
 
     spark = get_spark(app_name="bench", cores=cores, shuffle_partitions=cores)
