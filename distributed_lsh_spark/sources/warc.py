@@ -9,21 +9,29 @@ This module implements the format from the public spec only:
     exactly `Content-Length` payload bytes + `\\r\\n\\r\\n`;
   * Common Crawl compresses each record as its OWN gzip member and
     concatenates the members, so a reader can stream records without
-    decompressing the whole file; `iter_warc_records` auto-detects the
-    gzip magic and walks members with a zlib raw-stream loop (each
-    member may still contain several plain records — tolerated);
+    decompressing the whole file; the parser auto-detects the gzip magic
+    and walks members with one zlib raw-stream decompressor at a time;
   * the writer (`build_response_record` / `gzip_member`) exists for
     fixtures and round-trip tests and is byte-deterministic (gzip mtime
     pinned to 0, no filename field), so encoded fixtures can be md5-pinned.
 
-Distribution model (`read_warc`): `spark.read.format("binaryFile")` — one
-file per task, which matches the corpus: Common Crawl ships ~1 GB .warc.gz
-files, ~90k of them per crawl, so a 100 TB ingest is ~100k independent
-tasks with no shuffle at all; the parse is a generator inside
-`mapInPandas`, holding one decompressed record at a time (never the whole
-decompressed file).  WARC.gz is not block-splittable (gzip members carry
-no index), so one-file-one-task IS the standard parallelism unit for this
-format; re-sharding happens after parse via the normal repartition.
+Everything is INCREMENTAL (`iter_warc_records_stream`): the parser is fed
+chunks and holds at most one record (plus one input chunk) in memory, so
+a 1 GB .warc.gz never materializes — neither compressed nor decompressed.
+The obvious simpler implementations both fail at Common Crawl shape:
+whole-file `binaryFile` content hits Arrow's 2 GB row limit and holds the
+file twice, and per-member `unused_data` slicing re-copies the remaining
+blob once per member — quadratic over the ~50-100k members per file.
+
+Distribution model (`read_warc`): file PATHS are enumerated with the
+binaryFile source (content column pruned away — metadata-only listing,
+works on any Hadoop FS / glob) and each task OPENS its file itself
+(pyarrow.fs for s3:// etc., plain open() for file:) and streams it through
+the incremental parser.  One file per task matches the corpus: Common
+Crawl ships ~1 GB .warc.gz files, ~90k per crawl, so a 100 TB ingest is
+~100k independent tasks with no shuffle at all; WARC.gz is not
+block-splittable (gzip members carry no index), so one-file-one-task IS
+the standard parallelism unit, and re-sharding happens after parse.
 
 Reference parity: the reference engine reads pre-extracted text
 (`/root/reference/src/mapreduce/FileInput.java`-style line inputs); WARC
@@ -42,7 +50,11 @@ from typing import Iterable, Iterator
 CRLF = b"\r\n"
 _GZIP_MAGIC = b"\x1f\x8b"
 WARC_VERSION = b"WARC/1.0"
+_MAX_HEADER = 1 << 20          # a sane bound; real WARC headers are ~300 B
 
+
+# ---------------------------------------------------------------------------
+# Writer (fixtures / tests; byte-deterministic)
 
 def build_record(headers: dict[str, str], payload: bytes) -> bytes:
     """Frame one WARC record (spec §4): version line, headers,
@@ -80,66 +92,6 @@ def gzip_member(data: bytes) -> bytes:
     return buf.getvalue()
 
 
-def _iter_gzip_members(blob: bytes) -> Iterator[bytes]:
-    """Decompress a concatenation of gzip members one member at a time
-    (zlib wbits=31 stops at member end; unused_data is the next member)."""
-    rest = blob
-    while rest:
-        d = zlib.decompressobj(wbits=31)
-        out = d.decompress(rest)
-        if not d.eof:
-            raise ValueError("truncated gzip member in WARC file")
-        yield out + d.flush()
-        rest = d.unused_data
-
-
-def _parse_records(data: bytes, strict: bool = True) -> Iterator[dict]:
-    """Parse concatenated plain WARC records from one buffer."""
-    pos = 0
-    n = len(data)
-    while pos < n:
-        # tolerate extra record separators between records
-        while data.startswith(CRLF, pos):
-            pos += 2
-        if pos >= n:
-            return
-        head_end = data.find(CRLF + CRLF, pos)
-        if head_end < 0:
-            raise ValueError("WARC header block missing terminator")
-        head = data[pos:head_end]
-        lines = head.split(CRLF)
-        if not lines[0].startswith(b"WARC/"):
-            raise ValueError(f"bad WARC version line: {lines[0][:40]!r}")
-        headers: dict[str, str] = {}
-        for ln in lines[1:]:
-            k, _, v = ln.partition(b":")
-            headers[k.strip().decode("utf-8").lower()] = \
-                v.strip().decode("utf-8")
-        try:
-            clen = int(headers["content-length"])
-        except KeyError:
-            raise ValueError("WARC record without Content-Length") from None
-        body_start = head_end + 4
-        body_end = body_start + clen
-        if body_end > n:
-            raise ValueError("WARC payload truncated")
-        if strict and data[body_end:body_end + 4] != CRLF + CRLF:
-            raise ValueError("WARC record separator missing after payload")
-        yield {"headers": headers, "payload": data[body_start:body_end]}
-        pos = body_end
-
-
-def iter_warc_records(blob: bytes, strict: bool = True) -> Iterator[dict]:
-    """Iterate records of one WARC file, gzipped (per-member or whole-file)
-    or plain — auto-detected.  Each dict: {"headers": {lower: value},
-    "payload": bytes}."""
-    if blob.startswith(_GZIP_MAGIC):
-        for member in _iter_gzip_members(blob):
-            yield from _parse_records(member, strict=strict)
-    else:
-        yield from _parse_records(blob, strict=strict)
-
-
 def encode_warc_file(records: Iterable[bytes], gzipped: bool) -> bytes:
     """Concatenate framed records into one file blob, per-record-gzip
     (Common Crawl layout) when `gzipped`."""
@@ -149,30 +101,184 @@ def encode_warc_file(records: Iterable[bytes], gzipped: bool) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# Incremental parser
+
+class _Assembler:
+    """Feed plain (decompressed) WARC bytes in arbitrary chunks; yields
+    complete records.  Holds at most one record in its buffer — the
+    buffer is trimmed after every emitted record."""
+
+    def __init__(self, strict: bool = True) -> None:
+        self.buf = bytearray()
+        self.strict = strict
+
+    def feed(self, data: bytes) -> Iterator[dict]:
+        self.buf += data
+        yield from self._drain(final=False)
+
+    def finish(self) -> Iterator[dict]:
+        yield from self._drain(final=True)
+        if self.buf:
+            raise ValueError("WARC header block missing terminator")
+
+    def _drain(self, final: bool) -> Iterator[dict]:
+        buf = self.buf
+        while True:
+            while buf.startswith(CRLF):
+                del buf[:2]
+            if not buf:
+                return
+            head_end = buf.find(CRLF + CRLF)
+            if head_end < 0:
+                if len(buf) > _MAX_HEADER:
+                    raise ValueError("WARC header block missing terminator")
+                return          # wait for more input (finish() errors)
+            lines = bytes(buf[:head_end]).split(CRLF)
+            if not lines[0].startswith(b"WARC/"):
+                raise ValueError(f"bad WARC version line: {lines[0][:40]!r}")
+            headers: dict[str, str] = {}
+            for ln in lines[1:]:
+                k, _, v = ln.partition(b":")
+                headers[k.strip().decode("utf-8").lower()] = \
+                    v.strip().decode("utf-8")
+            try:
+                clen = int(headers["content-length"])
+            except KeyError:
+                raise ValueError(
+                    "WARC record without Content-Length") from None
+            body_start = head_end + 4
+            body_end = body_start + clen
+            if len(buf) < body_end:
+                if final:
+                    raise ValueError("WARC payload truncated")
+                return
+            if self.strict:
+                if len(buf) < body_end + 4 and not final:
+                    return      # separator may still arrive
+                if bytes(buf[body_end:body_end + 4]) != CRLF + CRLF:
+                    raise ValueError(
+                        "WARC record separator missing after payload")
+            yield {"headers": headers,
+                   "payload": bytes(buf[body_start:body_end])}
+            del buf[:body_end]
+
+
+def _stream_plain(chunks: Iterable[bytes], strict: bool) -> Iterator[dict]:
+    asm = _Assembler(strict)
+    for c in chunks:
+        yield from asm.feed(c)
+    yield from asm.finish()
+
+
+def _stream_gzip(chunks: Iterable[bytes], strict: bool) -> Iterator[dict]:
+    """Walk concatenated gzip members with one decompressor at a time;
+    O(input) total — no per-member re-slicing of the remainder."""
+    asm = _Assembler(strict)
+    d = None
+    for c in chunks:
+        data = bytes(c)
+        while data:
+            if d is None:
+                d = zlib.decompressobj(wbits=31)
+            try:
+                out = d.decompress(data)
+            except zlib.error as e:
+                raise ValueError(f"bad gzip member in WARC file: {e}") \
+                    from None
+            if out:
+                yield from asm.feed(out)
+            if d.eof:
+                data = d.unused_data   # bounded by one input chunk
+                d = None
+            else:
+                data = b""
+    if d is not None:
+        raise ValueError("truncated gzip member in WARC file")
+    yield from asm.finish()
+
+
+def iter_warc_records_stream(chunks: Iterable[bytes],
+                             strict: bool = True) -> Iterator[dict]:
+    """Iterate records of one WARC file from a chunk stream, gzipped
+    (per-member or whole-file) or plain — auto-detected.  Each dict:
+    {"headers": {lowercased-name: value}, "payload": bytes}.  Memory is
+    O(one record + one chunk) regardless of file size."""
+    it = iter(chunks)
+    head = b""
+    while len(head) < 2:       # need 2 bytes to sniff the gzip magic
+        try:
+            head += next(it)
+        except StopIteration:
+            break
+    if not head:
+        return
+    rest = _chain_first(head, it)
+    if head.startswith(_GZIP_MAGIC):
+        yield from _stream_gzip(rest, strict)
+    else:
+        yield from _stream_plain(rest, strict)
+
+
+def _chain_first(first: bytes, it: Iterator[bytes]) -> Iterator[bytes]:
+    yield first
+    yield from it
+
+
+def iter_warc_records(blob: bytes, strict: bool = True) -> Iterator[dict]:
+    """Whole-buffer convenience wrapper over the chunked parser."""
+    yield from iter_warc_records_stream([blob], strict=strict)
+
+
+# ---------------------------------------------------------------------------
 # Spark reader
 
 WARC_PAGE_SCHEMA = ("warc_file string, url string, warc_ts timestamp, "
                     "record_type string, record_id string, html binary")
 
 
-def read_warc(spark, path: str):
+def _file_chunks(uri: str, chunk_bytes: int) -> Iterator[bytes]:
+    """Open `uri` inside the task and stream it in chunks.  file: URIs
+    (and bare paths) use plain open(); other schemes (s3://, hdfs://,
+    gs://...) go through pyarrow.fs, which is how Python workers reach
+    object stores without the JVM (py4j is driver-only)."""
+    if uri.startswith("file:"):
+        p = uri[5:]
+        if p.startswith("///"):
+            p = p[2:]
+        f = open(p, "rb")
+    elif "://" not in uri:
+        f = open(uri, "rb")
+    else:
+        from pyarrow import fs as pafs
+        fsys, p = pafs.FileSystem.from_uri(uri)
+        f = fsys.open_input_stream(p)
+    with f:
+        while True:
+            b = f.read(chunk_bytes)
+            if not b:
+                return
+            yield bytes(b)
+
+
+def read_warc(spark, path: str, chunk_bytes: int = 4 << 20):
     """WARC files -> DataFrame(warc_file, url, warc_ts, record_type,
     record_id, html) — the north-star page shape minus the derived
     text/lang columns (functions.extract / lang-id run downstream).
 
-    One file = one task (binaryFile is non-splittable; see module doc for
-    why that is the right unit for .warc.gz).  The parse generator holds
-    one record at a time; only non-record rows (warcinfo/request) are
-    dropped here so predicate pushdown has nothing to lose.
+    Listing rides the binaryFile source with the content column pruned
+    (metadata only, any Hadoop FS or glob); each task then streams its
+    own file through the incremental parser — one file = one task, one
+    record in memory at a time (see module doc for why that is the right
+    unit for .warc.gz).  Only response/conversion records survive here,
+    so there is nothing downstream pruning could have skipped.
     """
-    from pyspark.sql import functions as F
-
     def parse(batches):
         import pandas as pd
         for pdf in batches:
-            for path_, blob in zip(pdf["path"], pdf["content"]):
+            for path_ in pdf["path"]:
                 rows = []
-                for rec in iter_warc_records(bytes(blob)):
+                for rec in iter_warc_records_stream(
+                        _file_chunks(path_, chunk_bytes)):
                     h = rec["headers"]
                     if h.get("warc-type") not in ("response", "conversion"):
                         continue
@@ -193,6 +299,6 @@ def read_warc(spark, path: str):
                         "warc_file", "url", "warc_ts", "record_type",
                         "record_id", "html"])
 
-    binary = (spark.read.format("binaryFile").load(path)
-              .select("path", "content"))
-    return binary.mapInPandas(parse, schema=WARC_PAGE_SCHEMA)
+    listing = (spark.read.format("binaryFile").load(path)
+               .select("path"))
+    return listing.mapInPandas(parse, schema=WARC_PAGE_SCHEMA)

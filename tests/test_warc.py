@@ -59,6 +59,26 @@ def test_parser_on_handwritten_bytes_gzip_members():
     assert recs[1]["payload"] == b"ab\r\n\r\ncd<html>xyz"
 
 
+def test_chunked_stream_equals_whole_blob():
+    # every tiny chunk size crosses header/payload/separator/gzip-member
+    # boundaries somewhere; the incremental parser must not care
+    recs = [W.build_response_record(f"https://ex.com/{i}",
+                                    "2026-01-01T00:00:00Z",
+                                    (b"x" * i) + b"\r\n\r\n" + bytes([i]),
+                                    f"id{i}")
+            for i in range(9)]
+    for gz in (False, True):
+        blob = W.encode_warc_file(recs, gzipped=gz)
+        want = [(r["headers"]["warc-target-uri"], r["payload"])
+                for r in W.iter_warc_records(blob)]
+        assert len(want) == 9
+        for size in (1, 2, 3, 7, 64, 1 << 20):
+            chunks = [blob[i:i + size] for i in range(0, len(blob), size)]
+            got = [(r["headers"]["warc-target-uri"], r["payload"])
+                   for r in W.iter_warc_records_stream(chunks)]
+            assert got == want, (gz, size)
+
+
 def test_roundtrip_both_layouts():
     recs = [W.build_response_record(f"https://ex.com/{i}",
                                     "2026-01-01T00:00:00Z",
