@@ -48,6 +48,7 @@ def main() -> None:
         "semantic_dedup",
         "warc_extract",
         "url_canonical_dedup",
+        "stratified_sample",
     ]
 
     spark = get_spark(app_name="bench", cores=cores, shuffle_partitions=cores)

@@ -1232,6 +1232,57 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("url"))
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified subsampling — the corpus-balancing pass a
+    training pipeline runs after curation (down-weight over-represented
+    languages/sources to hit a target mix).  Keep rule: per-lang
+    per-mille rate over a systematic integer sampler
+    pmod(doc_id*7919+17, 1000) — integer-exact, so the gate replays the
+    kept SET bit-for-bit (md5 of the ordered kept-id list per stratum),
+    not just counts.  In production the systematic key becomes
+    xxhash64(content) to decorrelate from ingestion order; the plan shape
+    is identical (map-only filter + ONE map-side-combining groupBy)."""
+    rates = {"en": 500, "de": 800, "fr": 800, "es": 800, "zh": 250}
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "lang")
+    rate = F.lit(1000)
+    for lang, pm in rates.items():
+        rate = F.when(F.col("lang") == lang, F.lit(pm)).otherwise(rate)
+    r = F.pmod(F.col("doc_id") * 7919 + 17, F.lit(1000))
+    kept = (r < F.col("rate_pm")).cast("long")
+    return (df.withColumn("rate_pm", rate)
+            .withColumn("is_kept", kept)
+            .groupBy("lang", "rate_pm")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("is_kept").alias("n_kept"),
+                 F.md5(F.concat_ws(",", F.array_sort(
+                     F.collect_list(F.when(F.col("is_kept") == 1,
+                                           F.col("doc_id"))))
+                     .cast("array<string>"))
+                       .cast("binary")).alias("kept_ids_md5"))
+            .orderBy("lang"))
+
+
+_SQL_STRATIFIED_SAMPLE = """
+WITH d AS (
+  SELECT doc_id, lang,
+         CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 800 WHEN 'fr' THEN 800
+                   WHEN 'es' THEN 800 WHEN 'zh' THEN 250 ELSE 1000
+         END AS rate_pm,
+         CASE WHEN (doc_id * 7919 + 17) % 1000 < CASE lang
+                WHEN 'en' THEN 500 WHEN 'de' THEN 800 WHEN 'fr' THEN 800
+                WHEN 'es' THEN 800 WHEN 'zh' THEN 250 ELSE 1000 END
+              THEN 1 ELSE 0 END AS is_kept
+  FROM documents
+)
+SELECT lang, CAST(rate_pm AS INT) AS rate_pm,
+       count(*) AS n_docs, CAST(sum(is_kept) AS BIGINT) AS n_kept,
+       md5(coalesce(string_agg(CASE WHEN is_kept = 1
+                                    THEN CAST(doc_id AS VARCHAR) END,
+                               ',' ORDER BY doc_id), '')) AS kept_ids_md5
+FROM d GROUP BY lang, rate_pm ORDER BY lang"""
+
+
 def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (functions/url.py, RFC 3986 §6 + tracking-param
     strip) under the hard gate: each doc gets ONE of 8 planted messy
@@ -2174,6 +2225,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "warc_extract": q_warc_extract,
     "url_canonical_dedup": q_url_canonical_dedup,
+    "stratified_sample": q_stratified_sample,
 }
 
 _ANN_TOPK_SQL = _sql_ann_topk()
@@ -2225,4 +2277,5 @@ ORACLE_SQL: dict[str, str] = {
     "semantic_dedup": _SQL_SEMANTIC_DEDUP,
     "warc_extract": _sql_warc_extract(),
     "url_canonical_dedup": _SQL_URL_CANONICAL_DEDUP,
+    "stratified_sample": _SQL_STRATIFIED_SAMPLE,
 }
