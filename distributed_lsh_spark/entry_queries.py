@@ -1241,7 +1241,10 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept SET bit-for-bit (md5 of the ordered kept-id list per stratum),
     not just counts.  In production the systematic key becomes
     xxhash64(content) to decorrelate from ingestion order; the plan shape
-    is identical (map-only filter + ONE map-side-combining groupBy)."""
+    is identical (map-only filter + ONE map-side-combining groupBy).
+    The md5-of-kept-ids column is gate instrumentation (O(stratum) in one
+    reducer) — a production run reports the counts and writes the kept
+    rows, it does not aggregate id lists."""
     rates = {"en": 500, "de": 800, "fr": 800, "es": 800, "zh": 250}
     df = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id", "lang")

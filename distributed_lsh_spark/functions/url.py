@@ -81,19 +81,21 @@ def canonicalize_url(url: str | None) -> str | None:
         return None
     try:
         parts = urlsplit(url.strip())
+        # .hostname/.port parse lazily and THROW on bad ports / brackets
+        # ("http://ex.com:80x/"), not at urlsplit — probe them inside the
+        # guard so crawl garbage passes through instead of killing a task
+        host = (parts.hostname or "").lower()
+        port = parts.port
     except ValueError:
         return url
     scheme = parts.scheme.lower()
     if scheme not in ("http", "https"):
         return url
-    host = (parts.hostname or "").lower()
     if not host:
         return url
     netloc = host
-    if parts.port is not None:
-        port = str(parts.port)
-        if port != _DEFAULT_PORTS[scheme]:
-            netloc += ":" + port
+    if port is not None and str(port) != _DEFAULT_PORTS[scheme]:
+        netloc += ":" + str(port)
     if parts.username:
         cred = parts.username + (":" + parts.password if parts.password
                                  else "")

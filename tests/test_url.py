@@ -33,6 +33,11 @@ CASES = [
     # non-http(s) and garbage pass through untouched
     ("ftp://ex.com/a", "ftp://ex.com/a"),
     ("not a url", "not a url"),
+    # bad port / bracket garbage raise inside .hostname/.port, not
+    # urlsplit — must survive as pass-through, not a task kill
+    ("http://ex.com:80x/a", "http://ex.com:80x/a"),
+    ("http://[::1:80/a", "http://[::1:80/a"),
+    ("http:///just-a-path", "http:///just-a-path"),
     (None, None),
 ]
 
