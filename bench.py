@@ -49,6 +49,7 @@ def main() -> None:
         "warc_extract",
         "url_canonical_dedup",
         "stratified_sample",
+        "link_pagerank",
     ]
 
     spark = get_spark(app_name="bench", cores=cores, shuffle_partitions=cores)

@@ -1232,6 +1232,111 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("url"))
 
 
+def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph analysis — the other standard Common-Crawl derivative
+    (WAT links / domain ranking): hrefs are EXTRACTED from planted html
+    anchors with regexp_extract_all (codegen, the real extraction path),
+    deduped into a page-level edge list, and ranked with 5 iterations of
+    integer fixed-point PageRank:
+
+        contrib(u) = (rank(u) * 85) div (100 * outdeg(u))
+        rank'(v)   = 150000 + sum of contrib over in-edges   (scale 10^6)
+
+    All-integer arithmetic makes the fixpoint bit-exact and
+    order-independent, so the DuckDB oracle replays the 5 unrolled
+    iterations verbatim — a float PageRank would hash-differ on partition
+    summation order.  Nodes are pages doc_id % 97; each doc links to
+    pages (doc_id*13+1) % 89 and (doc_id*29+2) % 83 (coprime moduli, so
+    out-degrees vary per page and high-numbered pages are link sinks
+    with teleport-floor ranks — the graph is genuinely irregular); the
+    oracle derives the same edges from doc_id without parsing html.
+
+    Scale shape: the iteration body is ONE join (ranks ⋈ out-edges on
+    src) + ONE groupBy(dst) — the canonical distributed PageRank step;
+    ranks are 16 B rows, edges shuffle once per iteration on the same
+    key, and each iteration is localCheckpoint-barriered so the plan
+    stays linear in iterations instead of exponential."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    src = F.pmod(F.col("doc_id"), F.lit(97))
+    d1 = F.pmod(F.col("doc_id") * 13 + 1, F.lit(89))
+    d2 = F.pmod(F.col("doc_id") * 29 + 2, F.lit(83))
+    html = F.concat(
+        F.lit('<html><body><p>page '), src.cast("string"),
+        F.lit('</p><a href="/p/'), d1.cast("string"),
+        F.lit('">one</a> <a href="/p/'), d2.cast("string"),
+        F.lit('">two</a></body></html>'))
+    edges = (df.select(src.alias("src"), html.alias("html"))
+             .select("src", F.explode(
+                 F.expr(r"""regexp_extract_all(html, 'href="/p/(\\d+)"', 1)"""))
+                 .alias("dst_s"))
+             .select("src", F.col("dst_s").cast("long").alias("dst"))
+             .distinct())
+    edges = edges.persist()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nodes = (edges.select(F.col("src").alias("page"))
+             .union(edges.select(F.col("dst").alias("page"))).distinct())
+    # longs throughout: rank*85 exceeds int32 once mass concentrates, and
+    # with ANSI off an int32 wraparound would silently diverge from the
+    # oracle's BIGINT arithmetic
+    ranks = nodes.select("page", F.lit(1_000_000).cast("long").alias("rank"))
+    for _ in range(5):
+        contrib = (ranks.join(outdeg, ranks.page == outdeg.src)
+                   .join(edges, "src")
+                   .select(F.col("dst").alias("page"),
+                           F.expr("(rank * 85) div (100 * outdeg)")
+                            .alias("c")))
+        ranks = (nodes.join(contrib.groupBy("page")
+                            .agg(F.sum("c").alias("s")), "page", "left")
+                 .select("page",
+                         (F.lit(150_000).cast("long")
+                          + F.coalesce(F.col("s"), F.lit(0))).alias("rank"))
+                 ).localCheckpoint(eager=False)
+    indeg = edges.groupBy("dst").agg(F.count("*").alias("n_in"))
+    return (ranks
+            .join(outdeg.withColumnRenamed("src", "page"), "page", "left")
+            .join(indeg.withColumnRenamed("dst", "page"), "page", "left")
+            .select("page", F.col("rank").cast("long").alias("rank"),
+                    F.coalesce("outdeg", F.lit(0)).cast("long")
+                     .alias("n_out"),
+                    F.coalesce("n_in", F.lit(0)).cast("long").alias("n_in"))
+            .orderBy("page"))
+
+
+def _sql_link_pagerank() -> str:
+    it = """r{k} AS (
+  SELECT n.page,
+         150000 + coalesce(sum((r.rank * 85) // (100 * o.outdeg)), 0)
+           AS rank
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.page
+  LEFT JOIN r{j} r ON r.page = e.src
+  LEFT JOIN outdeg o ON o.src = e.src
+  GROUP BY n.page
+)"""
+    iters = ",\n".join(it.format(k=k, j=k - 1) for k in range(1, 6))
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id % 97 AS src, (doc_id * 13 + 1) % 89 AS dst FROM documents
+    UNION ALL
+    SELECT doc_id % 97, (doc_id * 29 + 2) % 83 FROM documents)
+),
+outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+indeg AS (SELECT dst, count(*) AS n_in FROM edges GROUP BY dst),
+nodes AS (SELECT DISTINCT src AS page FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+r0 AS (SELECT page, 1000000 AS rank FROM nodes),
+{iters}
+SELECT n.page, CAST(r5.rank AS BIGINT) AS rank,
+       CAST(coalesce(o.outdeg, 0) AS BIGINT) AS n_out,
+       CAST(coalesce(i.n_in, 0) AS BIGINT) AS n_in
+FROM nodes n
+JOIN r5 ON r5.page = n.page
+LEFT JOIN outdeg o ON o.src = n.page
+LEFT JOIN indeg i ON i.dst = n.page
+ORDER BY n.page"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified subsampling — the corpus-balancing pass a
     training pipeline runs after curation (down-weight over-represented
@@ -2229,6 +2334,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc_extract": q_warc_extract,
     "url_canonical_dedup": q_url_canonical_dedup,
     "stratified_sample": q_stratified_sample,
+    "link_pagerank": q_link_pagerank,
 }
 
 _ANN_TOPK_SQL = _sql_ann_topk()
@@ -2281,4 +2387,5 @@ ORACLE_SQL: dict[str, str] = {
     "warc_extract": _sql_warc_extract(),
     "url_canonical_dedup": _SQL_URL_CANONICAL_DEDUP,
     "stratified_sample": _SQL_STRATIFIED_SAMPLE,
+    "link_pagerank": _sql_link_pagerank(),
 }
