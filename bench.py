@@ -50,6 +50,7 @@ def main() -> None:
         "url_canonical_dedup",
         "stratified_sample",
         "link_pagerank",
+        "unicode_nfc_dedup",
     ]
 
     spark = get_spark(app_name="bench", cores=cores, shuffle_partitions=cores)

@@ -1232,6 +1232,53 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("url"))
 
 
+def q_unicode_nfc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (functions/normalize.py) under the hard
+    gate, cross-checked between two UNRELATED implementations of UAX #15:
+    Python unicodedata (the engine's UDF) vs DuckDB's utf8proc
+    nfc_normalize (the oracle).  Each doc gets one of 4 planted suffixes —
+    precomposed é, decomposed e+U+0301, U+212B ANGSTROM SIGN, A+U+030A —
+    where NFC folds pairs (0,1) and (2,3) to identical bytes; the gate
+    checks the normalized md5, the changed flag, and the codepoint-count
+    delta per doc.  Scale shape: map-only Arrow pass fused into the scan."""
+    from distributed_lsh_spark.functions.normalize import nfc_udf
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    k = F.pmod(F.col("doc_id"), F.lit(4))
+    suffix = (F.when(k == 0, F.lit(" café"))
+              .when(k == 1, F.lit(" café"))
+              .when(k == 2, F.lit(" Å"))
+              .otherwise(F.lit(" Å")))
+    raw = F.concat(F.col("text"), suffix)
+    out = (df.select("doc_id", raw.alias("raw"))
+           .withColumn("norm", nfc_udf(F.col("raw"))))
+    return (out.select(
+                "doc_id",
+                (F.col("raw") != F.col("norm")).cast("long").alias("changed"),
+                F.md5(F.col("norm").cast("binary")).alias("nfc_md5"),
+                (F.length("raw") - F.length("norm")).cast("long")
+                 .alias("cp_delta"))
+            .orderBy("doc_id"))
+
+
+_SQL_UNICODE_NFC_DEDUP = """
+WITH d AS (
+  SELECT doc_id,
+         text || CASE doc_id % 4
+           WHEN 0 THEN ' caf' || chr(233)
+           WHEN 1 THEN ' cafe' || chr(769)
+           WHEN 2 THEN ' ' || chr(8491)
+           ELSE ' A' || chr(778) END AS raw
+  FROM documents
+), n AS (SELECT doc_id, raw, nfc_normalize(raw) AS norm FROM d)
+SELECT doc_id,
+       CAST(CASE WHEN raw != norm THEN 1 ELSE 0 END AS BIGINT) AS changed,
+       md5(norm) AS nfc_md5,
+       CAST(length(raw) - length(norm) AS BIGINT) AS cp_delta
+FROM n ORDER BY doc_id"""
+
+
 def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-graph analysis — the other standard Common-Crawl derivative
     (WAT links / domain ranking): hrefs are EXTRACTED from planted html
@@ -2335,6 +2382,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_canonical_dedup": q_url_canonical_dedup,
     "stratified_sample": q_stratified_sample,
     "link_pagerank": q_link_pagerank,
+    "unicode_nfc_dedup": q_unicode_nfc_dedup,
 }
 
 _ANN_TOPK_SQL = _sql_ann_topk()
@@ -2388,4 +2436,5 @@ ORACLE_SQL: dict[str, str] = {
     "url_canonical_dedup": _SQL_URL_CANONICAL_DEDUP,
     "stratified_sample": _SQL_STRATIFIED_SAMPLE,
     "link_pagerank": _sql_link_pagerank(),
+    "unicode_nfc_dedup": _SQL_UNICODE_NFC_DEDUP,
 }
