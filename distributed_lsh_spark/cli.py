@@ -195,6 +195,17 @@ def cmd_curate(args: argparse.Namespace) -> None:
         quality_keep=None if args.no_quality else quality_keep_expr(),
         ckpt=ckpt)
     metrics = [r.asDict() for r in res.metrics.orderBy("tier_no").collect()]
+    n_wet = None
+    if args.wet_output:
+        # survivors -> WET-style conversion-record WARC files, the Common
+        # Crawl handback format; needs the north-star url/ts columns
+        from distributed_lsh_spark.sources.warc import write_warc
+
+        if url_col == "url" and ts_col == "warc_ts":
+            n_wet = write_warc(res.survivors, args.wet_output)
+        else:
+            raise SystemExit("--wet-output needs url + warc_ts columns "
+                             "on the input pages table")
     dt = time.time() - t0
     n_in = metrics[0]["docs_out"]
     print(json.dumps({
@@ -203,6 +214,8 @@ def cmd_curate(args: argparse.Namespace) -> None:
         "wall_sec": round(dt, 2),
         "docs_per_sec": round(n_in / dt, 1) if dt else None,
         "survivors_stage": "funnel_near_dup",
+        **({"wet_records": n_wet, "wet_output": args.wet_output}
+           if n_wet is not None else {}),
     }))
 
 
@@ -272,6 +285,9 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("--canonical-urls", action="store_true",
                    help="canonicalize urls (RFC 3986 + tracking-param "
                         "strip) before the keep-latest-per-url tier")
+    c.add_argument("--wet-output", default=None,
+                   help="also export survivors as WET-style .warc.gz "
+                        "conversion records under this dir")
     _add_spark_args(c)
     c.set_defaults(fn=cmd_curate)
 

@@ -302,3 +302,75 @@ def read_warc(spark, path: str, chunk_bytes: int = 4 << 20):
     listing = (spark.read.format("binaryFile").load(path)
                .select("path"))
     return listing.mapInPandas(parse, schema=WARC_PAGE_SCHEMA)
+
+
+def _open_output(uri: str):
+    import os
+
+    if uri.startswith("file:"):
+        p = uri[5:]
+        if p.startswith("///"):
+            p = p[2:]
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        return open(p, "wb")
+    if "://" not in uri:
+        os.makedirs(os.path.dirname(uri), exist_ok=True)
+        return open(uri, "wb")
+    from pyarrow import fs as pafs
+    fsys, p = pafs.FileSystem.from_uri(uri)
+    fsys.create_dir(p.rsplit("/", 1)[0], recursive=True)
+    return fsys.open_output_stream(p)
+
+
+def write_warc(df, out_dir: str, text_col: str = "text",
+               record_type: str = "conversion", gzipped: bool = True,
+               suffix: str | None = None) -> int:
+    """Pages -> WET-style WARC files: one `WARC-Type: conversion` record
+    per row (url, warc_ts, `text_col`), one output file per partition
+    (`part-NNNNN.warc[.gz]`), per-record gzip members when `gzipped` —
+    the Common Crawl WET layout, so curated/extracted text can be handed
+    back to any WARC-consuming tool.  Returns the number of records
+    written (one action).
+
+    Deterministic bytes per partition content: record ids are md5 of
+    (url, ts, text) — re-running the same input yields byte-identical
+    files (gzip mtime pinned), so the sink composes with the checkpoint
+    resume contract.  Rows stream through one at a time; memory is
+    O(one record).  Size the files with a repartition upstream (the
+    standard ~1 GB target at production scale)."""
+    import hashlib
+
+    sfx = suffix if suffix is not None else (".warc.gz" if gzipped
+                                             else ".warc")
+
+    def write_part(pid, it):
+        n = 0
+        f = None
+        try:
+            for row in it:
+                if f is None:
+                    f = _open_output(f"{out_dir}/part-{pid:05d}{sfx}")
+                ts = row["warc_ts"]
+                date_iso = (ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+                            if ts is not None else "1970-01-01T00:00:00Z")
+                payload = (row[text_col] or "").encode("utf-8")
+                rec_id = hashlib.md5(
+                    f"{row['url']}|{date_iso}|".encode("utf-8") + payload
+                ).hexdigest()
+                rec = build_record({
+                    "WARC-Type": record_type,
+                    "WARC-Record-ID": f"<urn:uuid:{rec_id}>",
+                    "WARC-Date": date_iso,
+                    "WARC-Target-URI": row["url"] or "",
+                    "Content-Type": "text/plain",
+                }, payload)
+                f.write(gzip_member(rec) if gzipped else rec)
+                n += 1
+        finally:
+            if f is not None:
+                f.close()
+        yield n
+
+    counts = (df.select("url", "warc_ts", text_col).rdd
+              .mapPartitionsWithIndex(write_part).collect())
+    return int(sum(counts))

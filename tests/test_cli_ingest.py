@@ -46,14 +46,23 @@ def test_ingest_then_curate(spark, tmp_path, capsys):
     assert r0.lang == "en"
     assert bytes(r0.html) == _HTML % (0, 0)
 
-    # the ingest output is directly curate-able (funnel over url/warc_ts)
+    # the ingest output is directly curate-able (funnel over url/warc_ts),
+    # and survivors export back to WET conversion records in one flag
+    wet = str(tmp_path / "wet")
     main(["curate", "--input", pages, "--output", str(tmp_path / "cur"),
-          "--run-id", "c1", "--no-quality", "--cores", "8"])
+          "--run-id", "c1", "--no-quality", "--cores", "8",
+          "--wet-output", wet])
     c = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert c["n_docs"] == 12
     assert 0 < c["n_survivors"] <= 12
     tiers = [t["tier"] for t in c["tiers"]]
     assert "url_latest" in tiers
+    assert c["wet_records"] == c["n_survivors"]
+
+    from distributed_lsh_spark.sources.warc import read_warc
+    back = read_warc(spark, wet)
+    assert back.count() == c["n_survivors"]
+    assert {r.record_type for r in back.collect()} == {"conversion"}
 
 
 def test_curate_canonical_urls_flag(spark, tmp_path, capsys):

@@ -143,6 +143,39 @@ def test_read_warc_spark(spark, tmp_path):
     assert rows[0].warc_file.endswith("a.warc")
 
 
+def test_write_warc_wet_roundtrip(spark, tmp_path):
+    import glob
+
+    rows = [(f"https://ex.com/{i}", None if i == 4 else
+             __import__("datetime").datetime(2026, 1, 2, 3, 4, i),
+             f"extracted text {i}" if i != 3 else None)
+            for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string").repartition(3)
+    out = str(tmp_path / "wet")
+    n = W.write_warc(df, out, gzipped=True)
+    assert n == 6
+    files = sorted(glob.glob(out + "/part-*.warc.gz"))
+    assert 1 <= len(files) <= 3
+
+    back = {r.url: r for r in W.read_warc(spark, out).collect()}
+    assert set(back) == {f"https://ex.com/{i}" for i in range(6)}
+    r2 = back["https://ex.com/2"]
+    assert bytes(r2.html) == b"extracted text 2"
+    assert r2.record_type == "conversion"
+    assert r2.warc_ts.second == 2
+    assert bytes(back["https://ex.com/3"].html) == b""      # null text
+    assert back["https://ex.com/4"].warc_ts.year == 1970    # null ts
+
+    # deterministic bytes: same input -> same file contents
+    out2 = str(tmp_path / "wet2")
+    W.write_warc(df, out2, gzipped=True)
+    blob1 = b"".join(open(f, "rb").read() for f in files)
+    blob2 = b"".join(open(f, "rb").read() for f in
+                     sorted(glob.glob(out2 + "/part-*.warc.gz")))
+    assert hashlib.md5(blob1).hexdigest() == hashlib.md5(blob2).hexdigest()
+
+
 def test_warc_extract_gate_row_matches_oracle(spark):
     import duckdb
 
