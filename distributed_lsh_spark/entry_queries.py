@@ -2331,6 +2331,174 @@ SELECT CAST(tier_no AS INT) AS tier_no, tier,
 FROM counts ORDER BY tier_no"""
 
 
+def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection per near-dup cluster: instead of
+    the arbitrary min-doc_id representative, keep the member maximizing
+    (keep rule, alpha per-mille, token count) lexicographically, ties to
+    the lowest doc_id (`operators/funnel.select_representatives`).  The
+    rank tuple is all-integer (the gated doc_quality counts), so both
+    engines agree bit-for-bit on every argmax.
+
+    This is the survivor POLICY a production curation run applies after
+    clustering — the best page of a boilerplate family survives, not the
+    one that happened to get crawled first."""
+    from distributed_lsh_spark.operators.funnel import select_representatives
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    clusters = run_dedup(df, CFG)
+    n_chars, n_alpha, _, n_tokens, _, keep = _quality_exprs()
+    ranked = (df.select("doc_id", n_chars.alias("_nc"),
+                        n_alpha.alias("_na"),
+                        n_tokens.cast("long").alias("q_tokens"),
+                        keep.cast("long").alias("q_keep"))
+              .select("doc_id", "q_keep",
+                      F.when(F.col("_nc") > 0,
+                             F.expr("_na * 1000 div _nc"))
+                       .otherwise(F.lit(0)).cast("long").alias("alpha_pm"),
+                      "q_tokens"))
+    reps = select_representatives(clusters, ranked,
+                                  ["q_keep", "alpha_pm", "q_tokens"])
+    return reps.orderBy("cluster_id")
+
+
+def _sql_cluster_representatives() -> str:
+    q = _SQL_QUALITY_CTE.format(toks=_DUCK_TOKS, sw=repr(_STOPWORDS["en"]),
+                                src="documents")
+    return f"""WITH RECURSIVE {_duck_shingle_cte(CFG.shingle_k).lstrip()},
+pairs AS (SELECT id_a, id_b FROM jac WHERE j >= {CFG.jaccard_threshold}),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+clusters AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+             FROM reach GROUP BY a),
+{q.lstrip()},
+ranked AS (
+  SELECT doc_id,
+         CAST(CASE WHEN keep THEN 1 ELSE 0 END AS BIGINT) AS q_keep,
+         CAST(CASE WHEN n_chars > 0 THEN (n_alpha * 1000) // n_chars
+              ELSE 0 END AS BIGINT) AS alpha_pm,
+         CAST(n_tokens AS BIGINT) AS q_tokens
+  FROM qk
+),
+mem AS (
+  SELECT c.cluster_id, c.doc_id, r.q_keep, r.alpha_pm, r.q_tokens,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY r.q_keep DESC, r.alpha_pm DESC,
+                                     r.q_tokens DESC, c.doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+  FROM clusters c JOIN ranked r USING (doc_id)
+)
+SELECT cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+       doc_id AS rep_doc, q_keep AS rep_q_keep, alpha_pm AS rep_alpha_pm,
+       q_tokens AS rep_q_tokens
+FROM mem WHERE rn = 1 ORDER BY cluster_id"""
+
+
+def q_dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot dedup (`operators/snapshot.py`): the odd-id
+    half of the corpus plays the NEW crawl snapshot, the even-id half the
+    EXISTING corpus; planted one-token-appended copies of every corpus
+    doc with doc_id % 83 == 0 (at doc_id + 5_000_000) guarantee
+    cross-snapshot near-dups exist.  Output: each new doc that near-dups
+    a corpus doc, with its best corpus match.
+
+    GATE SCAFFOLDING ONLY: the parity split + planting assume the sf
+    corpora's dense non-negative doc_ids; production calls
+    `dedup_against_corpus(corpus, new_batch)` on genuinely separate
+    snapshots, passing the previous run's persisted signature table."""
+    from distributed_lsh_spark.operators.snapshot import dedup_against_corpus
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = df.where(F.pmod(F.col("doc_id"), F.lit(2)) == 0) \
+               .select("doc_id", "text")
+    planted = (corpus.where(F.pmod(F.col("doc_id"), F.lit(83)) == 0)
+               .select((F.col("doc_id") + 5_000_000).alias("doc_id"),
+                       F.concat(F.col("text"),
+                                F.lit(" snapshotcopy")).alias("text")))
+    new = (df.where(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+             .select("doc_id", "text")
+             .unionByName(planted))
+    res = dedup_against_corpus(corpus, new, CFG)
+    return (res.select("doc_id", "dup_of",
+                       F.round("jaccard", 6).alias("jaccard"))
+            .orderBy("doc_id"))
+
+
+def _sql_dedup_against_corpus() -> str:
+    # corpus side := even ids below the planting offset; new side := the rest
+    return f"""WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 5000000, text || ' snapshotcopy' FROM documents
+  WHERE doc_id % 2 = 0 AND doc_id % 83 = 0
+),
+{_duck_shingle_cte(CFG.shingle_k, src="base").lstrip()},
+cross_pairs AS (
+  SELECT CASE WHEN id_a % 2 = 0 AND id_a < 5000000 THEN id_a ELSE id_b END
+           AS dup_of,
+         CASE WHEN id_a % 2 = 0 AND id_a < 5000000 THEN id_b ELSE id_a END
+           AS doc_id, j
+  FROM jac
+  WHERE j >= {CFG.jaccard_threshold}
+    AND (id_a % 2 = 0 AND id_a < 5000000)
+        != (id_b % 2 = 0 AND id_b < 5000000)
+),
+best AS (
+  SELECT doc_id, dup_of, j,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY j DESC, dup_of ASC) AS rn
+  FROM cross_pairs
+)
+SELECT doc_id, dup_of, round(j, 6) AS jaccard
+FROM best WHERE rn = 1 ORDER BY doc_id"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing for training export
+    (`operators/packing.py`): concat-and-chunk bin assignment over the
+    gated whitespace token counts, 8 shards x 2048-token bins; output is
+    the per-bin manifest a pretraining data loader consumes.  All
+    arithmetic is integer, so the bin assignment is bit-exact across
+    engines and partitionings."""
+    from distributed_lsh_spark.operators.packing import (pack_sequences,
+                                                         pack_summary)
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = _n_tokens_col()
+    packed = pack_sequences(df.select("doc_id", n.alias("n_tokens")),
+                            "n_tokens", budget=2048, n_shards=8)
+    return (pack_summary(packed, 2048)
+            .select("shard", "bin_id",
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    F.col("bin_tokens").cast("long").alias("bin_tokens"),
+                    "first_doc", "last_doc", "spills")
+            .orderBy("shard", "bin_id"))
+
+
+_SQL_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+         CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+p AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+            - n_tokens AS start_offset
+  FROM t
+),
+b AS (SELECT *, start_offset // 2048 AS bin_id FROM p)
+SELECT shard, CAST(bin_id AS BIGINT) AS bin_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       max(start_offset + n_tokens) > (bin_id + 1) * 2048 AS spills
+FROM b GROUP BY shard, bin_id ORDER BY shard, bin_id"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2383,6 +2551,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "link_pagerank": q_link_pagerank,
     "unicode_nfc_dedup": q_unicode_nfc_dedup,
+    "cluster_representatives": q_cluster_representatives,
+    "dedup_against_corpus": q_dedup_against_corpus,
+    "pack_sequences": q_pack_sequences,
 }
 
 _ANN_TOPK_SQL = _sql_ann_topk()
@@ -2437,4 +2608,7 @@ ORACLE_SQL: dict[str, str] = {
     "stratified_sample": _SQL_STRATIFIED_SAMPLE,
     "link_pagerank": _sql_link_pagerank(),
     "unicode_nfc_dedup": _SQL_UNICODE_NFC_DEDUP,
+    "cluster_representatives": _sql_cluster_representatives(),
+    "dedup_against_corpus": _sql_dedup_against_corpus(),
+    "pack_sequences": _SQL_PACK_SEQUENCES,
 }

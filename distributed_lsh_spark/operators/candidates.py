@@ -39,6 +39,31 @@ from pyspark.sql import functions as F
 from distributed_lsh_spark.conf import DedupConfig
 
 
+def cap_hot_buckets(bands: DataFrame, cap: int) -> DataFrame:
+    """Deterministically cap per-bucket membership of a (doc_id, band_hash)
+    frame at `cap` docs.
+
+    Two-path deterministic cap: aggregate bucket counts (map-side
+    combinable), window-sort ONLY the oversized buckets (normally
+    none/few), pass everything else through a broadcast anti-join.
+    A plain window over all bands was measured 2.8x slower at 400k
+    docs: the full 11.9M-row sort ran once per self-join side
+    (41.4s vs 14.5s uncapped) — sorting rows that no cap will ever
+    drop.  The ordering is BAND-DEPENDENT (band_hash embeds band_id;
+    see module docstring)."""
+    counts = bands.groupBy("band_hash").agg(F.count("*").alias("_n"))
+    hot = F.broadcast(counts.where(F.col("_n") > cap)
+                      .select("band_hash"))
+    w = Window.partitionBy("band_hash") \
+              .orderBy(F.xxhash64("band_hash", "doc_id"), "doc_id")
+    hot_capped = (bands.join(hot, ["band_hash"])
+                  .withColumn("_rn", F.row_number().over(w))
+                  .where(F.col("_rn") <= cap)
+                  .drop("_rn"))
+    return bands.join(hot, ["band_hash"], "left_anti") \
+                .unionByName(hot_capped)
+
+
 def candidate_pairs(bands: DataFrame, cfg: DedupConfig | None = None,
                     cap: int | None = None) -> DataFrame:
     """bands(doc_id, band_id, band_hash) -> (id_a, id_b) with id_a < id_b.
@@ -56,25 +81,7 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig | None = None,
     bands = bands.select("doc_id", "band_hash")
 
     if cap is not None:
-        # Two-path deterministic cap: aggregate bucket counts (map-side
-        # combinable), window-sort ONLY the oversized buckets (normally
-        # none/few), pass everything else through a broadcast anti-join.
-        # A plain window over all bands was measured 2.8x slower at 400k
-        # docs: the full 11.9M-row sort ran once per self-join side
-        # (41.4s vs 14.5s uncapped) — sorting rows that no cap will ever
-        # drop.  The ordering is BAND-DEPENDENT (band_hash embeds band_id;
-        # see module docstring).
-        counts = bands.groupBy("band_hash").agg(F.count("*").alias("_n"))
-        hot = F.broadcast(counts.where(F.col("_n") > cap)
-                          .select("band_hash"))
-        w = Window.partitionBy("band_hash") \
-                  .orderBy(F.xxhash64("band_hash", "doc_id"), "doc_id")
-        hot_capped = (bands.join(hot, ["band_hash"])
-                      .withColumn("_rn", F.row_number().over(w))
-                      .where(F.col("_rn") <= cap)
-                      .drop("_rn"))
-        bands = bands.join(hot, ["band_hash"], "left_anti") \
-                     .unionByName(hot_capped)
+        bands = cap_hot_buckets(bands, cap)
 
     # lazy localCheckpoint: the self-join consumes bands twice; without it
     # the whole cap subplan (counts + joins) executes once per side

@@ -53,6 +53,36 @@ from distributed_lsh_spark.pipeline import run_dedup
 TIER_NAMES = ("input", "url_latest", "exact", "quality", "near_dup")
 
 
+def select_representatives(clusters: DataFrame, ranked: DataFrame,
+                           rank_cols: list[str]) -> DataFrame:
+    """clusters(doc_id, cluster_id) x ranked(doc_id, <rank_cols...>) ->
+    (cluster_id, cluster_size, rep_doc, <rep rank_cols...>): one row per
+    cluster, rep = the member maximizing the rank tuple lexicographically,
+    ties to the LOWEST doc_id.
+
+    This is the survivor POLICY stage of a curation run: instead of the
+    arbitrary min-doc_id representative, keep the best-quality member of
+    every near-dup cluster (rank_cols = e.g. the gated integer quality
+    counts).  Rank columns must be integer-typed so the argmax is
+    bit-exact across engines.
+
+    Scale shape: one groupBy over (doc_id, cluster_id, ranks) projections;
+    max(struct(...)) is map-side combinable, so a mega-cluster (the
+    boilerplate component) collapses to one row per map task before the
+    shuffle — no window sort over cluster members.
+    """
+    joined = clusters.join(ranked, "doc_id")
+    rank_struct = F.struct(*[F.col(c) for c in rank_cols],
+                           (-F.col("doc_id")).alias("_neg_id"))
+    agg = (joined.groupBy("cluster_id")
+           .agg(F.count("*").alias("cluster_size"),
+                F.max(rank_struct).alias("_w")))
+    return agg.select(
+        "cluster_id", "cluster_size",
+        (-F.col("_w._neg_id")).alias("rep_doc"),
+        *[F.col(f"_w.{c}").alias(f"rep_{c}") for c in rank_cols])
+
+
 @dataclass
 class FunnelResult:
     survivors: DataFrame            # final tier's (doc_id, text, ...) frame
@@ -63,6 +93,7 @@ class FunnelResult:
 def curation_funnel(pages: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG, *,
                     url_col: str = "url", ts_col: str = "warc_epoch",
                     quality_keep: Column | None = None,
+                    rep_rank: dict[str, Column] | None = None,
                     ckpt=None) -> FunnelResult:
     """Run the 4-tier dedup funnel over `pages(doc_id, text[, url, ts])`.
 
@@ -74,6 +105,12 @@ def curation_funnel(pages: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG, *,
       upstream if different semantics are wanted.
     - `quality_keep`: boolean Column over the page row (e.g. the gated
       doc_quality keep rule); None skips the tier (keeps the row count).
+    - `rep_rank`: optional {name: integer Column over the page row}
+      survivor policy for the near-dup tier — keep each cluster's member
+      maximizing the rank tuple lexicographically (ties to lowest
+      doc_id) instead of the default min-doc_id representative
+      (`select_representatives`).  Columns must be integer-typed so the
+      argmax is deterministic.
     - `ckpt`: optional sources.checkpoint.CheckpointManager.  With it,
       every tier AFTER the raw input materializes through
       `ckpt.stage("funnel_<tier>", ...)` (Parquet/Iceberg + manifest +
@@ -148,9 +185,19 @@ def curation_funnel(pages: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG, *,
     prev = cur
 
     def build_near_dup() -> DataFrame:
-        non_reps = (run_dedup(prev, cfg, exact_first=False)
-                    .where(F.col("doc_id") != F.col("cluster_id"))
-                    .select("doc_id"))
+        clusters = run_dedup(prev, cfg, exact_first=False)
+        if rep_rank is None:
+            non_reps = (clusters
+                        .where(F.col("doc_id") != F.col("cluster_id"))
+                        .select("doc_id"))
+        else:
+            ranked = prev.select(
+                "doc_id", *[c.alias(n) for n, c in rep_rank.items()])
+            reps = (select_representatives(clusters, ranked,
+                                           list(rep_rank.keys()))
+                    .select(F.col("rep_doc").alias("doc_id")))
+            non_reps = clusters.select("doc_id") \
+                               .join(reps, "doc_id", "left_anti")
         return prev.join(non_reps, "doc_id", "left_anti")
 
     cur = checkpointed("near_dup", build_near_dup)

@@ -1,0 +1,95 @@
+"""Incremental snapshot dedup: probe a NEW crawl batch against an
+EXISTING corpus — the batch twin of `streaming/dedup_stream`'s
+per-micro-batch history probe, and the shape a Common-Crawl pipeline
+runs monthly (dedup snapshot N against the union of snapshots < N
+without re-clustering the whole archive).
+
+Reference analogue: the reference's search mode probes QUERY points
+against a pre-built corpus bucket table rather than self-joining the
+corpus (MapReduce-LSH/.../lsh/searcher/SearchMapper.java:268-311,
+bucket tables built once by LSHTool and reused per query batch); this
+operator is that probe shape applied to the dedup graft — corpus bands
+are the persisted index side, new-batch bands the probe side.
+
+Scale shape (100 TB corpus + 1 TB monthly batch):
+
+  * The corpus side's (doc_id, band_hash) index is exactly what
+    `streaming/dedup_stream` already persists per batch and compacts —
+    on a real run pass that persisted index in as `corpus_bands`
+    (plus the signature table for verify) instead of recomputing;
+    signatures are computed only over the NEW batch: O(batch), not
+    O(corpus).
+  * The band join shuffles 16-B rows keyed by band_hash; both sides
+    are capped per-bucket with the SAME two-path deterministic cap as
+    the self-join path (`candidates.cap_hot_buckets`), so a boilerplate
+    bucket present in both snapshots cannot produce a quadratic
+    candidate blowup.
+  * Verification is the gated exact-Jaccard payload join
+    (`verify.verify_pairs`) over the union of both sides' shingle
+    payloads, semi-join-pruned to docs that actually appear in a
+    candidate pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from distributed_lsh_spark.conf import DedupConfig, DEFAULT_CONFIG
+from distributed_lsh_spark.functions.hashing import band_keys
+from distributed_lsh_spark.functions.signature import with_signatures
+from distributed_lsh_spark.operators.candidates import cap_hot_buckets
+from distributed_lsh_spark.operators.verify import verify_pairs
+
+
+def dedup_against_corpus(corpus: DataFrame, new: DataFrame,
+                         cfg: DedupConfig = DEFAULT_CONFIG,
+                         corpus_sigs: DataFrame | None = None) -> DataFrame:
+    """corpus(doc_id, text) x new(doc_id, text) ->
+    (doc_id, dup_of, jaccard): one row per NEW doc that is a near-dup
+    (exact Jaccard >= cfg.jaccard_threshold) of at least one corpus doc;
+    `dup_of` = the best-matching corpus doc (max jaccard, ties to the
+    lowest corpus doc_id).  New docs absent from the result are novel.
+
+    `corpus_sigs`: optionally pass a precomputed corpus signature frame
+    (doc_id, shingles, minhash) — e.g. the persisted signature
+    checkpoint of the previous run — to skip recomputing the corpus
+    side (the whole point of the incremental shape).  doc_id spaces of
+    the two inputs must be disjoint.
+    """
+    if corpus_sigs is None:
+        corpus_sigs = with_signatures(
+            corpus.select("doc_id", "text"), cfg)
+    corpus_sigs = corpus_sigs.select("doc_id", "shingles", "minhash") \
+                             .persist()
+    new_sigs = with_signatures(new.select("doc_id", "text"), cfg) \
+        .select("doc_id", "shingles", "minhash").persist()
+
+    bands_c = cap_hot_buckets(
+        band_keys(corpus_sigs, cfg).select("doc_id", "band_hash"),
+        cfg.hot_band_cap)
+    bands_n = cap_hot_buckets(
+        band_keys(new_sigs, cfg).select("doc_id", "band_hash"),
+        cfg.hot_band_cap)
+
+    cand = (bands_c.select(F.col("doc_id").alias("id_a"), "band_hash")
+            .join(bands_n.select(F.col("doc_id").alias("id_b"), "band_hash"),
+                  "band_hash")
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"]))
+
+    payload = corpus_sigs.select("doc_id", "shingles") \
+        .unionByName(new_sigs.select("doc_id", "shingles"))
+    verified = verify_pairs(cand, payload, cfg)
+
+    # per new doc: best corpus match — argmax jaccard, ties to lowest
+    # corpus id.  max(struct) is map-side combinable: hot new docs (a
+    # doc duplicated across the whole corpus) collapse before the
+    # shuffle.
+    best = (verified
+            .groupBy(F.col("id_b").alias("doc_id"))
+            .agg(F.max(F.struct(F.col("jaccard"),
+                                (-F.col("id_a")).alias("_neg_a"))).alias("_w"))
+            .select("doc_id", (-F.col("_w._neg_a")).alias("dup_of"),
+                    F.col("_w.jaccard").alias("jaccard")))
+    return best
