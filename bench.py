@@ -51,6 +51,9 @@ def main() -> None:
         "stratified_sample",
         "link_pagerank",
         "unicode_nfc_dedup",
+        "cluster_representatives",
+        "dedup_against_corpus",
+        "pack_sequences",
     ]
 
     spark = get_spark(app_name="bench", cores=cores, shuffle_partitions=cores)
