@@ -54,6 +54,7 @@ def main() -> None:
         "cluster_representatives",
         "dedup_against_corpus",
         "pack_sequences",
+        "blocklist_filter",
     ]
 
     spark = get_spark(app_name="bench", cores=cores, shuffle_partitions=cores)

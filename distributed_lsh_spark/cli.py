@@ -172,6 +172,27 @@ def cmd_curate(args: argparse.Namespace) -> None:
     ts_col = next((c for c in ("warc_ts", "warc_epoch")
                    if c in pages.columns), None)
     url_col = "url" if ("url" in pages.columns and ts_col) else "__no_url__"
+    bl_entries: list[str] = []
+    if args.blocked_hosts:
+        if "url" not in pages.columns:
+            raise SystemExit("--blocked-hosts needs a url column "
+                             "on the input pages table")
+        with open(args.blocked_hosts) as fh:
+            bl_entries = sorted({ln.strip().lower() for ln in fh
+                                 if ln.strip() and not ln.startswith("#")})
+    n_raw = None
+    if bl_entries or args.blocked_url_regex:
+        # map-only UT1-style safety pass BEFORE any funnel tier: broadcast
+        # suffix joins + one codegen rlike (operators/blocklist.py)
+        from distributed_lsh_spark.operators.blocklist import blocklist_filter
+
+        n_raw = pages.count()
+        bl = spark.createDataFrame([(h,) for h in bl_entries] or
+                                   [("",)], "blocked_host string")
+        if not bl_entries:
+            bl = bl.limit(0)
+        pages = blocklist_filter(pages, bl, "url",
+                                 args.blocked_url_regex or None)
     if args.canonical_urls and url_col == "url":
         # fold url spellings together BEFORE keep-latest-per-url, so
         # HTTP://Ex.COM:80/a#f and http://ex.com/a dedup as one page
@@ -188,7 +209,14 @@ def cmd_curate(args: argparse.Namespace) -> None:
                                           "canonical_urls":
                                               bool(args.canonical_urls),
                                           "url_col": url_col,
-                                          "ts_col": ts_col})
+                                          "ts_col": ts_col,
+                                          # blocklist semantics are part
+                                          # of the run config: a changed
+                                          # list must rebuild, not resume
+                                          "blocked_hosts": bl_entries,
+                                          "blocked_url_regex":
+                                              sorted(args.blocked_url_regex
+                                                     or [])})
     t0 = time.time()
     res = curation_funnel(
         pages, cfg, url_col=url_col, ts_col=ts_col or "warc_epoch",
@@ -214,6 +242,7 @@ def cmd_curate(args: argparse.Namespace) -> None:
         "wall_sec": round(dt, 2),
         "docs_per_sec": round(n_in / dt, 1) if dt else None,
         "survivors_stage": "funnel_near_dup",
+        **({"blocklist_removed": n_raw - n_in} if n_raw is not None else {}),
         **({"wet_records": n_wet, "wet_output": args.wet_output}
            if n_wet is not None else {}),
     }))
@@ -285,6 +314,12 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("--canonical-urls", action="store_true",
                    help="canonicalize urls (RFC 3986 + tracking-param "
                         "strip) before the keep-latest-per-url tier")
+    c.add_argument("--blocked-hosts", default=None,
+                   help="file of blocked registrable domains (one per "
+                        "line, # comments) applied as a map-only "
+                        "suffix-match pass before the funnel")
+    c.add_argument("--blocked-url-regex", action="append", default=None,
+                   help="url regex to block (repeatable)")
     c.add_argument("--wet-output", default=None,
                    help="also export survivors as WET-style .warc.gz "
                         "conversion records under this dir")

@@ -2499,6 +2499,66 @@ SELECT shard, CAST(bin_id AS BIGINT) AS bin_id,
 FROM b GROUP BY shard, bin_id ORDER BY shard, bin_id"""
 
 
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1/C4-style domain + url-pattern blocklist pass
+    (`operators/blocklist.py`): per-doc verdict (host, blocked, reason)
+    against a 3-entry blocklist — a registrable-domain entry
+    (`h3.example.com`, blocks every `w*.h3...` subdomain via suffix
+    match), an exact-host entry planted UPPERCASE in the list
+    (`W1.h5.example.com`, exercises blocklist lowercasing), a no-match
+    decoy — plus one path pattern (`/p/1[35]$`).
+
+    Urls derive from doc_id (url_latest_dedup precedent: sf tables carry
+    no url column) with two parse hazards planted: the host is UPPERCASE
+    when doc_id % 11 == 0 and carries a `:8080` port when
+    doc_id % 5 == 0, so the oracle — which states every verdict from
+    doc_id ARITHMETIC, never parsing a url — catches any host-extraction,
+    lowercasing, or label-boundary bug.
+
+    Scale shape: 4 broadcast left joins on substring_index suffix keys +
+    one codegen rlike — map-only, zero shuffle, row count preserved
+    (see operators/blocklist.py)."""
+    from distributed_lsh_spark.operators.blocklist import \
+        with_blocklist_verdict
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = F.pmod(F.col("doc_id"), F.lit(97))
+    hostbase = F.concat(F.lit("w"),
+                        F.pmod(F.col("doc_id"), F.lit(3)).cast("string"),
+                        F.lit(".h"), F.pmod(p, F.lit(7)).cast("string"),
+                        F.lit(".example.com"))
+    host = F.when(F.pmod(F.col("doc_id"), F.lit(11)) == 0,
+                  F.upper(hostbase)).otherwise(hostbase)
+    port = F.when(F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+                  F.lit(":8080")).otherwise(F.lit(""))
+    url = F.concat(F.lit("https://"), host, port,
+                   F.lit("/p/"), p.cast("string"))
+    pages = df.select("doc_id", url.alias("url"))
+    blocked = spark.createDataFrame(
+        [("h3.example.com",), ("W1.h5.example.com",),
+         ("ads.example.net",)], "blocked_host string")
+    out = with_blocklist_verdict(pages, blocked, "url",
+                                 url_patterns=[r"/p/1[35]$"])
+    return out.select("doc_id", "host", "blocked", "reason") \
+              .orderBy("doc_id")
+
+
+_SQL_BLOCKLIST_FILTER = """
+SELECT doc_id,
+       'w' || (doc_id % 3) || '.h' || ((doc_id % 97) % 7)
+           || '.example.com' AS host,
+       reason != '' AS blocked, reason
+FROM (
+  SELECT doc_id,
+         CASE WHEN (doc_id % 97) % 7 = 3 THEN 'host:h3.example.com'
+              WHEN doc_id % 3 = 1 AND (doc_id % 97) % 7 = 5
+                THEN 'host:w1.h5.example.com'
+              WHEN doc_id % 97 IN (13, 15) THEN 'pattern'
+              ELSE '' END AS reason
+  FROM documents
+) ORDER BY doc_id"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2554,6 +2614,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_representatives": q_cluster_representatives,
     "dedup_against_corpus": q_dedup_against_corpus,
     "pack_sequences": q_pack_sequences,
+    "blocklist_filter": q_blocklist_filter,
 }
 
 _ANN_TOPK_SQL = _sql_ann_topk()
@@ -2611,4 +2672,5 @@ ORACLE_SQL: dict[str, str] = {
     "cluster_representatives": _sql_cluster_representatives(),
     "dedup_against_corpus": _sql_dedup_against_corpus(),
     "pack_sequences": _SQL_PACK_SEQUENCES,
+    "blocklist_filter": _SQL_BLOCKLIST_FILTER,
 }

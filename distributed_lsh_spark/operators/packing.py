@@ -47,9 +47,11 @@ def pack_sequences(df: DataFrame, tokens_col: Column | str,
     w = Window.partitionBy("shard").orderBy("doc_id")
     start = (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) -
              F.col("n_tokens"))
+    # integral `div`, not floor(double /): start offsets past 2^53 would
+    # round under double division; div keeps the whole chain in longs
     return (base.withColumn("start_offset", start)
                 .withColumn("bin_id",
-                            F.floor(F.col("start_offset") / budget)))
+                            F.expr(f"start_offset div {int(budget)}")))
 
 
 def pack_summary(packed: DataFrame, budget: int) -> DataFrame:

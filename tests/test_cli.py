@@ -143,3 +143,49 @@ def test_cli_curate_tier_set_change_invalidates(spark, tmp_path, capsys):
     assert "quality" not in {t["tier"] for t in r2["tiers"]}
     # quality removes rows at sf0.001, so the rebuilt near_dup input differs
     assert r2["tiers"][-1]["docs_in"] != r1["tiers"][-1]["docs_in"]
+
+
+def test_cli_curate_blocklist(spark, tmp_path, capsys):
+    """--blocked-hosts/--blocked-url-regex run as a map-only pre-funnel
+    pass; the removal count lands in the JSON and a changed blocklist
+    invalidates the run-id's staged tiers (config echo)."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "cur")
+    (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+          .select("doc_id", "text")
+          .withColumn("url", F.concat(
+              F.lit("https://h"), F.pmod("doc_id", F.lit(3)).cast("string"),
+              F.lit(".example.com/p/"),
+              F.pmod("doc_id", F.lit(97)).cast("string")))
+          .withColumn("warc_epoch", (F.col("doc_id") * 7).cast("long"))
+          .write.parquet(src))
+    n_total = spark.read.parquet(src).count()
+    n_h1 = spark.read.parquet(src).where(
+        F.pmod("doc_id", F.lit(3)) == 1).count()
+
+    blfile = tmp_path / "ut1.txt"
+    blfile.write_text("# adult\nH1.example.COM\n\n")
+    args = ["curate", "--input", src, "--output", out, "--run-id", "bl",
+            "--cores", "8", "--blocked-hosts", str(blfile)]
+    main(args)
+    r1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r1["blocklist_removed"] == n_h1
+    assert r1["tiers"][0]["docs_out"] == n_total - n_h1
+    surv = spark.read.parquet(os.path.join(out, "bl", "funnel_near_dup",
+                                           "data"))
+    assert surv.where(surv.url.contains("//h1.")).count() == 0
+
+    # a changed blocklist rides the config echo: same run-id REBUILDS
+    blfile.write_text("h1.example.com\nh2.example.com\n")
+    main(args)
+    r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r2["blocklist_removed"] > n_h1
+    assert r2["tiers"][0]["docs_out"] < r1["tiers"][0]["docs_out"]
+
+    # pattern-only blocking needs no hosts file
+    main(["curate", "--input", src, "--output", out, "--run-id", "blp",
+          "--cores", "8", "--blocked-url-regex", r"/p/1[35]$"])
+    r3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r3["blocklist_removed"] > 0
