@@ -55,6 +55,9 @@ def main() -> None:
         "dedup_against_corpus",
         "pack_sequences",
         "blocklist_filter",
+        "soft_dedup_weights",
+        "cluster_safe_split",
+        "temperature_mixture",
     ]
 
     spark = get_spark(app_name="bench", cores=cores, shuffle_partitions=cores)

@@ -2559,6 +2559,122 @@ FROM (
 ) ORDER BY doc_id"""
 
 
+def _duck_cluster_lab_cte() -> str:
+    """Recursive transitive closure over the exact-Jaccard pairs PLUS the
+    singleton fill-in: one (doc_id, cluster_id) row per document, matching
+    operators/weighting.with_cluster_ids over run_dedup output."""
+    return f"""{_duck_shingle_cte(CFG.shingle_k)},
+pairs AS (SELECT id_a, id_b FROM jac WHERE j >= {CFG.jaccard_threshold}),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+       FROM reach GROUP BY a),
+lab AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id)"""
+
+
+def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-aware per-doc reweighting (operators/weighting.py):
+    keep every document, weight = 1/|near-dup cluster| — a cluster of n
+    near-identical pages contributes one page's expected sample mass.
+    Consumes the same CC labels as `dedup_clusters`; singletons weight 1.
+    Scale: doc_id-only scan + one groupBy(cluster_id) — no text column
+    leaves the dedup stage."""
+    from distributed_lsh_spark.operators.weighting import soft_dedup_weights
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (soft_dedup_weights(df, run_dedup(df, CFG))
+            .orderBy("doc_id"))
+
+
+def _sql_soft_dedup_weights() -> str:
+    return f"""WITH RECURSIVE {_duck_cluster_lab_cte()},
+sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab
+       GROUP BY cluster_id)
+SELECT lab.doc_id, lab.cluster_id,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       round(CAST(1 AS DOUBLE) / cluster_size, 6) AS weight
+FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id"""
+
+
+def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid/test split (operators/weighting.py): one
+    md5 draw per near-dup CLUSTER (not per doc), so near-duplicates can
+    never straddle the train/eval boundary — the split-time analogue of
+    `contamination_check`.  90/5/5 on a uniform [0,100) bucket; the
+    bucket expression is replayed bit-exactly in the oracle
+    (conv(substr(md5,1,15),16,10) == ('0x'||substr(md5,1,15))::BIGINT)."""
+    from distributed_lsh_spark.operators.weighting import cluster_safe_split
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (cluster_safe_split(df, run_dedup(df, CFG))
+            .orderBy("doc_id"))
+
+
+def _sql_cluster_safe_split() -> str:
+    return f"""WITH RECURSIVE {_duck_cluster_lab_cte()},
+b AS (
+  SELECT doc_id, cluster_id,
+         ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT
+           % 100 AS bucket
+  FROM lab
+)
+SELECT doc_id, cluster_id, bucket,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'valid'
+            ELSE 'test' END AS split
+FROM b ORDER BY doc_id"""
+
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain temperature-sampling plan (operators/weighting.py):
+    raw token share p_raw, alpha=0.5-flattened share p_temp, and the
+    up/down-sampling factor mix_weight = p_temp/p_raw each domain needs
+    to hit the flattened mix.  Hosts derive from the `domain_stats`
+    deterministic url scheme; alpha=0.5 keeps the flattening inside
+    IEEE-exact sqrt.  One corpus groupBy; normalisation windows run over
+    the per-domain frame only."""
+    from distributed_lsh_spark.operators.weighting import temperature_mixture
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = F.pmod(F.col("doc_id"), F.lit(97))
+    host = F.concat(F.lit("h"), F.pmod(p, F.lit(7)).cast("string"),
+                    F.lit(".example.com"))
+    pages = df.select(host.alias("host"),
+                      F.size(normalized_tokens("text")).alias("n_toks"))
+    return temperature_mixture(pages, "host", "n_toks", alpha=0.5)
+
+
+_SQL_TEMPERATURE_MIXTURE = f"""
+WITH t AS (
+  SELECT 'h' || ((doc_id % 97) % 7) || '.example.com' AS host,
+         len({_DUCK_TOKS}) AS n_toks
+  FROM documents
+),
+agg AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_toks) AS BIGINT) AS n_tokens
+  FROM t GROUP BY host
+),
+norm AS (
+  SELECT host, n_docs, n_tokens,
+         CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS p_raw
+  FROM agg
+),
+tmp AS (
+  SELECT *, sqrt(p_raw) / sum(sqrt(p_raw)) OVER () AS p_temp FROM norm
+)
+SELECT host, n_docs, n_tokens, round(p_raw, 6) AS p_raw,
+       round(p_temp, 6) AS p_temp,
+       round(p_temp / p_raw, 6) AS mix_weight
+FROM tmp ORDER BY host"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2615,6 +2731,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_against_corpus": q_dedup_against_corpus,
     "pack_sequences": q_pack_sequences,
     "blocklist_filter": q_blocklist_filter,
+    "soft_dedup_weights": q_soft_dedup_weights,
+    "cluster_safe_split": q_cluster_safe_split,
+    "temperature_mixture": q_temperature_mixture,
 }
 
 _ANN_TOPK_SQL = _sql_ann_topk()
@@ -2673,4 +2792,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_against_corpus": _sql_dedup_against_corpus(),
     "pack_sequences": _SQL_PACK_SEQUENCES,
     "blocklist_filter": _SQL_BLOCKLIST_FILTER,
+    "soft_dedup_weights": _sql_soft_dedup_weights(),
+    "cluster_safe_split": _sql_cluster_safe_split(),
+    "temperature_mixture": _SQL_TEMPERATURE_MIXTURE,
 }
