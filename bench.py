@@ -58,6 +58,7 @@ def main() -> None:
         "soft_dedup_weights",
         "cluster_safe_split",
         "temperature_mixture",
+        "bigram_lm_quality",
     ]
 
     spark = get_spark(app_name="bench", cores=cores, shuffle_partitions=cores)

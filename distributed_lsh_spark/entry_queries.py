@@ -2675,6 +2675,48 @@ SELECT host, n_docs, n_tokens, round(p_raw, 6) AS p_raw,
 FROM tmp ORDER BY host"""
 
 
+def q_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM perplexity scoring (CCNet-style,
+    operators/lm_quality.py): add-one-smoothed -ln p(w2|w1) averaged per
+    doc, with the transcendental quantized to integer micro-nats BEFORE
+    aggregation so the cross-engine value-hash is exact-int arithmetic.
+    The oracle retrains the same LM from scratch in SQL."""
+    from distributed_lsh_spark.operators.lm_quality import bigram_lm_scores
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bigram_lm_scores(df).orderBy("doc_id")
+
+
+_SQL_BIGRAM_LM_QUALITY = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+ex AS (SELECT doc_id, unnest(t) AS w FROM toks),
+uni AS (SELECT w, count(*) AS cu FROM ex GROUP BY w),
+v AS (SELECT count(*) AS vs FROM uni),
+bgl AS (SELECT doc_id,
+               CASE WHEN len(t) < 2 THEN []
+                    ELSE [t[i] || ' ' || t[i + 1] for i in range(1, len(t))]
+               END AS bgs
+        FROM toks),
+bg AS (SELECT doc_id, unnest(bgs) AS b FROM bgl),
+docbg AS (SELECT doc_id, b, count(*) AS m FROM bg GROUP BY ALL),
+bgc AS (SELECT b, sum(m) AS cb FROM docbg GROUP BY b),
+sc AS (
+  SELECT doc_id, m,
+         CAST(round(-ln(CAST(cb + 1 AS DOUBLE) / CAST(cu + vs AS DOUBLE))
+                    * 1e6) AS BIGINT) AS nll
+  FROM docbg JOIN bgc USING (b)
+  JOIN uni ON uni.w = split_part(docbg.b, ' ', 1) CROSS JOIN v
+),
+agg AS (SELECT doc_id, sum(m) AS n_bigrams,
+               sum(m * nll) AS sum_nll_micro
+        FROM sc GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(sum_nll_micro, 0) AS BIGINT) AS sum_nll_micro,
+       round(sum_nll_micro / (n_bigrams * 1e6), 6) AS avg_nll
+FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2734,6 +2776,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "soft_dedup_weights": q_soft_dedup_weights,
     "cluster_safe_split": q_cluster_safe_split,
     "temperature_mixture": q_temperature_mixture,
+    "bigram_lm_quality": q_bigram_lm_quality,
 }
 
 _ANN_TOPK_SQL = _sql_ann_topk()
@@ -2795,4 +2838,5 @@ ORACLE_SQL: dict[str, str] = {
     "soft_dedup_weights": _sql_soft_dedup_weights(),
     "cluster_safe_split": _sql_cluster_safe_split(),
     "temperature_mixture": _SQL_TEMPERATURE_MIXTURE,
+    "bigram_lm_quality": _SQL_BIGRAM_LM_QUALITY,
 }
