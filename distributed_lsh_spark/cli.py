@@ -26,6 +26,24 @@ import json
 import time
 
 
+def _read_pages(spark, args: argparse.Namespace):
+    """--input under --input-format: parquet (internal format) or JSONL
+    (interchange; corrupt lines dropped after the PERMISSIVE load)."""
+    if getattr(args, "input_format", "parquet") == "jsonl":
+        from pyspark.sql import functions as F
+
+        from distributed_lsh_spark.sources.jsonl import read_jsonl
+
+        # corrupt lines parse to all-null data fields; filtering on the
+        # data columns (not _corrupt_record) keeps every downstream
+        # column-pruned plan clear of Spark's
+        # QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction
+        return (read_jsonl(spark, args.input)
+                .where(F.col("url").isNotNull() & F.col("text").isNotNull())
+                .drop("_corrupt_record"))
+    return spark.read.parquet(args.input)
+
+
 def _add_spark_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--cores", type=int, default=None,
                    help="local[N] cores (ignored under spark-submit on a cluster)")
@@ -49,7 +67,7 @@ def cmd_dedup(args: argparse.Namespace) -> None:
     ckpt = CheckpointManager(spark, args.output, run_id=args.run_id,
                              config_echo=cfg.__dict__)
 
-    pages = spark.read.parquet(args.input)
+    pages = _read_pages(spark, args)
     if "text" not in pages.columns:
         pages = with_extracted_text(pages)
     if "doc_id" not in pages.columns:
@@ -162,7 +180,7 @@ def cmd_curate(args: argparse.Namespace) -> None:
                       jaccard_threshold=args.threshold, seed=args.seed)
     spark = get_spark("curate", cores=args.cores,
                       shuffle_partitions=args.shuffle_partitions)
-    pages = spark.read.parquet(args.input)
+    pages = _read_pages(spark, args)
     if "text" not in pages.columns:
         pages = with_extracted_text(pages)
     if "doc_id" not in pages.columns:
@@ -234,6 +252,14 @@ def cmd_curate(args: argparse.Namespace) -> None:
         else:
             raise SystemExit("--wet-output needs url + warc_ts columns "
                              "on the input pages table")
+    n_jsonl = None
+    if args.jsonl_output:
+        # survivors -> gzipped JSONL shards, the tokenizer-pipeline
+        # hand-off format (binary columns dropped; sources/jsonl.py)
+        from distributed_lsh_spark.sources.jsonl import write_jsonl
+
+        n_jsonl = write_jsonl(res.survivors, args.jsonl_output,
+                              shards=args.jsonl_shards)
     dt = time.time() - t0
     n_in = metrics[0]["docs_out"]
     print(json.dumps({
@@ -245,6 +271,8 @@ def cmd_curate(args: argparse.Namespace) -> None:
         **({"blocklist_removed": n_raw - n_in} if n_raw is not None else {}),
         **({"wet_records": n_wet, "wet_output": args.wet_output}
            if n_wet is not None else {}),
+        **({"jsonl_records": n_jsonl, "jsonl_output": args.jsonl_output}
+           if n_jsonl is not None else {}),
     }))
 
 
@@ -296,6 +324,10 @@ def main(argv: list[str] | None = None) -> None:
     d.add_argument("--bands", type=int, default=32)
     d.add_argument("--threshold", type=float, default=0.8)
     d.add_argument("--seed", type=int, default=42)
+    d.add_argument("--input-format", choices=("parquet", "jsonl"),
+                   default="parquet",
+                   help="jsonl: gzipped JSONL pages (interchange format; "
+                        "explicit schema, corrupt lines dropped)")
     _add_spark_args(d)
     d.set_defaults(fn=cmd_dedup)
 
@@ -323,6 +355,16 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("--wet-output", default=None,
                    help="also export survivors as WET-style .warc.gz "
                         "conversion records under this dir")
+    c.add_argument("--input-format", choices=("parquet", "jsonl"),
+                   default="parquet",
+                   help="jsonl: gzipped JSONL pages (interchange format; "
+                        "explicit schema, corrupt lines dropped)")
+    c.add_argument("--jsonl-output", default=None,
+                   help="also export survivors as gzipped JSONL shards "
+                        "(binary columns dropped) under this dir")
+    c.add_argument("--jsonl-shards", type=int, default=None,
+                   help="output file count for --jsonl-output (gzip is "
+                        "not splittable: this IS downstream parallelism)")
     _add_spark_args(c)
     c.set_defaults(fn=cmd_curate)
 
