@@ -59,6 +59,7 @@ def main() -> None:
         "cluster_safe_split",
         "temperature_mixture",
         "bigram_lm_quality",
+        "quality_classifier",
     ]
 
     spark = get_spark(app_name="bench", cores=cores, shuffle_partitions=cores)

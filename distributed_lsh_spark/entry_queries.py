@@ -2717,6 +2717,58 @@ FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
 ORDER BY d.doc_id"""
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear quality classifier APPLIED at scale
+    (operators/classifier.py): broadcast (feature_id, w_micro) table,
+    md5-fold feature hash, exact-integer logit accumulation, one
+    sigmoid per doc.  The gate uses a deterministic synthetic model
+    (w_micro from feature-id arithmetic — a stand-in for offline-trained
+    weights); the oracle resynthesizes the model AND rescores every doc
+    from scratch in SQL."""
+    from distributed_lsh_spark.operators.classifier import \
+        hashed_linear_score
+
+    dim = 4096
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    weights = spark.range(dim).select(
+        F.col("id").alias("feature_id"),
+        (F.pmod(F.col("id") * F.lit(2654435761), F.lit(2000001))
+         - F.lit(1000000)).alias("w_micro"))
+    return (hashed_linear_score(df, weights, dim, bias_micro=250000)
+            .orderBy("doc_id"))
+
+
+_SQL_QUALITY_CLASSIFIER = f"""
+WITH w AS (SELECT i AS feature_id,
+                  (i * 2654435761) % 2000001 - 1000000 AS w_micro
+           FROM range(4096) r(i)),
+toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+f AS (SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT % 4096 AS fid
+      FROM ex),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         coalesce(sum(w_micro), 0) + 250000 AS z_micro
+  FROM f LEFT JOIN w ON w.feature_id = f.fid
+  GROUP BY doc_id
+),
+filled AS (
+  SELECT d.doc_id,
+         CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+         CAST(coalesce(z_micro, 250000) AS BIGINT) AS z_micro
+  FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+),
+sc AS (
+  SELECT doc_id, n_tokens, z_micro,
+         round(1e0 / (1e0 + exp(-(z_micro /
+               (greatest(n_tokens, 1) * 1e6)))), 6) AS score
+  FROM filled
+)
+SELECT doc_id, n_tokens, z_micro, score, score >= 0.5 AS keep
+FROM sc ORDER BY doc_id"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2777,6 +2829,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_safe_split": q_cluster_safe_split,
     "temperature_mixture": q_temperature_mixture,
     "bigram_lm_quality": q_bigram_lm_quality,
+    "quality_classifier": q_quality_classifier,
 }
 
 _ANN_TOPK_SQL = _sql_ann_topk()
@@ -2839,4 +2892,5 @@ ORACLE_SQL: dict[str, str] = {
     "cluster_safe_split": _sql_cluster_safe_split(),
     "temperature_mixture": _SQL_TEMPERATURE_MIXTURE,
     "bigram_lm_quality": _SQL_BIGRAM_LM_QUALITY,
+    "quality_classifier": _SQL_QUALITY_CLASSIFIER,
 }
