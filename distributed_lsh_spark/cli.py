@@ -112,6 +112,23 @@ def cmd_dedup(args: argparse.Namespace) -> None:
     clusters = ckpt.stage(
         "clusters", lambda: connected_components(
             verified.select("id_a", "id_b").unionByName(exact_edges)))
+    extra = {}
+    if args.emit_weights or args.emit_split:
+        # post-dedup curation tables (operators/weighting.py) as extra
+        # checkpointed stages: a rerun that adds one of these flags
+        # resumes every dedup stage and only builds the new table
+        from distributed_lsh_spark.operators.weighting import (
+            cluster_safe_split, soft_dedup_weights,
+        )
+
+        docs = pages.select("doc_id")
+        if args.emit_weights:
+            ckpt.stage("weights",
+                       lambda: soft_dedup_weights(docs, clusters))
+            extra["n_weighted_docs"] = ckpt.rows("weights")
+        if args.emit_split:
+            ckpt.stage("split", lambda: cluster_safe_split(docs, clusters))
+            extra["n_split_docs"] = ckpt.rows("split")
     # stage row counts come from the manifests — no re-scan of checkpoints
     n_docs = pages.count()
     n_pairs, n_clustered = ckpt.rows("verified_pairs"), ckpt.rows("clusters")
@@ -119,7 +136,7 @@ def cmd_dedup(args: argparse.Namespace) -> None:
     print(json.dumps({
         "run_id": args.run_id, "n_docs": n_docs, "n_dup_pairs": n_pairs,
         "n_clustered_docs": n_clustered, "wall_sec": round(dt, 2),
-        "docs_per_sec": round(n_docs / dt, 1),
+        "docs_per_sec": round(n_docs / dt, 1), **extra,
     }))
     # NOTE: no spark.stop() — the session may be shared (tests, notebooks);
     # process exit tears it down for CLI runs
@@ -328,6 +345,12 @@ def main(argv: list[str] | None = None) -> None:
                    default="parquet",
                    help="jsonl: gzipped JSONL pages (interchange format; "
                         "explicit schema, corrupt lines dropped)")
+    d.add_argument("--emit-weights", action="store_true",
+                   help="also checkpoint a soft-dedup weights table "
+                        "(doc_id, cluster_id, cluster_size, weight)")
+    d.add_argument("--emit-split", action="store_true",
+                   help="also checkpoint a leakage-safe train/valid/test "
+                        "split table (one md5 draw per cluster)")
     _add_spark_args(d)
     d.set_defaults(fn=cmd_dedup)
 

@@ -101,3 +101,34 @@ def test_temperature_mixture_math(spark):
     # flattening: head domain downsampled, tail upsampled
     assert got["a"]["mix_weight"] < 1 < got["b"]["mix_weight"]
     assert got["b"]["mix_weight"] == round((math.sqrt(0.1) / s) / 0.1, 6)
+
+
+def test_cli_dedup_emits_weights_and_split(spark, tmp_path, capsys):
+    import json
+    import os
+
+    from distributed_lsh_spark.cli import main
+
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+         .select("doc_id", "text").write.parquet(src)
+    # first run WITHOUT the emit flags, then rerun WITH them: every dedup
+    # stage must resume and only the new tables get built
+    main(["dedup", "--input", src, "--output", out, "--run-id", "w1",
+          "--cores", "8"])
+    capsys.readouterr()
+    main(["dedup", "--input", src, "--output", out, "--run-id", "w1",
+          "--emit-weights", "--emit-split", "--cores", "8"])
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    n_docs = r["n_docs"]
+    assert r["n_weighted_docs"] == n_docs and r["n_split_docs"] == n_docs
+    w = spark.read.parquet(os.path.join(out, "w1", "weights", "data"))
+    s = spark.read.parquet(os.path.join(out, "w1", "split", "data"))
+    assert w.count() == n_docs and s.count() == n_docs
+    # weights sum to the number of clusters+singletons (mass 1 each)
+    from pyspark.sql import functions as F
+    n_groups = w.select("cluster_id").distinct().count()
+    total = w.agg(F.sum("weight")).collect()[0][0]
+    assert abs(total - n_groups) < 1e-3
+    assert {r2["split"] for r2 in s.collect()} <= {"train", "valid", "test"}
