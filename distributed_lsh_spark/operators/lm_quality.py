@@ -57,16 +57,25 @@ def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
                      normalized_tokens(text_col).alias("t"))
     ex = base.select("doc_id", F.posexplode("t").alias("pos", "w"))
 
-    # train: unigram occurrence counts + vocabulary size
-    uni = ex.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    # train: unigram occurrence counts + vocabulary size (uni feeds both
+    # the scoring join and the vocab count — checkpoint once, vocab-sized)
+    uni = (ex.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+             .localCheckpoint())
     vdf = uni.agg(F.count(F.lit(1)).alias("vs"))
 
-    # bigram occurrences -> per-doc multiplicities (map-side combine)
+    # bigram occurrences -> per-doc multiplicities (map-side combine).
+    # docbg and uni are each consumed by TWO downstream branches (the
+    # count-table derivation and the scoring join); localCheckpoint cuts
+    # the plan so the explode/window lineage runs once per frame instead
+    # of once per branch (same reuse barrier the dedup pipeline puts
+    # before the band self-join).
     wspec = Window.partitionBy("doc_id").orderBy("pos")
     bg = (ex.select("doc_id", F.col("w").alias("w1"),
                     F.lead("w").over(wspec).alias("w2"))
             .where(F.col("w2").isNotNull()))
-    docbg = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("m"))
+    docbg = (bg.groupBy("doc_id", "w1", "w2")
+               .agg(F.count(F.lit(1)).alias("m"))
+               .localCheckpoint())
     bgc = docbg.groupBy("w1", "w2").agg(F.sum("m").alias("cb"))
 
     p = ((F.col("cb") + 1).cast("double") /

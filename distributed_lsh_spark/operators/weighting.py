@@ -77,7 +77,9 @@ def soft_dedup_weights(docs: DataFrame, clusters: DataFrame,
     duplicates still contribute diversity in their unique spans) while the
     EXPECTED sample mass per cluster is exactly one document's.
     """
-    labeled = with_cluster_ids(docs, clusters, id_col)
+    # labeled feeds both the size groupBy and the final join — checkpoint
+    # the 16-B (id, cluster_id) frame so the label join runs once
+    labeled = with_cluster_ids(docs, clusters, id_col).localCheckpoint()
     sizes = (labeled.groupBy("cluster_id")
                     .agg(F.count(F.lit(1)).alias("cluster_size")))
     return (labeled.join(sizes, "cluster_id")
