@@ -60,6 +60,7 @@ def main() -> None:
         "temperature_mixture",
         "bigram_lm_quality",
         "quality_classifier",
+        "substring_removal",
     ]
 
     spark = get_spark(app_name="bench", cores=cores, shuffle_partitions=cores)

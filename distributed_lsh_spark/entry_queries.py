@@ -2769,6 +2769,68 @@ SELECT doc_id, n_tokens, z_micro, score, score >= 0.5 AS keep
 FROM sc ORDER BY doc_id"""
 
 
+def q_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring REMOVAL (Lee et al. ACL'22 remediation): every
+    >=20-token span shared verbatim with a lower-doc_id candidate partner
+    is cut from the later doc; lowest-id occurrence survives
+    (operators/substring.remove_shared_spans — suffix-array matching
+    statistics per pair).  Gate pins per-doc (n_tokens, n_removed) AND
+    the md5 of the rewritten token stream; the oracle recomputes coverage
+    via the INDEPENDENT diagonal gaps-and-islands formulation (a position
+    is removed iff it lies in a maximal diagonal match-run >= 20 — the
+    matching-statistics identity) and rebuilds the cleaned stream."""
+    from distributed_lsh_spark.operators.substring import remove_shared_spans
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = remove_shared_spans(df.select("doc_id", "text"),
+                              window=20, guarantee=5)
+    return (out.select("doc_id", "n_tokens", "n_removed",
+                       F.md5("clean_text").alias("clean_md5"))
+               .orderBy("doc_id"))
+
+
+def _sql_substring_removal(W: int = 20, g: int = 5) -> str:
+    geff = f"least({g}, len(wh))"
+    lcap = (f"len(list_filter(range(1, {geff} + 1), m -> m < {geff} "
+            f"AND i - m >= 1 AND wh[i] <= list_min(wh[i-m:i-1])))")
+    rcap = (f"len(list_filter(range(1, {geff} + 1), m -> m < {geff} "
+            f"AND i + m <= len(wh) AND wh[i] < list_min(wh[i+1:i+m])))")
+    return f"""WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+{_duck_window_hash_ctes(W)},
+sel AS (SELECT doc_id, list_distinct(
+          [wh[i] for i in range(1, len(wh) + 1)
+           if {lcap} + {rcap} >= {geff} - 1]) AS fpl
+        FROM whs),
+fpd AS (SELECT doc_id, unnest(fpl) AS fp FROM sel),
+cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM fpd a JOIN fpd b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+pos AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS i
+        FROM toks),
+m AS (SELECT c.id_a, c.id_b, pa.i AS i, pb.i AS j
+      FROM cand c
+      JOIN pos pa ON pa.doc_id = c.id_a
+      JOIN pos pb ON pb.doc_id = c.id_b AND pb.tok = pa.tok),
+r AS (SELECT id_a, id_b, i - j AS diag, j,
+             i - row_number() OVER (PARTITION BY id_a, id_b, i - j
+                                    ORDER BY i) AS grp
+      FROM m),
+runs AS (SELECT id_a, id_b, diag, grp, count(*) AS run
+         FROM r GROUP BY ALL),
+cov AS (SELECT DISTINCT r.id_b AS doc_id, r.j
+        FROM r JOIN runs USING (id_a, id_b, diag, grp)
+        WHERE runs.run >= {W}),
+covl AS (SELECT doc_id, list(j) AS cj FROM cov GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(len(cj), 0) AS BIGINT) AS n_removed,
+       md5(coalesce(array_to_string(
+         CASE WHEN cj IS NULL THEN t.t
+              ELSE [t.t[k] for k in range(1, len(t.t) + 1)
+                    if NOT list_contains(cj, k)] END, ' '), '')) AS clean_md5
+FROM toks t LEFT JOIN covl ON covl.doc_id = t.doc_id
+ORDER BY t.doc_id"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2830,6 +2892,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temperature_mixture": q_temperature_mixture,
     "bigram_lm_quality": q_bigram_lm_quality,
     "quality_classifier": q_quality_classifier,
+    "substring_removal": q_substring_removal,
 }
 
 _ANN_TOPK_SQL = _sql_ann_topk()
@@ -2893,4 +2956,5 @@ ORACLE_SQL: dict[str, str] = {
     "temperature_mixture": _SQL_TEMPERATURE_MIXTURE,
     "bigram_lm_quality": _SQL_BIGRAM_LM_QUALITY,
     "quality_classifier": _SQL_QUALITY_CLASSIFIER,
+    "substring_removal": _sql_substring_removal(),
 }

@@ -108,3 +108,85 @@ def oracle_max_span_dp(toks_a: list[str], toks_b: list[str]) -> int:
                     best = cur[j]
         prev = cur
     return best
+
+
+def cross_coverage(toks_b: list[str], partners: list[list[str]],
+                   min_len: int) -> np.ndarray:
+    """Boolean mask over toks_b: True where the position lies inside a
+    token span of length >= min_len shared verbatim with ANY partner
+    sequence (the Lee et al. ACL'22 removal criterion, per-pair form).
+
+    Per partner: matching statistics ms_j (longest prefix of b[j:]
+    occurring anywhere in a) via the joint SA + Kasai LCP — for each
+    b-suffix, the nearest a-suffix in SA order in either direction,
+    taking min-LCP along the way (two linear scans).  Coverage is the
+    union of [j, j + ms_j) over ms_j >= min_len, which equals "inside a
+    maximal diagonal match-run of length >= min_len" (each such run's
+    start has ms >= run length; conversely ms_j >= L exhibits a run of
+    length >= L through j) — the identity the SQL oracle exploits.
+    """
+    nb = len(toks_b)
+    mask = np.zeros(nb, dtype=bool)
+    if nb == 0:
+        return mask
+    big = nb + 1
+    for toks_a in partners:
+        if not toks_a or len(toks_a) < min_len:
+            continue
+        vocab: dict[str, int] = {}
+        enc = [vocab.setdefault(t, len(vocab)) for t in toks_a]
+        enc.append(-1)
+        enc += [vocab.setdefault(t, len(vocab)) for t in toks_b]
+        s = np.asarray(enc, dtype=np.int64)
+        sa = suffix_array(s)
+        lcp = kasai_lcp(s, sa)
+        na = len(toks_a)
+        n = len(s)
+        ms = np.zeros(n, dtype=np.int64)        # indexed by suffix start
+        # forward: nearest a-suffix ABOVE in SA order
+        cur = -1
+        for r in range(n):
+            start = sa[r]
+            if r > 0:
+                cur = min(cur, int(lcp[r - 1])) if cur >= 0 else -1
+            if start < na:
+                cur = big
+            elif start > na and cur > 0:
+                ms[start] = max(ms[start], cur)
+        # backward: nearest a-suffix BELOW in SA order
+        cur = -1
+        for r in range(n - 1, -1, -1):
+            start = sa[r]
+            if r < n - 1:
+                cur = min(cur, int(lcp[r])) if cur >= 0 else -1
+            if start < na:
+                cur = big
+            elif start > na and cur > 0:
+                ms[start] = max(ms[start], cur)
+        for j in range(nb):
+            m = min(int(ms[na + 1 + j]), nb - j)
+            if m >= min_len:
+                mask[j:j + m] = True
+    return mask
+
+
+def oracle_coverage_dp(toks_b: list[str], partners: list[list[str]],
+                       min_len: int) -> list[bool]:
+    """O(n*m) mirror for parity tests: diagonal match-run membership."""
+    nb = len(toks_b)
+    mask = [False] * nb
+    for toks_a in partners:
+        na = len(toks_a)
+        for i in range(na):
+            for j in range(nb):
+                if toks_a[i] != toks_b[j] or (i > 0 and j > 0 and
+                                              toks_a[i - 1] == toks_b[j - 1]):
+                    continue  # only run starts
+                ln = 0
+                while (i + ln < na and j + ln < nb
+                       and toks_a[i + ln] == toks_b[j + ln]):
+                    ln += 1
+                if ln >= min_len:
+                    for p in range(j, j + ln):
+                        mask[p] = True
+    return mask

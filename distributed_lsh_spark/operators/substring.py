@@ -273,3 +273,66 @@ def oracle_substring_pairs(docs: dict[int, str], window: int = 50,
             if shared >= min_shared:
                 out[(a, b)] = shared
     return out
+
+
+def remove_shared_spans(df: DataFrame, text_col: str = "text",
+                        window: int = 50, guarantee: int = 10,
+                        cap: int = 2000) -> DataFrame:
+    """Exact-substring REMOVAL (Lee et al. ACL'22 remediation step):
+    rewrite each doc with every token span of length >= `window` that it
+    shares verbatim with a LOWER-doc_id candidate partner cut out — the
+    lowest-id occurrence of a span survives, every later copy is removed.
+
+    -> (doc_id, n_tokens, n_removed, clean_text) over the NORMALIZED
+    token stream (production maps positions back to raw-byte offsets;
+    the token stream is this repo's canonical text form, same as
+    line_dedup's).  Docs with no candidate partner pass through intact.
+
+    Shape: winnowed-fingerprint candidates (same join + hot-key cap as
+    `substring_dup_pairs`; the SWA guarantee makes discovery total for
+    spans >= window + guarantee - 1), then per doc the partner token
+    sequences are gathered (bounded by the candidate cap) and coverage
+    is computed with per-pair suffix-array matching statistics
+    (functions/suffix.cross_coverage) in one Arrow-batched pandas UDF —
+    the same shard-by-pair reshaping of the paper's global suffix array
+    as `substring_span_pairs`.
+    """
+    from distributed_lsh_spark.functions.suffix import cross_coverage
+
+    cands = (substring_dup_pairs(df, text_col, window, guarantee,
+                                 min_shared=1, cap=cap)
+             .select("id_a", "id_b")
+             .localCheckpoint(eager=False))
+    toks = df.select("doc_id", F.expr(
+        _NORMALIZE_SQL.format(col=text_col)).alias("_toks"))
+    ta = toks.select(F.col("doc_id").alias("id_a"),
+                     F.col("_toks").alias("_ta"))
+    partners = (F.broadcast(cands).join(ta, "id_a")
+                .groupBy(F.col("id_b").alias("doc_id"))
+                .agg(F.collect_list("_ta").alias("_partners")))
+
+    out_schema = T.StructType([
+        T.StructField("n_removed", T.LongType(), False),
+        T.StructField("clean_text", T.StringType(), False),
+    ])
+
+    @F.pandas_udf(out_schema)
+    def _scrub(tb: pd.Series, ps: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b, partner_list in zip(tb, ps):
+            b = list(b)
+            pl = [list(p) for p in partner_list] if partner_list is not None else []
+            if pl:
+                mask = cross_coverage(b, pl, window)
+                kept = [t for t, c in zip(b, mask) if not c]
+                rows.append((int(mask.sum()), " ".join(kept)))
+            else:
+                rows.append((0, " ".join(b)))
+        return pd.DataFrame(rows, columns=["n_removed", "clean_text"])
+
+    return (toks.join(partners, "doc_id", "left")
+                .withColumn("_o", _scrub("_toks", "_partners"))
+                .select("doc_id",
+                        F.size("_toks").cast("bigint").alias("n_tokens"),
+                        F.col("_o.n_removed").alias("n_removed"),
+                        F.col("_o.clean_text").alias("clean_text")))
