@@ -251,12 +251,37 @@ def cmd_curate(args: argparse.Namespace) -> None:
                                           "blocked_hosts": bl_entries,
                                           "blocked_url_regex":
                                               sorted(args.blocked_url_regex
-                                                     or [])})
+                                                     or []),
+                                          "remove_spans": args.remove_spans,
+                                          "span_window": args.span_window})
     t0 = time.time()
     res = curation_funnel(
         pages, cfg, url_col=url_col, ts_col=ts_col or "warc_epoch",
         quality_keep=None if args.no_quality else quality_keep_expr(),
         ckpt=ckpt)
+    survivors = res.survivors
+    n_span_tokens = None
+    if args.remove_spans:
+        # post-funnel rewrite tier (Lee et al. remediation): the funnel
+        # drops whole near-dup docs; this cuts the >=W-token spans that
+        # survive BELOW the doc-level Jaccard threshold.  Checkpointed —
+        # a rerun adding the flag resumes every funnel tier.
+        from distributed_lsh_spark.operators.substring import \
+            remove_shared_spans
+
+        def _clean():
+            cleaned = remove_shared_spans(
+                survivors.select("doc_id", "text"),
+                window=args.span_window, guarantee=5)
+            return (survivors.drop("text")
+                    .join(cleaned.select(
+                        "doc_id", "n_removed",
+                        F.col("clean_text").alias("text")), "doc_id"))
+
+        survivors = ckpt.stage("span_clean", _clean)
+        n_span_tokens = (survivors.agg(F.sum("n_removed")).collect()[0][0]
+                         or 0)
+        survivors = survivors.drop("n_removed")
     metrics = [r.asDict() for r in res.metrics.orderBy("tier_no").collect()]
     n_wet = None
     if args.wet_output:
@@ -265,7 +290,7 @@ def cmd_curate(args: argparse.Namespace) -> None:
         from distributed_lsh_spark.sources.warc import write_warc
 
         if url_col == "url" and ts_col == "warc_ts":
-            n_wet = write_warc(res.survivors, args.wet_output)
+            n_wet = write_warc(survivors, args.wet_output)
         else:
             raise SystemExit("--wet-output needs url + warc_ts columns "
                              "on the input pages table")
@@ -275,7 +300,7 @@ def cmd_curate(args: argparse.Namespace) -> None:
         # hand-off format (binary columns dropped; sources/jsonl.py)
         from distributed_lsh_spark.sources.jsonl import write_jsonl
 
-        n_jsonl = write_jsonl(res.survivors, args.jsonl_output,
+        n_jsonl = write_jsonl(survivors, args.jsonl_output,
                               shards=args.jsonl_shards)
     dt = time.time() - t0
     n_in = metrics[0]["docs_out"]
@@ -290,6 +315,8 @@ def cmd_curate(args: argparse.Namespace) -> None:
            if n_wet is not None else {}),
         **({"jsonl_records": n_jsonl, "jsonl_output": args.jsonl_output}
            if n_jsonl is not None else {}),
+        **({"span_tokens_removed": int(n_span_tokens)}
+           if n_span_tokens is not None else {}),
     }))
 
 
@@ -388,6 +415,12 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("--jsonl-shards", type=int, default=None,
                    help="output file count for --jsonl-output (gzip is "
                         "not splittable: this IS downstream parallelism)")
+    c.add_argument("--remove-spans", action="store_true",
+                   help="post-funnel rewrite tier: cut every >=W-token "
+                        "span a survivor shares verbatim with a lower-id "
+                        "survivor (lowest-id copy survives)")
+    c.add_argument("--span-window", type=int, default=50,
+                   help="W for --remove-spans (tokens; default 50)")
     _add_spark_args(c)
     c.set_defaults(fn=cmd_curate)
 

@@ -72,3 +72,46 @@ def test_remove_shared_spans_survivor_policy(spark):
         r = got[did]
         n_clean = len(r["clean_text"].split()) if r["clean_text"] else 0
         assert r["n_tokens"] - r["n_removed"] == n_clean
+
+
+def test_cli_curate_remove_spans(spark, tmp_path, capsys):
+    import datetime
+    import json
+
+    from distributed_lsh_spark.cli import main
+
+    span = " ".join(f"q{i}" for i in range(30))
+    rows = []
+    for i in range(8):
+        # no underscores: the normalizer splits on them, and a shared
+        # trailing "29" would legitimately extend the planted run
+        body = f"page body number {i} " + " ".join(
+            f"t{i}x{j}" for j in range(30))
+        if i in (2, 5):  # plant the span into two distinct pages
+            body += " " + span
+        rows.append((f"http://h{i}.example.com/p", 
+                     datetime.datetime(2024, 1, 1 + i), body, "en"))
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "run")
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string, lang string") \
+        .write.parquet(src)
+
+    args = ["curate", "--input", src, "--output", out, "--run-id", "s1",
+            "--no-quality", "--remove-spans", "--span-window", "20",
+            "--cores", "8"]
+    main(args)
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["n_survivors"] == 8          # rewrite drops spans, not docs
+    assert r["span_tokens_removed"] == 30  # one 30-token copy cut
+    import os
+    cleaned = spark.read.parquet(os.path.join(out, "s1", "span_clean",
+                                              "data"))
+    texts = {u: t for u, t in cleaned.select("url", "text").collect()}
+    keep, cut = sorted(u for u in texts if "q0 " in texts[u] + " "), None
+    survivors_with_span = [u for u in texts if " q0 " in " " + texts[u]]
+    assert len(survivors_with_span) == 1  # lowest-id copy survives
+    # resume: rerun is pure manifest reads, same numbers
+    main(args)
+    r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r2["span_tokens_removed"] == 30
