@@ -61,6 +61,7 @@ def main() -> None:
         "bigram_lm_quality",
         "quality_classifier",
         "substring_removal",
+        "mirror_hosts",
     ]
 
     spark = get_spark(app_name="bench", cores=cores, shuffle_partitions=cores)

@@ -2831,6 +2831,52 @@ FROM toks t LEFT JOIN covl ON covl.doc_id = t.doc_id
 ORDER BY t.doc_id"""
 
 
+def q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-host detection (Bharat & Broder WWW'99 shape,
+    operators/mirrors.py): hosts sharing >= 2 byte-identical page texts
+    via a capped content-hash self-join.  The sf corpus carries no
+    byte-identical texts (exact_dup_groups precedent), so mirrored copies
+    are planted by arithmetic: every doc_id % 5 == 0 page is re-served
+    by a second host (m<doc_id % 3>.example.org) with identical bytes —
+    mirror pairs are then fully predictable from doc_id arithmetic, and
+    the oracle ALSO recomputes them through its own md5 join, checking
+    the hash-cooccurrence logic rather than assuming the plant."""
+    from distributed_lsh_spark.operators.mirrors import mirror_host_pairs
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = F.pmod(F.col("doc_id"), F.lit(97))
+    host = F.concat(F.lit("h"), F.pmod(p, F.lit(7)).cast("string"),
+                    F.lit(".example.com"))
+    base = df.select(host.alias("host"), "text")
+    mirror_host = F.concat(F.lit("m"),
+                           F.pmod(F.col("doc_id"), F.lit(3)).cast("string"),
+                           F.lit(".example.org"))
+    mirrored = (df.where(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+                  .select(mirror_host.alias("host"), "text"))
+    pages = base.unionByName(mirrored)
+    return (mirror_host_pairs(pages, "host", "text", min_shared=2)
+            .orderBy("host_a", "host_b"))
+
+
+_SQL_MIRROR_HOSTS = """
+WITH pages AS (
+  SELECT 'h' || ((doc_id % 97) % 7) || '.example.com' AS host, text
+  FROM documents
+  UNION ALL
+  SELECT 'm' || (doc_id % 3) || '.example.org' AS host, text
+  FROM documents WHERE doc_id % 5 = 0
+),
+hh AS (SELECT DISTINCT host, md5(text) AS h FROM pages),
+counts AS (SELECT h, count(*) AS n FROM hh GROUP BY h),
+kept AS (SELECT host, hh.h FROM hh JOIN counts ON counts.h = hh.h
+         WHERE n <= 100)
+SELECT a.host AS host_a, b.host AS host_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM kept a JOIN kept b ON a.h = b.h AND a.host < b.host
+GROUP BY 1, 2 HAVING count(*) >= 2
+ORDER BY host_a, host_b"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2893,6 +2939,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_lm_quality": q_bigram_lm_quality,
     "quality_classifier": q_quality_classifier,
     "substring_removal": q_substring_removal,
+    "mirror_hosts": q_mirror_hosts,
 }
 
 _ANN_TOPK_SQL = _sql_ann_topk()
@@ -2957,4 +3004,5 @@ ORACLE_SQL: dict[str, str] = {
     "bigram_lm_quality": _SQL_BIGRAM_LM_QUALITY,
     "quality_classifier": _SQL_QUALITY_CLASSIFIER,
     "substring_removal": _sql_substring_removal(),
+    "mirror_hosts": _SQL_MIRROR_HOSTS,
 }
