@@ -277,7 +277,7 @@ def oracle_substring_pairs(docs: dict[int, str], window: int = 50,
 
 def remove_shared_spans(df: DataFrame, text_col: str = "text",
                         window: int = 50, guarantee: int = 10,
-                        cap: int = 2000) -> DataFrame:
+                        cap: int = 2000, max_partners: int = 64) -> DataFrame:
     """Exact-substring REMOVAL (Lee et al. ACL'22 remediation step):
     rewrite each doc with every token span of length >= `window` that it
     shares verbatim with a LOWER-doc_id candidate partner cut out — the
@@ -291,18 +291,29 @@ def remove_shared_spans(df: DataFrame, text_col: str = "text",
     Shape: winnowed-fingerprint candidates (same join + hot-key cap as
     `substring_dup_pairs`; the SWA guarantee makes discovery total for
     spans >= window + guarantee - 1), then per doc the partner token
-    sequences are gathered (bounded by the candidate cap) and coverage
-    is computed with per-pair suffix-array matching statistics
-    (functions/suffix.cross_coverage) in one Arrow-batched pandas UDF —
-    the same shard-by-pair reshaping of the paper's global suffix array
-    as `substring_span_pairs`.
+    sequences are gathered and coverage is computed with per-pair
+    suffix-array matching statistics (functions/suffix.cross_coverage)
+    in one Arrow-batched pandas UDF — the same shard-by-pair reshaping
+    of the paper's global suffix array as `substring_span_pairs`.
+
+    `max_partners` bounds the gather: a boilerplate-heavy doc can pair
+    with thousands of candidates, and collecting every partner's token
+    array into one row is the one place this plan could build an
+    unbounded row.  The LOWEST-id partners are kept (deterministic, and
+    they are exactly the copies the survivor policy defers to); a span
+    shared with a dropped partner is near-always shared with a kept one
+    — mass-duplicated spans are present in many partners by definition.
     """
     from distributed_lsh_spark.functions.suffix import cross_coverage
 
     cands = (substring_dup_pairs(df, text_col, window, guarantee,
                                  min_shared=1, cap=cap)
-             .select("id_a", "id_b")
-             .localCheckpoint(eager=False))
+             .select("id_a", "id_b"))
+    cands = (cands.withColumn(
+                 "_r", F.row_number().over(
+                     Window.partitionBy("id_b").orderBy("id_a")))
+                  .where(F.col("_r") <= max_partners).drop("_r")
+                  .localCheckpoint(eager=False))
     toks = df.select("doc_id", F.expr(
         _NORMALIZE_SQL.format(col=text_col)).alias("_toks"))
     ta = toks.select(F.col("doc_id").alias("id_a"),

@@ -115,3 +115,29 @@ def test_cli_curate_remove_spans(spark, tmp_path, capsys):
     main(args)
     r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert r2["span_tokens_removed"] == 30
+
+
+def test_remove_shared_spans_partner_cap_keeps_lowest(spark):
+    # >= window + guarantee - 1 = 24 tokens: winnow DISCOVERY is then
+    # guaranteed for both pairs, so the cap is the only variable
+    s1 = " ".join(f"a{i}" for i in range(25))
+    s2 = " ".join(f"b{i}" for i in range(25))
+    docs = [
+        (1, "one " + s1),                   # lowest-id partner: carries s1
+        (2, "two " + s2),                   # dropped by the cap
+        (3, "tail doc " + s1 + " mid " + s2),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from distributed_lsh_spark.operators.substring import remove_shared_spans
+
+    got = {r["doc_id"]: r for r in
+           remove_shared_spans(df, window=20, guarantee=5,
+                               max_partners=1).collect()}
+    # doc 3 keeps only partner 1 (lowest id): s1 removed, s2 SURVIVES
+    assert got[3]["n_removed"] == 25
+    assert "a0" not in got[3]["clean_text"]
+    assert "b0" in got[3]["clean_text"]
+    # uncapped: both spans removed
+    got2 = {r["doc_id"]: r for r in
+            remove_shared_spans(df, window=20, guarantee=5).collect()}
+    assert got2[3]["n_removed"] == 50
