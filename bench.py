@@ -62,6 +62,7 @@ def main() -> None:
         "quality_classifier",
         "substring_removal",
         "mirror_hosts",
+        "reservoir_sample",
     ]
 
     spark = get_spark(app_name="bench", cores=cores, shuffle_partitions=cores)

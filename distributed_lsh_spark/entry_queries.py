@@ -2877,6 +2877,41 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 ORDER BY host_a, host_b"""
 
 
+def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-N deterministic stratified sampling (operators/sampling.py):
+    exactly 20 docs per pseudo-lang stratum = the 20 smallest md5 ranks,
+    selected scale-safely (hash-threshold prefilter in 128-bit exact
+    arithmetic bounds each stratum's window sort at ~2N rows).  The
+    oracle replays rank, threshold, and window in HUGEINT."""
+    from distributed_lsh_spark.operators.sampling import reservoir_sample
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = df.select("doc_id",
+                      F.pmod(F.col("doc_id"), F.lit(5)).alias("stratum"))
+    out = reservoir_sample(pages, "stratum", n=20)
+    return (out.select("stratum", "doc_id",
+                       F.col("sample_rank").cast("bigint")
+                        .alias("sample_rank"))
+               .orderBy("stratum", "sample_rank"))
+
+
+_SQL_RESERVOIR_SAMPLE = """
+WITH r AS (SELECT doc_id, doc_id % 5 AS stratum,
+                  (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   ::BIGINT)::HUGEINT AS rk
+           FROM documents),
+c AS (SELECT stratum, count(*) AS cnt FROM r GROUP BY stratum),
+pre AS (SELECT r.doc_id, r.stratum, r.rk, c.cnt
+        FROM r JOIN c ON c.stratum = r.stratum
+        WHERE rk * cnt < 1152921504606846976::HUGEINT * 40),
+w AS (SELECT stratum, doc_id,
+             row_number() OVER (PARTITION BY stratum
+                                ORDER BY rk, doc_id) AS sample_rank
+      FROM pre)
+SELECT stratum, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM w WHERE sample_rank <= 20 ORDER BY stratum, sample_rank"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2940,6 +2975,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classifier": q_quality_classifier,
     "substring_removal": q_substring_removal,
     "mirror_hosts": q_mirror_hosts,
+    "reservoir_sample": q_reservoir_sample,
 }
 
 _ANN_TOPK_SQL = _sql_ann_topk()
@@ -3005,4 +3041,5 @@ ORACLE_SQL: dict[str, str] = {
     "quality_classifier": _SQL_QUALITY_CLASSIFIER,
     "substring_removal": _sql_substring_removal(),
     "mirror_hosts": _SQL_MIRROR_HOSTS,
+    "reservoir_sample": _SQL_RESERVOIR_SAMPLE,
 }

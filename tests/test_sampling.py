@@ -41,3 +41,55 @@ def test_stratified_sample_matches_plain_python(spark):
         # the sampler actually thins the stratum (not all-kept, not empty)
         if st["rate"] < 1000 and st["n"] >= 20:
             assert 0 < g.n_kept < g.n_docs
+
+
+# ---------------------------------------------------------------- reservoir
+
+def _py_rank(x: int) -> int:
+    import hashlib
+    return int(hashlib.md5(str(x).encode()).hexdigest()[:15], 16)
+
+
+def test_reservoir_sample_equals_pure_topn(spark):
+    # prefilter + window must equal the pure "n smallest md5 ranks per
+    # stratum" definition, computed independently in Python
+    from distributed_lsh_spark.operators.sampling import reservoir_sample
+
+    rows = [(i, i % 3) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, stratum long")
+    got = {(r["stratum"], r["sample_rank"]): r["doc_id"]
+           for r in reservoir_sample(df, "stratum", n=7).collect()}
+    for s in range(3):
+        ids = sorted((i for i in range(500) if i % 3 == s),
+                     key=lambda i: (_py_rank(i), i))[:7]
+        for rank, i in enumerate(ids, start=1):
+            assert got[(s, rank)] == i, (s, rank)
+    assert len(got) == 21
+
+
+def test_reservoir_sample_small_strata_exact(spark):
+    # a stratum smaller than n returns ALL its rows (count<=margin*n
+    # passes the threshold for every rank by construction)
+    from distributed_lsh_spark.operators.sampling import reservoir_sample
+
+    rows = [(i, 0) for i in range(3)] + [(100 + i, 1) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, stratum long")
+    out = reservoir_sample(df, "stratum", n=10)
+    sizes = {r["stratum"]: r["n"] for r in
+             out.groupBy("stratum").agg(__import__("pyspark.sql.functions",
+                 fromlist=["count"]).count("*").alias("n")).collect()}
+    assert sizes == {0: 3, 1: 10}
+
+
+def test_reservoir_sample_stable_under_repartition(spark):
+    # the sample depends only on ids, never on physical layout
+    from distributed_lsh_spark.operators.sampling import reservoir_sample
+
+    rows = [(i, i % 2) for i in range(300)]
+    a = spark.createDataFrame(rows, "doc_id long, stratum long")
+    b = a.repartition(17)
+    ka = sorted(map(tuple, reservoir_sample(a, "stratum", 5)
+                    .select("stratum", "doc_id", "sample_rank").collect()))
+    kb = sorted(map(tuple, reservoir_sample(b, "stratum", 5)
+                    .select("stratum", "doc_id", "sample_rank").collect()))
+    assert ka == kb and len(ka) == 10
