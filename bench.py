@@ -28,6 +28,7 @@ def main() -> None:
         "minhash_lsh_dup_pairs",
         "dedup_clusters",
         "ngram_jaccard_dup_pairs",
+        "containment_dup_pairs",
         "exact_dup_groups",
         "simhash_hamming_pairs",
         "substring_dup_pairs",

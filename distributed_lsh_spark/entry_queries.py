@@ -107,6 +107,66 @@ WHERE j >= {CFG.jaccard_threshold}
 ORDER BY id_a, id_b"""
 
 
+def q_containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (operators/containment.py): pairs with
+    |n| / min(|A|, |B|) >= tau over exact shingle sets — the doc-in-doc
+    near-duplicates (syndicated article inside a portal page) whose
+    Jaccard sits far below the MinHash-LSH family's threshold.  The
+    `jaccard` column rides along so the row itself shows which pairs a
+    Jaccard rule would have missed.
+
+    The synthetic corpus carries no contained docs, so (exact_dup_groups
+    planting pattern) every doc_id % 67 == 0 document with >= 50 chars is
+    unioned back in under doc_id + 2_000_000 with only its first
+    (2*length div 5) characters: a ~40% prefix whose shingles are a
+    near-subset of the original's (only the shingles touching the
+    truncated final token are new), i.e. containment ~ 1 while Jaccard
+    ~ 0.4.  GATE SCAFFOLDING ONLY: the planting assumes the sf corpora's
+    dense non-negative doc_ids; the production path takes the raw table.
+    """
+    from distributed_lsh_spark.functions.signature import with_signatures
+    from distributed_lsh_spark.operators.containment import containment_pairs
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    prefixes = (df.where((F.pmod(F.col("doc_id"), F.lit(67)) == 0)
+                         & (F.length("text") >= 50))
+                  .select((F.col("doc_id") + 2_000_000).alias("doc_id"),
+                          F.expr("substring(text, 1, "
+                                 "CAST((length(text)*2) div 5 AS INT))")
+                           .alias("text")))
+    docs = with_signatures(df.unionByName(prefixes), CFG)
+    v = containment_pairs(docs, CFG, tau=CFG.jaccard_threshold,
+                          df_cap=CFG.hot_band_cap)
+    return (v.select("id_a", "id_b",
+                     F.round("containment", 6).alias("containment"),
+                     F.round("jaccard", 6).alias("jaccard"), "contained_id")
+             .orderBy("id_a", "id_b"))
+
+
+def _sql_containment_pairs() -> str:
+    return f"""WITH planted AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         substr(text, 1, (length(text)*2) // 5) AS text
+  FROM documents WHERE doc_id % 67 = 0 AND length(text) >= 50
+),{_duck_shingle_cte(CFG.shingle_k, src="planted")},
+cont AS (
+  SELECT id_a, id_b,
+         c * 1.0 / least(sa.n, sb.n) AS cont,
+         c * 1.0 / (sa.n + sb.n - c) AS j,
+         CASE WHEN sa.n <= sb.n THEN id_a ELSE id_b END AS contained_id
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, round(cont, 6) AS containment, round(j, 6) AS jaccard,
+       contained_id
+FROM cont WHERE cont >= {CFG.jaccard_threshold}
+ORDER BY id_a, id_b"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH dup pairs -> large-star/small-star connected components
     (SURVEY.md C4).  Oracle: recursive-CTE transitive closure over the
@@ -2919,6 +2979,7 @@ FROM w WHERE sample_rank <= 20 ORDER BY stratum, sample_rank"""
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_dup_pairs": q_minhash_lsh_dup_pairs,
     "ngram_jaccard_dup_pairs": q_ngram_jaccard_dup_pairs,
+    "containment_dup_pairs": q_containment_dup_pairs,
     "dedup_clusters": q_dedup_clusters,
     "dedup_stats": q_dedup_stats,
     "top_ngrams": q_top_ngrams,
@@ -2983,6 +3044,7 @@ _ANN_TOPK_SQL = _sql_ann_topk()
 ORACLE_SQL: dict[str, str] = {
     "minhash_lsh_dup_pairs": _sql_dup_pairs(),
     "ngram_jaccard_dup_pairs": _sql_dup_pairs(),
+    "containment_dup_pairs": _sql_containment_pairs(),
     "dedup_clusters": _sql_dedup_clusters(),
     "dedup_stats": _sql_dedup_stats(),
     "top_ngrams": _sql_top_ngrams(),
