@@ -493,6 +493,120 @@ def incremental_line_dedup_stream(spark: SparkSession, input_dir: str,
     return writer.start()
 
 
+def incremental_containment_stream(spark: SparkSession, input_dir: str,
+                                   state_dir: str, tau: float = 0.8,
+                                   schema: str = "doc_id long, text string",
+                                   available_now: bool = True,
+                                   max_files_per_trigger: int = 16,
+                                   compact_every: int | None = 64):
+    """Streaming twin of operators/containment.containment_pairs
+    (asymmetric doc-in-doc near-dups, |n| / min(|A|, |B|) >= tau): the
+    sixth dedup family's incremental counterpart (minhash / simhash /
+    substring / exact / line / containment).
+
+    A doc's shingle set is COMPLETE in its arrival batch, so joining the
+    batch's distinct (doc_id, g) rows against the persisted index (plus
+    the batch itself) yields each pair's full intersection the moment
+    both members exist — a pair is emitted exactly once, in
+    max(batch_a, batch_b), with its exact containment/jaccard scores
+    (the substring twin's emission argument).  Index rows carry the
+    owning doc's set size, so no separate sizes table or join is needed.
+
+    State layout under `state_dir`:
+      checkpoint/      Spark streaming checkpoint
+      shingle_index/   accumulated DISTINCT (doc_id, g, n_sh) rows
+      pairs/           (id_a, id_b, containment, jaccard, contained_id)
+                       with batch_id lineage
+
+    The batch operator's df_cap guards the one-shot self-join; here the
+    per-batch probe joins only the BATCH's shingles against history, and
+    corpus-wide boilerplate shingles (the hot keys) leave the stream via
+    the upstream stateful exact pass + line dedup — the same composition
+    seam as the other twins.  doc_ids are assumed unique across batches;
+    compaction-crash duplicate index rows are tolerated (intersections
+    count DISTINCT g per pair).  The signature UDF runs with a 1-perm
+    OPH config: shingles are scheme-independent and the minhash column
+    is discarded, so the Arrow pass costs tokenize+shingle only."""
+    import dataclasses
+
+    from distributed_lsh_spark.conf import DEFAULT_CONFIG
+    from distributed_lsh_spark.functions.signature import with_signatures
+
+    shingle_cfg = dataclasses.replace(DEFAULT_CONFIG, minhash_scheme="oph",
+                                      num_perm=1, num_bands=1,
+                                      rows_per_band=1)
+    idx_dir = os.path.join(state_dir, "shingle_index")
+    pairs_dir = os.path.join(state_dir, "pairs")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", str(max_files_per_trigger))
+              .parquet(input_dir))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_batch_index(spark, idx_dir, batch_id)
+        new = (with_signatures(batch_df.select("doc_id", "text"), shingle_cfg)
+               .select("doc_id", F.size("shingles").alias("n_sh"),
+                       F.explode("shingles").alias("g"))
+               .withColumn("batch_id", F.lit(batch_id)))
+        new.persist()
+        try:
+            occ = new.select("doc_id", "n_sh", "g")
+            lo = F.col("a.doc_id") < F.col("b.doc_id")
+
+            def _pair_rows(joined: DataFrame) -> DataFrame:
+                return (joined
+                        .where(F.col("a.doc_id") != F.col("b.doc_id"))
+                        .select(F.least("a.doc_id", "b.doc_id").alias("id_a"),
+                                F.greatest("a.doc_id", "b.doc_id").alias("id_b"),
+                                F.when(lo, F.col("a.n_sh"))
+                                 .otherwise(F.col("b.n_sh")).alias("n_a"),
+                                F.when(lo, F.col("b.n_sh"))
+                                 .otherwise(F.col("a.n_sh")).alias("n_b"),
+                                F.col("g")))
+
+            a = occ.alias("a")
+            within = _pair_rows(a.join(occ.alias("b"), "g")
+                                .where(F.col("a.doc_id") < F.col("b.doc_id")))
+            if has_band_history(spark, idx_dir):
+                b = (spark.read.parquet(idx_dir)
+                     .where(F.col("batch_id") < batch_id)
+                     .select("doc_id", "n_sh", "g")).alias("b")
+                sides = _pair_rows(a.join(b, "g")).unionByName(within)
+            else:
+                sides = within
+            # no broadcast hint: a dup-heavy batch makes this unbounded —
+            # AQE broadcasts only when it measures small (simhash-twin rule)
+            pairs = (sides.groupBy("id_a", "id_b", "n_a", "n_b")
+                     .agg(F.count_distinct("g").alias("_c"))
+                     .withColumn("containment",
+                                 F.col("_c") / F.least("n_a", "n_b"))
+                     .withColumn("jaccard",
+                                 F.col("_c") / (F.col("n_a") + F.col("n_b")
+                                                - F.col("_c")))
+                     .withColumn("contained_id",
+                                 F.when(F.col("n_a") <= F.col("n_b"),
+                                        F.col("id_a")).otherwise(F.col("id_b")))
+                     .where(F.col("containment") >= tau)
+                     .select("id_a", "id_b", "containment", "jaccard",
+                             "contained_id")
+                     .withColumn("batch_id", F.lit(batch_id)))
+            for df, d in ((pairs, pairs_dir), (new, idx_dir)):
+                (df.write.mode("overwrite").partitionBy("batch_id")
+                   .option("partitionOverwriteMode", "dynamic").parquet(d))
+        finally:
+            new.unpersist()
+
+    writer = (stream.writeStream
+              .foreachBatch(process_batch)
+              .option("checkpointLocation", os.path.join(state_dir, "checkpoint")))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_hourly_counts(spark: SparkSession, input_dir: str,
                             schema: str = ("event_id long, ts timestamp, user_id long, "
                                            "event_type string, value double"),
