@@ -253,11 +253,15 @@ def cmd_curate(args: argparse.Namespace) -> None:
                                               sorted(args.blocked_url_regex
                                                      or []),
                                           "remove_spans": args.remove_spans,
-                                          "span_window": args.span_window})
+                                          "span_window": args.span_window,
+                                          "drop_contained":
+                                              bool(args.drop_contained)})
     t0 = time.time()
     res = curation_funnel(
         pages, cfg, url_col=url_col, ts_col=ts_col or "warc_epoch",
         quality_keep=None if args.no_quality else quality_keep_expr(),
+        drop_contained=cfg.jaccard_threshold if args.drop_contained
+        else None,
         ckpt=ckpt)
     survivors = res.survivors
     n_span_tokens = None
@@ -309,7 +313,8 @@ def cmd_curate(args: argparse.Namespace) -> None:
         "n_docs": n_in, "n_survivors": metrics[-1]["docs_out"],
         "wall_sec": round(dt, 2),
         "docs_per_sec": round(n_in / dt, 1) if dt else None,
-        "survivors_stage": "funnel_near_dup",
+        "survivors_stage": ("span_clean" if args.remove_spans
+                            else f"funnel_{metrics[-1]['tier']}"),
         **({"blocklist_removed": n_raw - n_in} if n_raw is not None else {}),
         **({"wet_records": n_wet, "wet_output": args.wet_output}
            if n_wet is not None else {}),
@@ -396,6 +401,10 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("--canonical-urls", action="store_true",
                    help="canonicalize urls (RFC 3986 + tracking-param "
                         "strip) before the keep-latest-per-url tier")
+    c.add_argument("--drop-contained", action="store_true",
+                   help="add a fifth tier dropping docs contained in a "
+                        "partner at --threshold containment (doc-in-doc "
+                        "pairs the near-dup tier's Jaccard-LSH misses)")
     c.add_argument("--blocked-hosts", default=None,
                    help="file of blocked registrable domains (one per "
                         "line, # comments) applied as a map-only "

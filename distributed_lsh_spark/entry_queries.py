@@ -136,7 +136,7 @@ def q_containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "CAST((length(text)*2) div 5 AS INT))")
                            .alias("text")))
     docs = with_signatures(df.unionByName(prefixes), CFG)
-    v = containment_pairs(docs, CFG, tau=CFG.jaccard_threshold,
+    v = containment_pairs(docs, tau=CFG.jaccard_threshold,
                           df_cap=CFG.hot_band_cap)
     return (v.select("id_a", "id_b",
                      F.round("containment", 6).alias("containment"),

@@ -39,10 +39,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from distributed_lsh_spark.conf import DedupConfig
 
-
-def containment_pairs(docs: DataFrame, cfg: DedupConfig,
+def containment_pairs(docs: DataFrame, *,
                       tau: float = 0.8, df_cap: int | None = 2000,
                       shingles_col: str = "shingles",
                       candidates: DataFrame | None = None,

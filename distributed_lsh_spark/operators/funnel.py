@@ -9,6 +9,10 @@ run executes (the "tier dedup" shape):
   3. quality          document quality gate (caller-supplied keep rule)
   4. near_dup         MinHash-LSH near-dup clusters, keep the cluster
                       representative (min doc_id in component)
+  5. containment      OPTIONAL (`drop_contained=tau`): drop docs whose
+                      shingle set sits >= tau inside a partner's — the
+                      asymmetric doc-in-doc pairs tier 4's Jaccard-LSH
+                      structurally misses (operators/containment.py)
 
 Tier ORDER is the cost argument, not a correctness choice: each tier is
 cheaper per-row than the next (16-40 B projection groupBys < codegen
@@ -50,7 +54,8 @@ from pyspark.sql import functions as F
 from distributed_lsh_spark.conf import DedupConfig, DEFAULT_CONFIG
 from distributed_lsh_spark.pipeline import run_dedup
 
-TIER_NAMES = ("input", "url_latest", "exact", "quality", "near_dup")
+TIER_NAMES = ("input", "url_latest", "exact", "quality", "near_dup",
+              "containment")
 
 
 def select_representatives(clusters: DataFrame, ranked: DataFrame,
@@ -94,6 +99,7 @@ def curation_funnel(pages: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG, *,
                     url_col: str = "url", ts_col: str = "warc_epoch",
                     quality_keep: Column | None = None,
                     rep_rank: dict[str, Column] | None = None,
+                    drop_contained: float | None = None,
                     ckpt=None) -> FunnelResult:
     """Run the 4-tier dedup funnel over `pages(doc_id, text[, url, ts])`.
 
@@ -105,6 +111,9 @@ def curation_funnel(pages: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG, *,
       upstream if different semantics are wanted.
     - `quality_keep`: boolean Column over the page row (e.g. the gated
       doc_quality keep rule); None skips the tier (keeps the row count).
+    - `drop_contained`: optional containment threshold; when set, a fifth
+      tier drops the contained side of every asymmetric containment pair
+      among the near-dup survivors (see the tier comment below).
     - `rep_rank`: optional {name: integer Column over the page row}
       survivor policy for the near-dup tier — keep each cluster's member
       maximizing the rank tuple lexicographically (ties to lowest
@@ -203,12 +212,50 @@ def curation_funnel(pages: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG, *,
     cur = checkpointed("near_dup", build_near_dup)
     tiers["near_dup"] = cur
 
+    if drop_contained is not None:
+        # optional fifth tier: asymmetric containment dedup over the
+        # near-dup survivors — drops each doc whose shingle set sits
+        # >= drop_contained inside a partner's (the doc-in-doc pairs whose
+        # Jaccard the near-dup tier's LSH structurally cannot see; pairs
+        # >= the Jaccard threshold are ALREADY gone, so everything found
+        # here is in the Jaccard-missed class).  Policy: keep the
+        # CONTAINER (the doc with more distinct shingles — its text
+        # carries the pair's content); mutual-containment ties keep the
+        # higher id (the operator labels the lower id contained).  Runs
+        # last because its inverted-index self-join is the costliest
+        # per-row tier — it only ever sees the fully-reduced survivor
+        # set.  Shingles are recomputed with a 1-perm OPH config (the
+        # minhash column is discarded; the pass costs tokenize+shingle).
+        import dataclasses
+
+        from distributed_lsh_spark.functions.signature import with_signatures
+        from distributed_lsh_spark.operators.containment import (
+            containment_pairs,
+        )
+
+        prev2 = cur
+
+        def build_containment() -> DataFrame:
+            shingle_cfg = dataclasses.replace(
+                cfg, minhash_scheme="oph", num_perm=1,
+                num_bands=1, rows_per_band=1)
+            docs = with_signatures(prev2.select("doc_id", "text"),
+                                   shingle_cfg)
+            pairs = containment_pairs(docs, tau=drop_contained,
+                                      df_cap=cfg.hot_band_cap)
+            drops = pairs.select(F.col("contained_id").alias("doc_id")) \
+                         .distinct()
+            return prev2.join(drops, "doc_id", "left_anti")
+
+        cur = checkpointed("containment", build_containment)
+        tiers["containment"] = cur
+
     return FunnelResult(survivors=cur, tiers=tiers,
                         metrics=_metrics(tiers, ckpt))
 
 
 def _metrics(tiers: dict[str, DataFrame], ckpt) -> DataFrame:
-    """5-row (tier_no, tier, docs_in, docs_out, docs_removed) frame.
+    """One (tier_no, tier, docs_in, docs_out, docs_removed) row per tier.
 
     Checkpointed runs read row counts from the committed stage manifests
     (driver ints, no job); in-memory runs union one count-aggregate per

@@ -189,3 +189,34 @@ def test_cli_curate_blocklist(spark, tmp_path, capsys):
           "--cores", "8", "--blocked-url-regex", r"/p/1[35]$"])
     r3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert r3["blocklist_removed"] > 0
+
+
+def test_cli_curate_drop_contained(spark, tmp_path, capsys):
+    """--drop-contained adds the fifth tier: a planted doc-in-doc copy
+    (containment ~1, Jaccard far below threshold) is dropped, the
+    survivors stage becomes funnel_containment, and the flag rides the
+    checkpoint config echo."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "cur")
+    base = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    donor = base.where("doc_id = 11").collect()[0]["text"]
+    filler = " ".join(f"cliw{i:03d}" for i in range(150))
+    planted = spark.createDataFrame(
+        [(900000, f"{filler} {donor} {filler}")], "doc_id long, text string")
+    base.unionByName(planted).write.parquet(src)
+
+    main(["curate", "--input", src, "--output", out, "--run-id", "cc",
+          "--cores", "8", "--drop-contained"])
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    tiers = {t["tier"]: t for t in r["tiers"]}
+    assert [t["tier"] for t in r["tiers"]][-1] == "containment"
+    assert r["survivors_stage"] == "funnel_containment"
+    assert tiers["containment"]["docs_removed"] >= 1
+    surv = spark.read.parquet(
+        os.path.join(out, "cc", "funnel_containment", "data"))
+    ids = {row["doc_id"] for row in surv.select("doc_id").collect()}
+    assert 900000 in ids and 11 not in ids
+    assert surv.count() == r["n_survivors"]

@@ -56,7 +56,7 @@ def test_containment_matches_python_oracle_and_beats_jaccard(spark):
 
     df = spark.createDataFrame(list(docs_py.items()), "doc_id long, text string")
     got = {(r["id_a"], r["id_b"]): (r["containment"], r["jaccard"], r["contained_id"])
-           for r in containment_pairs(with_signatures(df, CFG), CFG,
+           for r in containment_pairs(with_signatures(df, CFG),
                                       tau=CFG.jaccard_threshold).collect()}
     assert set(got) == set(expect)
     for pair, (cont, jac, contained) in expect.items():
@@ -79,7 +79,7 @@ def test_df_cap_keeps_non_boilerplate_pairs(spark):
 
     df = spark.createDataFrame(list(docs_py.items()), "doc_id long, text string")
     got = {(r["id_a"], r["id_b"]) for r in
-           containment_pairs(with_signatures(df, CFG), CFG,
+           containment_pairs(with_signatures(df, CFG),
                              tau=CFG.jaccard_threshold, df_cap=5).collect()}
     assert got == set(expect)
 
@@ -87,6 +87,6 @@ def test_df_cap_keeps_non_boilerplate_pairs(spark):
 def test_equal_size_mutual_containment_labels_lower_id(spark):
     docs_py = {1: "a b c d e f g h", 2: "a b c d e f g h"}
     df = spark.createDataFrame(list(docs_py.items()), "doc_id long, text string")
-    rows = containment_pairs(with_signatures(df, CFG), CFG, tau=0.9).collect()
+    rows = containment_pairs(with_signatures(df, CFG), tau=0.9).collect()
     assert len(rows) == 1
     assert rows[0]["contained_id"] == 1 and rows[0]["containment"] == 1.0

@@ -130,3 +130,49 @@ def test_funnel_empty_input(spark):
                                          "near_dup"]
     assert all(r["docs_in"] == 0 and r["docs_out"] == 0
                and r["docs_removed"] == 0 for r in rows)
+
+
+def test_funnel_containment_tier(spark, tiny_corpus, funnel_input):
+    """Optional fifth tier: a doc embedded verbatim inside a longer
+    partner (containment ~1, Jaccard far below threshold — invisible to
+    the near-dup tier) is dropped, the container survives, and the
+    metrics chain extends by exactly one coherent row."""
+    import pyspark.sql.functions as F
+
+    base = funnel_input.drop("url", "warc_ts")
+    # donor: a doc that survives the BASE funnel (the corpus plants dup
+    # clusters, so an arbitrary doc may be a dropped near-dup member)
+    base_ids = sorted(r["doc_id"] for r in
+                      curation_funnel(base, CFG)
+                      .survivors.select("doc_id").collect())
+    donor_id = next(i for i in base_ids
+                    if len(tiny_corpus.rows[i]["text"].split()) >= 30)
+    donor = tiny_corpus.rows[donor_id]["text"]
+    # plant: doc 900000 = the donor's text inside ~2x unrelated context —
+    # containment ~1 but Jaccard ~1/3, invisible to the near-dup tier
+    filler = " ".join(f"ctxw{i:03d}" for i in range(120))
+    container = spark.createDataFrame(
+        [(900000, f"{filler} {donor} {filler}")], "doc_id long, text string")
+    pages = base.unionByName(container)
+
+    plain = curation_funnel(pages, CFG)
+    assert "containment" not in plain.tiers
+    plain_ids = {r["doc_id"] for r in
+                 plain.survivors.select("doc_id").collect()}
+    # the pair is invisible to the near-dup tier: both members survive
+    assert {donor_id, 900000} <= plain_ids
+
+    res = curation_funnel(pages, CFG,
+                          drop_contained=CFG.jaccard_threshold)
+    got_ids = {r["doc_id"] for r in
+               res.survivors.select("doc_id").collect()}
+    assert donor_id not in got_ids, "contained doc must be dropped"
+    assert 900000 in got_ids, "container must survive"
+    assert plain_ids - got_ids >= {donor_id}
+
+    rows = {r["tier"]: r for r in res.metrics.orderBy("tier_no").collect()}
+    assert list(r["tier"] for r in
+                res.metrics.orderBy("tier_no").collect())[-1] == "containment"
+    assert rows["containment"]["docs_in"] == rows["near_dup"]["docs_out"]
+    assert rows["containment"]["docs_out"] == len(got_ids)
+    assert rows["containment"]["docs_removed"] >= 1

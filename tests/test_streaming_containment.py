@@ -47,7 +47,7 @@ def _batch_expect(spark, docs):
     df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
     return {(r["id_a"], r["id_b"]): (r["containment"], r["jaccard"],
                                      r["contained_id"])
-            for r in containment_pairs(with_signatures(df, CFG), CFG,
+            for r in containment_pairs(with_signatures(df, CFG),
                                        tau=TAU, df_cap=None).collect()}
 
 
