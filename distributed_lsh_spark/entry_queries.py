@@ -31,6 +31,15 @@ from distributed_lsh_spark.pipeline import build_stages, run_dedup
 
 CFG = DEFAULT_CONFIG
 
+# For queries that consume ONLY the shingles column: shingles are
+# minhash-scheme-independent, so a 1-perm OPH config makes the signature
+# Arrow pass cost tokenize+shingle instead of a 128-perm kxl kernel
+# (same trick as the funnel containment tier / streaming containment twin)
+import dataclasses as _dc  # noqa: E402
+
+SHINGLE_CFG = _dc.replace(CFG, minhash_scheme="oph", num_perm=1,
+                          num_bands=1, rows_per_band=1)
+
 # --------------------------------------------------------------------------
 # shared SQL fragments (DuckDB dialect) for the text/dedup oracles
 # --------------------------------------------------------------------------
@@ -94,7 +103,7 @@ def q_ngram_jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributed_lsh_spark.operators.ngram import ngram_jaccard_pairs
 
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    docs = with_signatures(df.select("doc_id", "text"), CFG)
+    docs = with_signatures(df.select("doc_id", "text"), SHINGLE_CFG)
     v = ngram_jaccard_pairs(docs, CFG, df_cap=CFG.hot_band_cap)
     return (v.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
             .orderBy("id_a", "id_b"))
@@ -135,7 +144,7 @@ def q_containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.expr("substring(text, 1, "
                                  "CAST((length(text)*2) div 5 AS INT))")
                            .alias("text")))
-    docs = with_signatures(df.unionByName(prefixes), CFG)
+    docs = with_signatures(df.unionByName(prefixes), SHINGLE_CFG)
     v = containment_pairs(docs, tau=CFG.jaccard_threshold,
                           df_cap=CFG.hot_band_cap)
     return (v.select("id_a", "id_b",
