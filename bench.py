@@ -44,6 +44,7 @@ def main() -> None:
         "gopher_repetition",
         "url_latest_dedup",
         "dedup_funnel",
+        "dedup_funnel_contained",
         "token_rarity",
         "domain_stats",
         "semantic_dedup",

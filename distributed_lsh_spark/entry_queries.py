@@ -2338,16 +2338,92 @@ def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.metrics.orderBy("tier_no")
 
 
-def _sql_dedup_funnel() -> str:
+def q_dedup_funnel_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 5-tier funnel: q_dedup_funnel's plantings plus asymmetric
+    doc-in-doc copies, with the optional containment tier enabled
+    (`drop_contained`, operators/funnel.py) — value-checks the composed
+    tier that q_dedup_funnel leaves off.
+
+    Extra planting: every doc_id % 67 == 0 document with >= 200 chars is
+    re-unioned at +2_500_000 as its first (3*length div 5) characters — a
+    ~60% prefix whose url is unique (survives tier 1), whose bytes are
+    distinct (survives tier 2), long enough to usually pass the quality
+    rule, and whose Jaccard vs the original is ~0.6 (survives tier 4's
+    LSH) while its containment is ~1 — it dies exactly at tier 5.  The
+    oracle replays all five tiers; tier 5 reuses the shingle CTEs over
+    the quality survivors restricted to tier-4 survivors, which equals
+    the engine's shingles-over-survivors computation because tiers never
+    rewrite text.  GATE SCAFFOLDING ONLY (see q_dedup_funnel)."""
+    from distributed_lsh_spark.operators.funnel import curation_funnel
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    url_copies = (df.where(F.pmod(F.col("doc_id"), F.lit(89)) == 0)
+                    .select((F.col("doc_id") + 3_000_000).alias("doc_id"),
+                            F.concat(F.col("text"),
+                                     F.lit(" urlcopy")).alias("text")))
+    exact_copies = (df.where(F.pmod(F.col("doc_id"), F.lit(97)) == 0)
+                      .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                              "text"))
+    prefix_copies = (df.where((F.pmod(F.col("doc_id"), F.lit(67)) == 0)
+                              & (F.length("text") >= 200))
+                       .select((F.col("doc_id") + 2_500_000).alias("doc_id"),
+                               F.expr("substring(text, 1, "
+                                      "CAST((length(text)*3) div 5 AS INT))")
+                                .alias("text")))
+    base = (df.unionByName(url_copies).unionByName(exact_copies)
+              .unionByName(prefix_copies))
+    path = F.pmod(F.col("doc_id"), F.lit(3_000_000))
+    pages = (base
+             .withColumn("url", F.concat(F.lit("https://example.com/p/"),
+                                         path.cast("string")))
+             .withColumn("warc_epoch",
+                         (F.lit(1735689600)
+                          + F.pmod(F.col("doc_id") * 7919,
+                                   F.lit(1_000_000))).cast("long")))
+    res = curation_funnel(pages, CFG, quality_keep=quality_keep_expr(),
+                          drop_contained=CFG.jaccard_threshold)
+    return res.metrics.orderBy("tier_no")
+
+
+def _sql_dedup_funnel(contained: bool = False) -> str:
     q = _SQL_QUALITY_CTE.format(toks=_DUCK_TOKS, sw=repr(_STOPWORDS["en"]),
                                 src="t2")
+    prefix_plant = """
+  UNION ALL
+  SELECT doc_id + 2500000, substr(text, 1, (length(text)*3) // 5)
+  FROM documents WHERE doc_id % 67 = 0 AND length(text) >= 200""" \
+        if contained else ""
+    # tier 5 reuses the shd/sizes CTEs computed over t3: tier-4 survivors
+    # keep their t3 text, so restricting both join sides to t4 yields
+    # exactly the engine's shingle sets over the survivor frame
+    tier5_ctes = f""",
+cont_inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM shd a JOIN shd b ON a.g = b.g AND a.doc_id < b.doc_id
+  JOIN t4 ta ON ta.doc_id = a.doc_id
+  JOIN t4 tb ON tb.doc_id = b.doc_id
+  GROUP BY 1, 2
+),
+contained AS (
+  SELECT DISTINCT CASE WHEN sa.n <= sb.n THEN id_a ELSE id_b END AS doc_id
+  FROM cont_inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE c * 1.0 / least(sa.n, sb.n) >= {CFG.jaccard_threshold}
+),
+t5 AS (SELECT doc_id FROM t4
+       WHERE doc_id NOT IN (SELECT doc_id FROM contained))""" \
+        if contained else ""
+    tier5_count = ("\n  UNION ALL SELECT 5, 'containment', "
+                   "(SELECT count(*) FROM t5)" if contained else "")
     return f"""WITH RECURSIVE base AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 3000000, text || ' urlcopy' FROM documents
   WHERE doc_id % 89 = 0
   UNION ALL
-  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 97 = 0
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 97 = 0{prefix_plant}
 ),
 crawl AS (
   SELECT doc_id, text,
@@ -2382,14 +2458,14 @@ clusters AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
              FROM reach GROUP BY a),
 t4 AS (SELECT doc_id FROM t3
        WHERE doc_id NOT IN (SELECT doc_id FROM clusters
-                            WHERE doc_id != cluster_id)),
+                            WHERE doc_id != cluster_id)){tier5_ctes},
 counts AS (
   SELECT 0 AS tier_no, 'input' AS tier,
          (SELECT count(*) FROM base) AS docs_out
   UNION ALL SELECT 1, 'url_latest', (SELECT count(*) FROM t1)
   UNION ALL SELECT 2, 'exact', (SELECT count(*) FROM t2)
   UNION ALL SELECT 3, 'quality', (SELECT count(*) FROM t3)
-  UNION ALL SELECT 4, 'near_dup', (SELECT count(*) FROM t4)
+  UNION ALL SELECT 4, 'near_dup', (SELECT count(*) FROM t4){tier5_count}
 )
 SELECT CAST(tier_no AS INT) AS tier_no, tier,
        CAST(coalesce(lag(docs_out) OVER (ORDER BY tier_no), docs_out)
@@ -3026,6 +3102,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_repetition": q_gopher_repetition,
     "url_latest_dedup": q_url_latest_dedup,
     "dedup_funnel": q_dedup_funnel,
+    "dedup_funnel_contained": q_dedup_funnel_contained,
     "token_rarity": q_token_rarity,
     "domain_stats": q_domain_stats,
     "semantic_dedup": q_semantic_dedup,
@@ -3093,6 +3170,7 @@ ORACLE_SQL: dict[str, str] = {
     "gopher_repetition": _sql_gopher_repetition(),
     "url_latest_dedup": _SQL_URL_LATEST_DEDUP,
     "dedup_funnel": _sql_dedup_funnel(),
+    "dedup_funnel_contained": _sql_dedup_funnel(contained=True),
     "token_rarity": _SQL_TOKEN_RARITY,
     "domain_stats": _sql_domain_stats(),
     "semantic_dedup": _SQL_SEMANTIC_DEDUP,
