@@ -41,6 +41,7 @@ def main() -> None:
         "events_hourly",
         "user_sessions",
         "line_dedup",
+        "host_boilerplate",
         "gopher_repetition",
         "url_latest_dedup",
         "dedup_funnel",

@@ -2032,6 +2032,107 @@ SELECT doc_id,
 FROM fl GROUP BY doc_id ORDER BY doc_id"""
 
 
+def q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style HOST-scoped boilerplate line removal: an 8-token
+    line occurring in >= 30% of a host's documents (and in >= 2 of them)
+    is navigation/footer chrome, removed from every document of that
+    host — the within-site complement of q_line_dedup's global pass
+    (which only fires on exact cross-corpus repeats).  Output per doc =
+    line count, removed count, md5 of the reconstructed text (the
+    line_dedup gate shape, so removal AND ordered reconstruction are
+    value-checked).
+
+    The sf corpus carries no url column, so host = doc_id % 37 — a pure
+    function both engines derive identically (production passes the
+    url's registrable host; same plan).  Planting: every even doc_id
+    gets a host-specific 8-token nav line PREPENDED (~50% of each host's
+    docs -> removed), every doc_id % 23 == 0 a host-specific rare line
+    (~4% -> kept): the threshold is exercised from both sides.  Both
+    prepends are exactly 8 normalized tokens, so downstream chunking
+    stays aligned with the unplanted text.
+
+    Scale shape (100 TB): host/line keys are (int, xxhash64) — the
+    boilerplate-detection shuffle moves 12-byte rows, not strings; one
+    explode -> one map-side-combining (host, lk) groupBy -> one narrow
+    join -> one per-doc groupBy.  The threshold comparison is
+    integer-exact (per-mille), no float ratios."""
+    tau_permille, min_docs, n_hosts = 300, 2, 37
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    host = F.pmod(F.col("doc_id"), F.lit(n_hosts))
+    nav = F.concat(F.lit("hostnav h"), host.cast("string"),
+                   F.lit(" menu home search login contact about "))
+    rare = F.concat(F.lit("rarenav r"), host.cast("string"),
+                    F.lit(" alpha beta gamma delta epsilon zeta "))
+    planted = F.concat(
+        F.when(F.pmod(F.col("doc_id"), F.lit(23)) == 0, rare).otherwise(F.lit("")),
+        F.when(F.pmod(F.col("doc_id"), F.lit(2)) == 0, nav).otherwise(F.lit("")),
+        F.col("text"))
+    docs = df.select("doc_id", planted.alias("text"))
+    lines = _doc_lines(docs).withColumn("host", host)
+    host_docs = (docs.select("doc_id").withColumn("host", host)
+                 .groupBy("host").agg(F.count("*").alias("_hn")))
+    boiler = (lines.groupBy("host", "lk")
+              .agg(F.count_distinct("doc_id").alias("_ln"))
+              .join(host_docs, "host")
+              .where((F.col("_ln") >= min_docs)
+                     & (F.col("_ln") * 1000 >= tau_permille * F.col("_hn")))
+              .select("host", "lk", F.lit(1).alias("_boiler")))
+    flagged = (lines.join(boiler, ["host", "lk"], "left")
+               .select("doc_id", "pos", "_boiler",
+                       F.when(F.col("_boiler").isNull(), F.col("line"))
+                        .alias("line")))
+    kept = F.array_sort(F.collect_list(
+        F.when(F.col("_boiler").isNull(), F.struct("pos", "line"))))
+    return (flagged.groupBy("doc_id")
+            .agg(F.count("*").alias("n_lines"),
+                 F.count("_boiler").alias("n_removed"),
+                 F.md5(F.concat_ws("\n", kept["line"]).cast("binary"))
+                  .alias("clean_md5"))
+            .select("doc_id", "n_lines", "n_removed", "clean_md5")
+            .orderBy("doc_id"))
+
+
+def _sql_host_boilerplate() -> str:
+    return f"""WITH base AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 23 = 0
+               THEN 'rarenav r' || (doc_id % 37)
+                    || ' alpha beta gamma delta epsilon zeta ' ELSE '' END)
+         || (CASE WHEN doc_id % 2 = 0
+                  THEN 'hostnav h' || (doc_id % 37)
+                       || ' menu home search login contact about ' ELSE '' END)
+         || text AS text,
+         doc_id % 37 AS host
+  FROM documents
+),
+tk AS (SELECT doc_id, host, {_DUCK_TOKS} AS t FROM base),
+lnl AS (
+  SELECT doc_id, host,
+         [{{'pos': i, 'line': array_to_string(t[(i-1)*8+1:(i-1)*8+8], ' ')}}
+          for i in range(1, CAST(ceil(len(t)/8.0) AS INT) + 1)] AS ls
+  FROM tk
+),
+ln AS (SELECT doc_id, host, unnest(ls, recursive := true) FROM lnl),
+hd AS (SELECT host, count(*) AS hn FROM base GROUP BY host),
+boiler AS (
+  SELECT ln.host, ln.line
+  FROM ln JOIN hd ON hd.host = ln.host
+  GROUP BY ln.host, ln.line, hd.hn
+  HAVING count(DISTINCT ln.doc_id) >= 2
+     AND count(DISTINCT ln.doc_id) * 1000 >= 300 * hd.hn
+),
+fl AS (SELECT ln.doc_id, ln.pos, ln.line, b.line IS NOT NULL AS is_b
+       FROM ln LEFT JOIN boiler b
+         ON b.host = ln.host AND b.line = ln.line)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       md5(coalesce(string_agg(CASE WHEN NOT is_b THEN line END, chr(10)
+                               ORDER BY pos), '')) AS clean_md5
+FROM fl GROUP BY doc_id ORDER BY doc_id"""
+
+
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-doc repetition signals (Rae et al. 2021 §A1.1,
     the standard quality-filter family the reference's corpus tooling
@@ -3099,6 +3200,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "balance_rollup": q_balance_rollup,
     "part_semi_anti": q_part_supplier_semi_anti,
     "line_dedup": q_line_dedup,
+    "host_boilerplate": q_host_boilerplate,
     "gopher_repetition": q_gopher_repetition,
     "url_latest_dedup": q_url_latest_dedup,
     "dedup_funnel": q_dedup_funnel,
@@ -3167,6 +3269,7 @@ ORACLE_SQL: dict[str, str] = {
     "balance_rollup": _SQL_BALANCE_ROLLUP,
     "part_semi_anti": _SQL_PART_SEMI_ANTI,
     "line_dedup": _sql_line_dedup(),
+    "host_boilerplate": _sql_host_boilerplate(),
     "gopher_repetition": _sql_gopher_repetition(),
     "url_latest_dedup": _SQL_URL_LATEST_DEDUP,
     "dedup_funnel": _sql_dedup_funnel(),

@@ -17,7 +17,8 @@ from distributed_lsh_spark.entry_queries import ORACLE_SQL, QUERIES  # noqa: E40
 SF_DIR = "/root/testdata/sf0.001"
 TABLES = ["documents", "embeddings"]
 NAMES = ["line_dedup", "gopher_repetition", "url_latest_dedup",
-         "dedup_funnel", "token_rarity", "domain_stats", "semantic_dedup"]
+         "dedup_funnel", "token_rarity", "domain_stats", "semantic_dedup",
+         "host_boilerplate", "dedup_funnel_contained"]
 
 
 @pytest.fixture(scope="module")
@@ -145,3 +146,28 @@ def test_semantic_dedup_planted_copies_cluster(results):
     assert planted == expected
     assert (sp.n_members >= 2).all()
     assert (sp.n_dropped == sp.n_members - 1).all()
+
+
+def test_host_boilerplate_planted_nav_removed_rare_kept(results):
+    """The ~50%-of-host planted nav line is removed from EVERY even
+    doc_id; the ~4% rare line never fires the 30% threshold, so odd
+    multiples of 23 (rare line only) lose nothing."""
+    sp, _ = results["host_boilerplate"]
+    by_id = dict(zip(sp.doc_id, sp.n_removed))
+    assert all(by_id[d] >= 1 for d in by_id if d % 2 == 0), \
+        "planted nav line must be removed on every even doc"
+    rare_only = [d for d in by_id if d % 23 == 0 and d % 2 == 1]
+    assert rare_only and all(by_id[d] == 0 for d in rare_only), \
+        "the rare line alone must never cross the host threshold"
+
+
+def test_funnel_contained_tier_removes_rows(results):
+    """The 5-tier gate row must remove rows at the containment tier
+    (planted ~60% prefixes) and agree with the 4-tier row upstream of
+    the extra planting's side effects."""
+    sp, _ = results["dedup_funnel_contained"]
+    removed = dict(zip(sp.tier, sp.docs_removed))
+    assert list(sp.tier)[-1] == "containment"
+    assert removed["containment"] > 0
+    for tier in ("url_latest", "exact", "quality", "near_dup"):
+        assert removed[tier] > 0, tier
