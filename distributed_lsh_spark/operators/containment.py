@@ -44,7 +44,7 @@ def containment_pairs(docs: DataFrame, *,
                       tau: float = 0.8, df_cap: int | None = 2000,
                       shingles_col: str = "shingles",
                       candidates: DataFrame | None = None,
-                      broadcast_pairs: bool = True) -> DataFrame:
+                      broadcast_pairs: bool = False) -> DataFrame:
     """docs(doc_id, shingles) -> (id_a, id_b, containment, jaccard,
     contained_id) for pairs with containment >= tau.
 
@@ -53,8 +53,12 @@ def containment_pairs(docs: DataFrame, *,
     mutual containment, either label is true).  `jaccard` rides along so
     consumers can see which pairs a Jaccard threshold would have kept.
 
-    `broadcast_pairs=False` for pair sets beyond the broadcast budget —
-    bucket the docs checkpoint by doc_id instead (verify.py scale note).
+    `broadcast_pairs` defaults FALSE: the candidate volume is
+    corpus-dependent and unbounded (a dup-heavy corpus explodes it past
+    the broadcast budget — the ngram operator makes the same choice),
+    and AQE still converts the joins to broadcast at runtime when it
+    measures the pair list small.  Opt in only for pair sets known
+    small a priori (it adds the semi-join payload prune).
     """
     if candidates is None:
         shd = docs.select("doc_id", F.explode(shingles_col).alias("g"))
