@@ -607,6 +607,155 @@ def incremental_containment_stream(spark: SparkSession, input_dir: str,
     return writer.start()
 
 
+def incremental_host_boilerplate_stream(spark: SparkSession, input_dir: str,
+                                        state_dir: str,
+                                        tau_permille: int = 300,
+                                        min_docs: int = 2,
+                                        host_col: str = "host",
+                                        schema: str = ("doc_id long, host long, "
+                                                       "text string"),
+                                        available_now: bool = True,
+                                        max_files_per_trigger: int = 16,
+                                        compact_every: int | None = 64):
+    """Streaming counterpart of the host-boilerplate rule
+    (entry_queries.q_host_boilerplate): a line is boilerplate for a host
+    while it occurs in >= min_docs and >= tau_permille/1000 of that
+    host's ingested documents.
+
+    Unlike every other twin, this predicate is NON-MONOTONE in the
+    ingested prefix — a host's doc count grows faster than a line's, so
+    a verdict can flip OFF again — which makes exactly-once occurrence
+    emission impossible without retractions.  The stream therefore
+    maintains the VERDICT state and emits a verdict CHANGELOG instead:
+
+      line_index/   (doc_id, host, pos, lk) occurrences, batch_id lineage
+      host_docs/    (doc_id, host) one row per ingested doc (counts
+                    zero-line docs, exactly like the batch rule)
+      verdicts/     CURRENT boilerplate set (host, lk), partitioned by
+                    host — each batch atomically rewrites ONLY the host
+                    partitions present in that batch (every affected
+                    host writes at least a sentinel row so emptied
+                    verdict sets still overwrite; read via
+                    read_host_verdicts)
+      changelog/    (host, lk, became boolean, batch_id): became=true
+                    when a line crosses the threshold, false when growth
+                    dilutes it back under — consumers fold this, or join
+                    verdicts x line_index for the current removal set
+
+    After any batch, verdicts/ equals the batch rule over the ingested
+    prefix (parity pinned in tests, including a became=false flip).
+    Per-batch cost: O(batch + index rows OF THE BATCH'S HOSTS) — only
+    hosts whose doc count changed can change a verdict, so untouched
+    hosts are never re-evaluated.  Crash/replay safe: everything is
+    recomputed from the idempotently-written index, verdict partitions
+    commit atomically per host, and the changelog is batch-partitioned.
+
+    doc_ids are assumed unique across batches (upstream stateful exact
+    pass), matching the other twins."""
+    from distributed_lsh_spark.functions.text import doc_lines
+
+    idx_dir = os.path.join(state_dir, "line_index")
+    hd_dir = os.path.join(state_dir, "host_docs")
+    v_dir = os.path.join(state_dir, "verdicts")
+    cl_dir = os.path.join(state_dir, "changelog")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", str(max_files_per_trigger))
+              .parquet(input_dir))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_batch_index(spark, idx_dir, batch_id)
+            compact_batch_index(spark, hd_dir, batch_id)
+        batch_df = batch_df.withColumnRenamed(host_col, "host")
+        new_docs = (batch_df.select("doc_id", "host")
+                    .withColumn("batch_id", F.lit(batch_id)))
+        new_lines = (doc_lines(batch_df.select("doc_id", "text"))
+                     .join(batch_df.select("doc_id", "host"), "doc_id")
+                     .select("doc_id", "host", "pos", "lk")
+                     .withColumn("batch_id", F.lit(batch_id)))
+        hosts = batch_df.select("host").distinct()
+        hosts.persist()
+        all_lines = all_docs = None
+
+        def _verdicts(lines: DataFrame, docs: DataFrame) -> DataFrame:
+            hn = (docs.dropDuplicates(["doc_id"])
+                  .groupBy("host").agg(F.count("*").alias("_hn")))
+            return (lines.dropDuplicates(["doc_id", "pos"])
+                    .groupBy("host", "lk")
+                    .agg(F.count_distinct("doc_id").alias("_ln"))
+                    .join(hn, "host")
+                    .where((F.col("_ln") >= min_docs)
+                           & (F.col("_ln") * 1000
+                              >= tau_permille * F.col("_hn")))
+                    .select("host", "lk"))
+
+        try:
+            # index writes FIRST: a replayed batch recomputes everything
+            # below from the (idempotently overwritten) index, so no
+            # crash order can lose or corrupt state
+            for df, d in ((new_lines, idx_dir), (new_docs, hd_dir)):
+                (df.write.mode("overwrite").partitionBy("batch_id")
+                   .option("partitionOverwriteMode", "dynamic").parquet(d))
+            all_lines = (spark.read.parquet(idx_dir)
+                         .join(F.broadcast(hosts), "host"))
+            all_docs = (spark.read.parquet(hd_dir)
+                        .join(F.broadcast(hosts), "host"))
+            all_lines.persist()
+            all_docs.persist()
+            new_v = _verdicts(all_lines, all_docs)
+            # the pre-batch verdicts are RECOMPUTED from the index
+            # (batch_id != current excludes exactly this batch's rows; a
+            # replay sees the same split) instead of read from verdicts/
+            # — a crash between the changelog and verdict writes would
+            # otherwise make the replayed diff depend on how many host
+            # partitions the first attempt got through
+            old_v = _verdicts(
+                all_lines.where(F.col("batch_id") != batch_id),
+                all_docs.where(F.col("batch_id") != batch_id))
+            changes = (new_v.join(old_v, ["host", "lk"], "left_anti")
+                       .withColumn("became", F.lit(True))
+                       .unionByName(
+                           old_v.join(new_v, ["host", "lk"], "left_anti")
+                                .withColumn("became", F.lit(False)))
+                       .withColumn("batch_id", F.lit(batch_id)))
+            (changes.write.mode("overwrite").partitionBy("batch_id")
+             .option("partitionOverwriteMode", "dynamic").parquet(cl_dir))
+            # replace the affected hosts' verdict partitions atomically.
+            # Dynamic overwrite only touches partitions PRESENT in the
+            # written frame, so every affected host writes at least a
+            # sentinel (lk NULL) row — otherwise a host whose verdict set
+            # became EMPTY would keep its stale partition forever.
+            # Readers filter lk IS NOT NULL (see read_host_verdicts).
+            (hosts.join(new_v, "host", "left")
+             .repartition("host")
+             .write.mode("overwrite").partitionBy("host")
+             .option("partitionOverwriteMode", "dynamic").parquet(v_dir))
+        finally:
+            hosts.unpersist()
+            for f in (all_lines, all_docs):
+                if f is not None:
+                    f.unpersist()
+
+    writer = (stream.writeStream
+              .foreachBatch(process_batch)
+              .option("checkpointLocation", os.path.join(state_dir, "checkpoint")))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_host_verdicts(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Current (host, lk) boilerplate set maintained by
+    incremental_host_boilerplate_stream — drops the per-host sentinel
+    rows that keep emptied hosts' partitions overwritten."""
+    return (spark.read.parquet(os.path.join(state_dir, "verdicts"))
+            .where(F.col("lk").isNotNull())
+            .select("host", "lk"))
+
+
 def streaming_hourly_counts(spark: SparkSession, input_dir: str,
                             schema: str = ("event_id long, ts timestamp, user_id long, "
                                            "event_type string, value double"),
