@@ -42,6 +42,7 @@ def main() -> None:
         "user_sessions",
         "line_dedup",
         "host_boilerplate",
+        "gopher_quality",
         "gopher_repetition",
         "url_latest_dedup",
         "dedup_funnel",

@@ -2032,6 +2032,136 @@ SELECT doc_id,
 FROM fl GROUP BY doc_id ORDER BY doc_id"""
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher §A1 document-quality rule set (Rae et al. 2021) —
+    the heuristics beyond doc_quality's character ratios and
+    gopher_repetition's §A1.1 repetition signals: word-count bounds,
+    mean-word-length band, symbol-to-word ratio (#/ellipsis), bullet- and
+    ellipsis-line fractions, alphabetic-word fraction, stopword floor.
+    Every comparison is integer cross-multiplication (no float ratios),
+    so the keep boolean is bit-exact across engines; outputs are the raw
+    integer signals + the boolean.
+
+    The synthetic corpus carries no newlines, '#', or ellipses, so the
+    gate plants each failure mode (both engines construct identical
+    text): doc_id % 41 -> 2 bullet lines (rule still passes: 2/3 <= 90%),
+    % 43 -> 10 bullet lines (> 90%, fails), % 47 -> 2 ellipsis-ended
+    lines of 3 (> 30%, fails), % 59 -> 6 '#' symbols (fails the 10%
+    symbol rule for short docs).  GATE SCAFFOLDING ONLY — production
+    corpora carry real structure and skip the planting."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    bullets2 = "- bullet item alpha\n- bullet item beta\n"
+    bullets10 = "".join(f"- bullet row {w}\n" for w in
+                        ("one", "two", "three", "four", "five",
+                         "six", "seven", "eight", "nine", "ten"))
+    ell2 = "trailing line one...\nrow two…\n"
+    hashes = "# # # # # # "
+    planted = F.concat(
+        F.when(F.pmod("doc_id", F.lit(41)) == 0, F.lit(bullets2)).otherwise(F.lit("")),
+        F.when(F.pmod("doc_id", F.lit(43)) == 0, F.lit(bullets10)).otherwise(F.lit("")),
+        F.when(F.pmod("doc_id", F.lit(47)) == 0, F.lit(ell2)).otherwise(F.lit("")),
+        F.when(F.pmod("doc_id", F.lit(59)) == 0, F.lit(hashes)).otherwise(F.lit("")),
+        F.col("text"))
+    d = df.select("doc_id", planted.alias("t2"))
+    stream = F.expr(_TOK_STREAM.format(col="t2"))
+    n_words = F.expr(
+        f"regexp_count({_TOK_PADDED.format(col='t2')}, '\\\\|[a-z0-9]+\\\\|')")
+    n_digit_words = F.expr(
+        f"regexp_count({_TOK_PADDED.format(col='t2')}, '\\\\|[0-9]+\\\\|')")
+    sum_chars = F.length(F.regexp_replace(stream, " ", ""))
+    n_hash = F.length("t2") - F.length(F.regexp_replace(F.col("t2"), "#", ""))
+    n_ell = ((F.length("t2")
+              - F.length(F.regexp_replace(F.col("t2"), r"\.\.\.", "")))
+             / F.lit(3)).cast("long") + \
+        (F.length("t2") - F.length(F.regexp_replace(F.col("t2"), "…", "")))
+    n_lines = F.size(F.split(F.col("t2"), "\n"))
+    n_bullet = F.regexp_count(F.col("t2"), F.lit(r"(^|\n)[ \t]*[-*•]"))
+    n_ell_end = F.regexp_count(F.col("t2"), F.lit(r"(\.\.\.|…)(\n|$)"))
+    n_alpha_words = n_words - n_digit_words
+    n_stop = _word_hits_col(_STOPWORDS["en"], col="t2")
+    out = d.select(
+        "doc_id", n_words.alias("n_words"), sum_chars.alias("sum_word_chars"),
+        (n_hash + n_ell).alias("n_symbols"), n_lines.alias("n_lines"),
+        n_bullet.alias("n_bullet_lines"), n_ell_end.alias("n_ellipsis_lines"),
+        n_alpha_words.alias("n_alpha_words"), n_stop.alias("n_stop"))
+    keep = ((F.col("n_words") >= 50) & (F.col("n_words") <= 100_000)
+            & (3 * F.col("n_words") <= F.col("sum_word_chars"))
+            & (F.col("sum_word_chars") <= 10 * F.col("n_words"))
+            & (10 * F.col("n_symbols") <= F.col("n_words"))
+            & (10 * F.col("n_bullet_lines") <= 9 * F.col("n_lines"))
+            & (10 * F.col("n_ellipsis_lines") <= 3 * F.col("n_lines"))
+            & (5 * F.col("n_alpha_words") >= 4 * F.col("n_words"))
+            & (F.col("n_stop") >= 2))
+    return out.withColumn("keep_gopher", keep).orderBy("doc_id")
+
+
+def _sql_gopher_quality() -> str:
+    sw = repr(_STOPWORDS["en"])
+    return f"""WITH planted AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 41 = 0
+               THEN '- bullet item alpha' || chr(10)
+                    || '- bullet item beta' || chr(10) ELSE '' END)
+         || (CASE WHEN doc_id % 43 = 0
+                  THEN '- bullet row one' || chr(10) || '- bullet row two'
+                       || chr(10) || '- bullet row three' || chr(10)
+                       || '- bullet row four' || chr(10)
+                       || '- bullet row five' || chr(10)
+                       || '- bullet row six' || chr(10)
+                       || '- bullet row seven' || chr(10)
+                       || '- bullet row eight' || chr(10)
+                       || '- bullet row nine' || chr(10)
+                       || '- bullet row ten' || chr(10) ELSE '' END)
+         || (CASE WHEN doc_id % 47 = 0
+                  THEN 'trailing line one...' || chr(10) || 'row two…'
+                       || chr(10) ELSE '' END)
+         || (CASE WHEN doc_id % 59 = 0 THEN '# # # # # # ' ELSE '' END)
+         || text AS t2
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         len(list_filter(string_split(regexp_replace(lower(t2),
+              '[^a-z0-9]+', ' ', 'g'), ' '), t -> t != '')) AS n_words,
+         length(array_to_string(list_filter(string_split(regexp_replace(
+              lower(t2), '[^a-z0-9]+', ' ', 'g'), ' '), t -> t != ''), ''))
+           AS sum_word_chars,
+         (length(t2) - length(replace(t2, '#', '')))
+           + (length(t2) - length(replace(t2, '...', ''))) // 3
+           + (length(t2) - length(replace(t2, '…', ''))) AS n_symbols,
+         len(string_split(t2, chr(10))) AS n_lines,
+         len(regexp_extract_all(t2, '(^|\n)[ \t]*[-*•]')) AS n_bullet_lines,
+         len(regexp_extract_all(t2, '(\\.\\.\\.|…)(\n|$)'))
+           AS n_ellipsis_lines,
+         len(list_filter(string_split(regexp_replace(lower(t2),
+              '[^a-z0-9]+', ' ', 'g'), ' '),
+              t -> t != '' AND NOT regexp_matches(t, '^[0-9]+$')))
+           AS n_alpha_words,
+         len(list_filter(string_split(regexp_replace(lower(t2),
+              '[^a-z0-9]+', ' ', 'g'), ' '),
+              t -> list_contains({sw}, t))) AS n_stop
+  FROM planted
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(sum_word_chars AS BIGINT) AS sum_word_chars,
+       CAST(n_symbols AS BIGINT) AS n_symbols,
+       CAST(n_lines AS INT) AS n_lines,
+       CAST(n_bullet_lines AS INT) AS n_bullet_lines,
+       CAST(n_ellipsis_lines AS INT) AS n_ellipsis_lines,
+       CAST(n_alpha_words AS BIGINT) AS n_alpha_words,
+       CAST(n_stop AS BIGINT) AS n_stop,
+       (n_words >= 50 AND n_words <= 100000
+        AND 3*n_words <= sum_word_chars AND sum_word_chars <= 10*n_words
+        AND 10*n_symbols <= n_words
+        AND 10*n_bullet_lines <= 9*n_lines
+        AND 10*n_ellipsis_lines <= 3*n_lines
+        AND 5*n_alpha_words >= 4*n_words
+        AND n_stop >= 2) AS keep_gopher
+FROM sig ORDER BY doc_id"""
+
+
 def q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RefinedWeb-style HOST-scoped boilerplate line removal: an 8-token
     line occurring in >= 30% of a host's documents (and in >= 2 of them)
@@ -3201,6 +3331,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_semi_anti": q_part_supplier_semi_anti,
     "line_dedup": q_line_dedup,
     "host_boilerplate": q_host_boilerplate,
+    "gopher_quality": q_gopher_quality,
     "gopher_repetition": q_gopher_repetition,
     "url_latest_dedup": q_url_latest_dedup,
     "dedup_funnel": q_dedup_funnel,
@@ -3270,6 +3401,7 @@ ORACLE_SQL: dict[str, str] = {
     "part_semi_anti": _SQL_PART_SEMI_ANTI,
     "line_dedup": _sql_line_dedup(),
     "host_boilerplate": _sql_host_boilerplate(),
+    "gopher_quality": _sql_gopher_quality(),
     "gopher_repetition": _sql_gopher_repetition(),
     "url_latest_dedup": _SQL_URL_LATEST_DEDUP,
     "dedup_funnel": _sql_dedup_funnel(),

@@ -18,7 +18,7 @@ SF_DIR = "/root/testdata/sf0.001"
 TABLES = ["documents", "embeddings"]
 NAMES = ["line_dedup", "gopher_repetition", "url_latest_dedup",
          "dedup_funnel", "token_rarity", "domain_stats", "semantic_dedup",
-         "host_boilerplate", "dedup_funnel_contained"]
+         "host_boilerplate", "dedup_funnel_contained", "gopher_quality"]
 
 
 @pytest.fixture(scope="module")
@@ -171,3 +171,29 @@ def test_funnel_contained_tier_removes_rows(results):
     assert removed["containment"] > 0
     for tier in ("url_latest", "exact", "quality", "near_dup"):
         assert removed[tier] > 0, tier
+
+
+def test_gopher_quality_planted_failure_modes(results):
+    """Each planted structural hazard trips exactly its own rule:
+    10 bullet lines (% 43) fail the 90% bullet cap, 2-of-3
+    ellipsis-ended lines (% 47) fail the 30% cap, '#' runs (% 59) break
+    the symbol ratio for short docs, while the mild 2-bullet planting
+    (% 41, 2/3 lines) keeps the bullet rule satisfied."""
+    sp, _ = results["gopher_quality"]
+
+    def only(mod):
+        """Docs planted by exactly ONE modulus (doc 0 matches them all
+        and stacks every planting, diluting each individual fraction)."""
+        return [r for r in sp.itertuples()
+                if r.doc_id % mod == 0
+                and sum(r.doc_id % m == 0 for m in (41, 43, 47, 59)) == 1]
+
+    b43 = only(43)
+    assert b43 and all(10 * r.n_bullet_lines > 9 * r.n_lines for r in b43)
+    e47 = only(47)
+    assert e47 and all(10 * r.n_ellipsis_lines > 3 * r.n_lines for r in e47)
+    s59 = only(59)
+    assert s59 and all(r.n_symbols >= 6 for r in s59)
+    b41 = only(41)
+    assert b41 and all(10 * r.n_bullet_lines <= 9 * r.n_lines for r in b41)
+    assert 0 < sp.keep_gopher.sum() < len(sp), "rule must be non-vacuous"
