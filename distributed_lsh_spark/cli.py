@@ -255,7 +255,9 @@ def cmd_curate(args: argparse.Namespace) -> None:
                                           "remove_spans": args.remove_spans,
                                           "span_window": args.span_window,
                                           "drop_contained":
-                                              bool(args.drop_contained)})
+                                              bool(args.drop_contained),
+                                          "strip_boilerplate":
+                                              bool(args.strip_boilerplate)})
     t0 = time.time()
     res = curation_funnel(
         pages, cfg, url_col=url_col, ts_col=ts_col or "warc_epoch",
@@ -264,6 +266,38 @@ def cmd_curate(args: argparse.Namespace) -> None:
         else None,
         ckpt=ckpt)
     survivors = res.survivors
+    n_boiler_lines = None
+    if args.strip_boilerplate:
+        # post-funnel rewrite tier: cut host-scoped chrome lines (the
+        # gated host_boilerplate rule) from the survivors — the
+        # within-site pass the doc-level tiers cannot express.  Output
+        # text is the cleaned NORMALIZED stream (the whole line-dedup
+        # family's contract).  Runs BEFORE span removal so verbatim-span
+        # detection sees chrome-free text.
+        from distributed_lsh_spark.operators.blocklist import url_host
+        from distributed_lsh_spark.operators.boilerplate import \
+            strip_host_boilerplate
+
+        # needs only the url COLUMN (hosts scope the rule) — unlike the
+        # url tier, no crawl timestamp required
+        if "url" not in pages.columns:
+            raise SystemExit("--strip-boilerplate needs a url column "
+                             "(hosts scope the rule)")
+        prev_surv = survivors
+
+        def _strip():
+            cleaned = strip_host_boilerplate(
+                prev_surv.select("doc_id", "text",
+                                 url_host(F.col("url")).alias("host")))
+            return (prev_surv.drop("text")
+                    .join(cleaned.select(
+                        "doc_id", F.col("n_removed").alias("_n_chrome"),
+                        F.col("clean_text").alias("text")), "doc_id"))
+
+        survivors = ckpt.stage("boiler_clean", _strip)
+        n_boiler_lines = (survivors.agg(F.sum("_n_chrome")).collect()[0][0]
+                          or 0)
+        survivors = survivors.drop("_n_chrome")
     n_span_tokens = None
     if args.remove_spans:
         # post-funnel rewrite tier (Lee et al. remediation): the funnel
@@ -314,6 +348,7 @@ def cmd_curate(args: argparse.Namespace) -> None:
         "wall_sec": round(dt, 2),
         "docs_per_sec": round(n_in / dt, 1) if dt else None,
         "survivors_stage": ("span_clean" if args.remove_spans
+                            else "boiler_clean" if args.strip_boilerplate
                             else f"funnel_{metrics[-1]['tier']}"),
         **({"blocklist_removed": n_raw - n_in} if n_raw is not None else {}),
         **({"wet_records": n_wet, "wet_output": args.wet_output}
@@ -322,6 +357,8 @@ def cmd_curate(args: argparse.Namespace) -> None:
            if n_jsonl is not None else {}),
         **({"span_tokens_removed": int(n_span_tokens)}
            if n_span_tokens is not None else {}),
+        **({"boilerplate_lines_removed": int(n_boiler_lines)}
+           if n_boiler_lines is not None else {}),
     }))
 
 
@@ -401,6 +438,10 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("--canonical-urls", action="store_true",
                    help="canonicalize urls (RFC 3986 + tracking-param "
                         "strip) before the keep-latest-per-url tier")
+    c.add_argument("--strip-boilerplate", action="store_true",
+                   help="post-funnel rewrite: cut host-scoped chrome "
+                        "lines (>= 30% of a host's docs) from survivor "
+                        "texts; output is the cleaned normalized stream")
     c.add_argument("--drop-contained", action="store_true",
                    help="add a fifth tier dropping docs contained in a "
                         "partner at --threshold containment (doc-in-doc "
