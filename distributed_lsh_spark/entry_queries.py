@@ -132,6 +132,12 @@ def q_containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated final token are new), i.e. containment ~ 1 while Jaccard
     ~ 0.4.  GATE SCAFFOLDING ONLY: the planting assumes the sf corpora's
     dense non-negative doc_ids; the production path takes the raw table.
+
+    The oracle's inverted index is UNCAPPED while the engine passes
+    df_cap (the ngram row's precedent): at gate scales no shingle's
+    document frequency approaches the cap, so the cap provably never
+    drops a candidate — and if that ever changed, the gate would go red
+    rather than silently agree.
     """
     from distributed_lsh_spark.functions.signature import with_signatures
     from distributed_lsh_spark.operators.containment import containment_pairs

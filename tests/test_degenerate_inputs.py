@@ -133,3 +133,54 @@ def test_token_rarity_counts_on_degenerate_corpus(spark, tmp_path):
         == sum(1 for c in tf.values() if c == 1)
     assert rows[4]["n_tokens"] == 1
     assert rows[4]["max_tf"] == 2                   # "tokenless" ×2 (docs 4+5)
+
+
+def test_containment_degenerate_corpus(spark):
+    """Containment over the degenerate corpus: empty/punctuation-only
+    docs (equal whole-doc shingle sets) are MUTUAL containment pairs,
+    exact-duplicate rows pair at containment 1.0, and every score obeys
+    containment >= jaccard with contained_id the smaller-set side."""
+    from distributed_lsh_spark.functions.signature import with_signatures
+    from distributed_lsh_spark.operators.containment import containment_pairs
+    from distributed_lsh_spark.oracle.dedup import shingle_set
+
+    rows = containment_pairs(with_signatures(_df(spark, DOCS), CFG),
+                             tau=0.8).collect()
+    sets = {d: set(shingle_set(t, CFG.shingle_k)) for d, t in DOCS.items()}
+    for r in rows:
+        sa, sb = sets[r["id_a"]], sets[r["id_b"]]
+        inter = len(sa & sb)
+        assert abs(r["containment"] - inter / min(len(sa), len(sb))) < 1e-12
+        assert abs(r["jaccard"] - inter / len(sa | sb)) < 1e-12
+        assert r["containment"] >= r["jaccard"] - 1e-12
+        small = r["id_a"] if len(sa) <= len(sb) else r["id_b"]
+        assert r["contained_id"] == small
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    assert (4, 5) in got            # byte-identical rows
+    assert (1, 2) in got and (2, 3) in got  # token-less whole-doc shingles
+    # empty frame flows through
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert containment_pairs(with_signatures(empty, CFG)).count() == 0
+
+
+def test_strip_boilerplate_degenerate_corpus(spark):
+    """Boilerplate stripping over the degenerate corpus (one host):
+    7 of 9 docs carry >= 1 line, the shared 'tokenless' line (2/9 docs
+    = 22% < 30%) survives, nothing is removed, and every doc comes back
+    with its normalized stream intact."""
+    import re
+
+    from distributed_lsh_spark.operators.boilerplate import (
+        strip_host_boilerplate,
+    )
+    from pyspark.sql import functions as F
+
+    df = _df(spark, DOCS).withColumn("host", F.lit("h"))
+    got = {r["doc_id"]: r for r in strip_host_boilerplate(df).collect()}
+    assert len(got) == len(DOCS)
+    assert all(r["n_removed"] == 0 for r in got.values())
+    for d, t in DOCS.items():
+        toks = [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+        expect = " ".join(" ".join(toks[i:i + 8])
+                          for i in range(0, len(toks), 8))
+        assert got[d]["clean_text"] == expect
