@@ -65,13 +65,44 @@ def cmd_dedup(args: argparse.Namespace) -> None:
     spark = get_spark("dedup", cores=args.cores,
                       shuffle_partitions=args.shuffle_partitions)
     ckpt = CheckpointManager(spark, args.output, run_id=args.run_id,
-                             config_echo=cfg.__dict__)
+                             config_echo={**cfg.__dict__,
+                                          "against": args.against or ""})
 
     pages = _read_pages(spark, args)
     if "text" not in pages.columns:
         pages = with_extracted_text(pages)
     if "doc_id" not in pages.columns:
         pages = pages.withColumn("doc_id", F.xxhash64("url"))
+
+    if args.against:
+        # incremental mode (operators/snapshot.py): the archive is never
+        # re-clustered — its side comes either from its persisted
+        # signature checkpoint (--against-sigs, the whole point of the
+        # incremental shape) or one signature pass over the archive text
+        from distributed_lsh_spark.operators.snapshot import (
+            dedup_against_corpus,
+        )
+
+        t0 = time.time()
+        corpus = spark.read.parquet(args.against)
+        corpus_sigs = (spark.read.parquet(args.against_sigs)
+                       if args.against_sigs else None)
+        new = pages.select("doc_id", "text")
+        dups = ckpt.stage(
+            "against_dups",
+            lambda: dedup_against_corpus(corpus, new, cfg,
+                                         corpus_sigs=corpus_sigs))
+        n_new = new.count()
+        n_dup = int(ckpt.rows("against_dups"))
+        dt = time.time() - t0
+        print(json.dumps({
+            "run_id": args.run_id, "n_new_docs": n_new,
+            "n_dup_of_archive": n_dup, "n_novel": n_new - n_dup,
+            "wall_sec": round(dt, 2),
+            "docs_per_sec": round(n_new / dt, 1) if dt else None,
+            "dups_stage": "against_dups",
+        }))
+        return
 
     t0 = time.time()
     # byte-identical collapse FIRST (pipeline.exact_collapse): identical-page
@@ -414,6 +445,16 @@ def main(argv: list[str] | None = None) -> None:
                    default="parquet",
                    help="jsonl: gzipped JSONL pages (interchange format; "
                         "explicit schema, corrupt lines dropped)")
+    d.add_argument("--against", default=None, metavar="ARCHIVE_PARQUET",
+                   help="incremental mode: probe --input (a NEW crawl "
+                        "batch) against this existing corpus WITHOUT "
+                        "re-clustering it; emits the dup map "
+                        "(doc_id, dup_of, jaccard)")
+    d.add_argument("--against-sigs", default=None, metavar="SIG_PARQUET",
+                   help="with --against: the archive's persisted "
+                        "signature checkpoint (a prior dedup run's "
+                        "signatures/data dir) — skips recomputing the "
+                        "archive side")
     d.add_argument("--emit-weights", action="store_true",
                    help="also checkpoint a soft-dedup weights table "
                         "(doc_id, cluster_id, cluster_size, weight)")

@@ -220,3 +220,54 @@ def test_cli_curate_drop_contained(spark, tmp_path, capsys):
     ids = {row["doc_id"] for row in surv.select("doc_id").collect()}
     assert 900000 in ids and 11 not in ids
     assert surv.count() == r["n_survivors"]
+
+
+def test_cli_dedup_against_archive(spark, tmp_path, capsys):
+    """Incremental mode: a new crawl batch probes an existing archive —
+    re-crawled near-identical pages map to their archive doc, novel
+    pages don't; passing the archive's persisted signature checkpoint
+    (--against-sigs) gives identical results without touching the
+    archive text."""
+    from pyspark.sql import functions as F
+
+    arch = str(tmp_path / "archive")
+    newp = str(tmp_path / "new")
+    out = str(tmp_path / "dd")
+    base = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    base.write.parquet(arch)
+    # new batch: 3 re-crawls (one appended token — near-dup of the
+    # original) + 2 novel docs; ids offset to keep the spaces disjoint
+    recrawls = (base.where("doc_id in (2, 11, 17)")
+                .select((F.col("doc_id") + 5_000_000).alias("doc_id"),
+                        F.concat("text", F.lit(" recrawl")).alias("text")))
+    novel = spark.createDataFrame(
+        [(6_000_000, " ".join(f"novel{i}" for i in range(40))),
+         (6_000_001, " ".join(f"fresh{i}" for i in range(40)))],
+        "doc_id long, text string")
+    recrawls.unionByName(novel).write.parquet(newp)
+
+    # full dedup of the archive first — its signatures checkpoint is the
+    # --against-sigs input of the incremental run
+    main(["dedup", "--input", arch, "--output", out, "--run-id", "arch",
+          "--cores", "8"])
+    capsys.readouterr()
+
+    main(["dedup", "--input", newp, "--output", out, "--run-id", "inc",
+          "--cores", "8", "--against", arch])
+    r1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r1["n_new_docs"] == 5
+    assert r1["n_dup_of_archive"] == 3 and r1["n_novel"] == 2
+    dups = spark.read.parquet(os.path.join(out, "inc", "against_dups",
+                                           "data"))
+    got = {r["doc_id"]: r["dup_of"] for r in dups.collect()}
+    assert got == {5_000_002: 2, 5_000_011: 11, 5_000_017: 17}
+
+    sig_dir = os.path.join(out, "arch", "signatures", "data")
+    main(["dedup", "--input", newp, "--output", out, "--run-id", "inc2",
+          "--cores", "8", "--against", arch, "--against-sigs", sig_dir])
+    r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert (r2["n_dup_of_archive"], r2["n_novel"]) == (3, 2)
+    dups2 = spark.read.parquet(os.path.join(out, "inc2", "against_dups",
+                                            "data"))
+    assert {r["doc_id"]: r["dup_of"] for r in dups2.collect()} == got
