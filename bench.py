@@ -41,6 +41,8 @@ def main() -> None:
         "events_hourly",
         "user_sessions",
         "line_dedup",
+        "line_dedup_keep_first",
+        "fuzzy_exact_dup_groups",
         "host_boilerplate",
         "gopher_quality",
         "gopher_repetition",

@@ -2038,6 +2038,132 @@ SELECT doc_id,
 FROM fl GROUP BY doc_id ORDER BY doc_id"""
 
 
+def q_line_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma-style keep-FIRST line dedup: a line occurrence is removed iff
+    an EARLIER occurrence of the same 8-token line exists anywhere in the
+    corpus (earlier = smaller (doc_id, pos)); the first occurrence always
+    survives.  Contrast with q_line_dedup's C4 semantics, where EVERY
+    occurrence of a duplicated line is removed — under keep-first a
+    boilerplate line survives in exactly one document instead of vanishing
+    from the corpus.  Output per doc = the line_dedup gate shape
+    (n_lines, n_removed, cleaned-text md5), so removal AND ordered
+    reconstruction are value-checked.
+
+    Planting: identical union to q_line_dedup (doc_id % 61 partial copies
+    at +2_000_000).  Under keep-first the ORIGINALS keep their first 3
+    lines and only the higher-id copies lose them — the semantic the C4
+    row cannot show (there both sides lose the collided lines).  GATE
+    SCAFFOLDING ONLY: assumes the sf corpora's dense non-negative ids.
+
+    Scale shape (100 TB): duplicate detection shuffles (lk:int64, doc_id,
+    pos) projections, never line strings; first-occurrence is ONE
+    map-side-combinable min(struct(doc_id, pos)) per line key — NOT a
+    row_number window over all occurrences, so the hottest boilerplate
+    line's occurrence list collapses per map task instead of sorting on a
+    single reducer.  One explode -> one narrow groupBy -> one narrow join
+    -> one per-doc groupBy; no driver collects, no per-row Python."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    norm = F.expr(_TOK_STREAM.format(col="text"))
+    docs = df.select("doc_id", norm.alias("norm"))
+    prefix24 = F.regexp_extract(F.col("norm"), "[^ ]+( [^ ]+){0,23}", 0)
+    planted = (docs.where(F.pmod(F.col("doc_id"), F.lit(61)) == 0)
+               .select((F.col("doc_id") + 2_000_000).alias("doc_id"),
+                       F.concat(prefix24, F.lit(" planteddup")).alias("norm")))
+    lines = _doc_lines(docs.unionByName(planted), text_col="norm")
+    first = (lines.groupBy("lk")
+             .agg(F.min(F.struct("doc_id", "pos")).alias("first_occ")))
+    is_first = F.struct("doc_id", "pos") == F.col("first_occ")
+    flagged = (lines.join(first, "lk")
+               .select("doc_id", "pos",
+                       F.when(~is_first, F.lit(1)).alias("is_dup"),
+                       F.when(is_first, F.col("line")).alias("line")))
+    kept = F.array_sort(F.collect_list(
+        F.when(F.col("is_dup").isNull(), F.struct("pos", "line"))))
+    return (flagged.groupBy("doc_id")
+            .agg(F.count("*").alias("n_lines"),
+                 F.count("is_dup").alias("n_removed"),
+                 F.md5(F.concat_ws("\n", kept["line"]).cast("binary"))
+                  .alias("clean_md5"))
+            .select("doc_id", "n_lines", "n_removed", "clean_md5")
+            .orderBy("doc_id"))
+
+
+def _sql_line_dedup_keep_first() -> str:
+    return f"""WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         array_to_string(({_DUCK_TOKS})[1:24], ' ') || ' planteddup' AS text
+  FROM documents WHERE doc_id % 61 = 0
+),
+tk AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM base),
+lnl AS (
+  SELECT doc_id,
+         [{{'pos': i, 'line': array_to_string(t[(i-1)*8+1:(i-1)*8+8], ' ')}}
+          for i in range(1, CAST(ceil(len(t)/8.0) AS INT) + 1)] AS ls
+  FROM tk
+),
+ln AS (SELECT doc_id, unnest(ls, recursive := true) FROM lnl),
+fl AS (SELECT doc_id, pos, line,
+              row_number() OVER (PARTITION BY line
+                                 ORDER BY doc_id, pos) AS rn
+       FROM ln)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       md5(coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10)
+                               ORDER BY pos), '')) AS clean_md5
+FROM fl GROUP BY doc_id ORDER BY doc_id"""
+
+
+def q_fuzzy_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma/RefinedWeb 'exact dedup after normalization': group key =
+    md5 of the NORMALIZED token stream (lowercase, punctuation and
+    whitespace runs collapsed — the exact normalization every hashing
+    stage in the engine shares), so case/punctuation/spacing variants of
+    the same content collapse into one group while q_exact_dup_groups'
+    byte-level md5 keeps them distinct.  The standard web-pipeline pass
+    between byte-exact dedup and MinHash near-dup.
+
+    Planting: every doc_id % 71 == 0 document is re-unioned at
+    +4_000_000 as '  >>> ' || upper(text) || ' !!!  ' — byte-DISTINCT
+    (invisible to exact_dup_groups) but normalization-identical, so each
+    makes a real group here.  GATE SCAFFOLDING ONLY (dense non-negative
+    ids); production keys xxhash64(norm) with the identical plan shape.
+
+    Scale shape (100 TB): ONE map-side-combining groupBy on a 16-byte
+    md5 key; the normalization is a codegen regexp scan (no interpreted
+    HOFs, no Python).  Identical shuffle budget to exact dedup."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    mutant = F.concat(F.lit("  >>> "), F.upper(F.col("text")), F.lit(" !!!  "))
+    copies = (df.where(F.pmod(F.col("doc_id"), F.lit(71)) == 0)
+              .select((F.col("doc_id") + 4_000_000).alias("doc_id"),
+                      mutant.alias("text")))
+    norm = F.expr(_TOK_STREAM.format(col="text"))
+    return (df.unionByName(copies)
+            .select("doc_id", norm.alias("norm"))
+            .groupBy(F.md5(F.col("norm").cast("binary")).alias("norm_md5"))
+            .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_id"))
+            .where(F.col("n_dups") > 1)
+            .orderBy("norm_md5"))
+
+
+_SQL_FUZZY_EXACT_DUP_GROUPS = f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 4000000 AS doc_id,
+         '  >>> ' || upper(text) || ' !!!  ' AS text
+  FROM documents WHERE doc_id % 71 = 0
+),
+norms AS (SELECT doc_id, array_to_string({_DUCK_TOKS}, ' ') AS norm
+          FROM all_docs)
+SELECT md5(norm) AS norm_md5, count(*) AS n_dups, min(doc_id) AS keep_id
+FROM norms GROUP BY 1 HAVING count(*) > 1 ORDER BY norm_md5"""
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full Gopher §A1 document-quality rule set (Rae et al. 2021) —
     the heuristics beyond doc_quality's character ratios and
@@ -3336,6 +3462,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "balance_rollup": q_balance_rollup,
     "part_semi_anti": q_part_supplier_semi_anti,
     "line_dedup": q_line_dedup,
+    "line_dedup_keep_first": q_line_dedup_keep_first,
+    "fuzzy_exact_dup_groups": q_fuzzy_exact_dup_groups,
     "host_boilerplate": q_host_boilerplate,
     "gopher_quality": q_gopher_quality,
     "gopher_repetition": q_gopher_repetition,
@@ -3406,6 +3534,8 @@ ORACLE_SQL: dict[str, str] = {
     "balance_rollup": _SQL_BALANCE_ROLLUP,
     "part_semi_anti": _SQL_PART_SEMI_ANTI,
     "line_dedup": _sql_line_dedup(),
+    "line_dedup_keep_first": _sql_line_dedup_keep_first(),
+    "fuzzy_exact_dup_groups": _SQL_FUZZY_EXACT_DUP_GROUPS,
     "host_boilerplate": _sql_host_boilerplate(),
     "gopher_quality": _sql_gopher_quality(),
     "gopher_repetition": _sql_gopher_repetition(),

@@ -18,7 +18,8 @@ SF_DIR = "/root/testdata/sf0.001"
 TABLES = ["documents", "embeddings"]
 NAMES = ["line_dedup", "gopher_repetition", "url_latest_dedup",
          "dedup_funnel", "token_rarity", "domain_stats", "semantic_dedup",
-         "host_boilerplate", "dedup_funnel_contained", "gopher_quality"]
+         "host_boilerplate", "dedup_funnel_contained", "gopher_quality",
+         "line_dedup_keep_first", "fuzzy_exact_dup_groups"]
 
 
 @pytest.fixture(scope="module")
@@ -64,6 +65,41 @@ def test_line_dedup_planted_lines_removed(results):
     assert (planted.n_removed >= planted.n_lines - 1).all()
     originals = sp[(sp.doc_id % 61 == 0) & (sp.doc_id < 2_000_000)]
     assert (originals.n_removed > 0).any()
+
+
+def test_keep_first_removal_is_subset_of_c4_removal(results):
+    """Per doc: a line occurrence removed under keep-first (an earlier
+    occurrence exists) is necessarily a duplicated line, so it is also
+    removed under C4 semantics — n_removed_kf <= n_removed_c4 everywhere,
+    strictly less where a doc holds a line's FIRST occurrence."""
+    kf, _ = results["line_dedup_keep_first"]
+    ld, _ = results["line_dedup"]
+    m = kf.merge(ld, on="doc_id", suffixes=("_kf", "_c4"))
+    assert len(m) == len(kf) == len(ld)
+    assert (m.n_lines_kf == m.n_lines_c4).all()
+    assert (m.n_removed_kf <= m.n_removed_c4).all()
+    # the %61 originals hold the first occurrences of the collided lines:
+    # C4 removes them, keep-first keeps them
+    orig = m[(m.doc_id % 61 == 0) & (m.doc_id < 2_000_000)]
+    assert (orig.n_removed_kf < orig.n_removed_c4).any()
+    # the +2M partial copies lose (at least) all but their last line
+    cp = m[m.doc_id >= 2_000_000]
+    assert len(cp) > 0
+    assert (cp.n_removed_kf >= cp.n_lines_kf - 1).all()
+
+
+def test_fuzzy_groups_capture_normalization_variants(results):
+    sp, _ = results["fuzzy_exact_dup_groups"]
+    assert (sp.n_dups >= 2).all()
+    # every %71 base doc gained a '  >>> UPPER !!!  ' variant at +4M:
+    # byte-distinct, normalization-identical -> a real group keyed by the
+    # original (minimum) doc_id
+    import pandas as pd
+    base = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    planted_src = sorted(int(i) for i in base.doc_id if i % 71 == 0)
+    assert len(planted_src) > 0
+    for i in planted_src:
+        assert (sp.keep_id == i).any(), i
 
 
 def test_gopher_planted_docs_have_dup_lines(results):
