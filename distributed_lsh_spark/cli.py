@@ -259,6 +259,21 @@ def cmd_curate(args: argparse.Namespace) -> None:
             bl = bl.limit(0)
         pages = blocklist_filter(pages, bl, "url",
                                  args.blocked_url_regex or None)
+    eval_texts: list[str] = []
+    eval_md5 = None
+    if args.decontaminate:
+        # read the benchmark suite driver-side (one eval text per line —
+        # fixed MBs at any corpus scale); its CONTENT hashes into the
+        # config echo so a changed suite rebuilds, never resumes
+        import hashlib
+
+        with open(args.decontaminate, "rb") as fh:
+            raw = fh.read()
+        eval_md5 = hashlib.md5(raw).hexdigest()
+        eval_texts = [ln for ln in raw.decode("utf-8").splitlines()
+                      if ln.strip()]
+        if not eval_texts:
+            raise SystemExit("--decontaminate file has no eval texts")
     if args.canonical_urls and url_col == "url":
         # fold url spellings together BEFORE keep-latest-per-url, so
         # HTTP://Ex.COM:80/a#f and http://ex.com/a dedup as one page
@@ -288,7 +303,11 @@ def cmd_curate(args: argparse.Namespace) -> None:
                                           "drop_contained":
                                               bool(args.drop_contained),
                                           "strip_boilerplate":
-                                              bool(args.strip_boilerplate)})
+                                              bool(args.strip_boilerplate),
+                                          "decontaminate": eval_md5,
+                                          "contam_ngram": args.contam_ngram,
+                                          "contam_threshold":
+                                              args.contam_threshold})
     t0 = time.time()
     res = curation_funnel(
         pages, cfg, url_col=url_col, ts_col=ts_col or "warc_epoch",
@@ -297,6 +316,26 @@ def cmd_curate(args: argparse.Namespace) -> None:
         else None,
         ckpt=ckpt)
     survivors = res.survivors
+    n_after_decontam = None
+    if args.decontaminate:
+        # benchmark decontamination (GPT-3 13-gram rule by default):
+        # drop survivors sharing n-grams with the eval suite.  Runs
+        # FIRST among the post-funnel tiers so the rewrite passes below
+        # never spend work on docs that are about to be dropped.
+        from distributed_lsh_spark.operators.decontam import decontaminate
+
+        pre_surv = survivors
+        ev_df = spark.createDataFrame([(t,) for t in eval_texts],
+                                      "text string")
+
+        def _decontam():
+            return decontaminate(pre_surv, ev_df, n=args.contam_ngram,
+                                 threshold=args.contam_threshold)
+
+        survivors = ckpt.stage("decontam", _decontam)
+        # one count on the committed stage; the rewrite tiers below are
+        # 1:1 on doc_id, so this is also the final survivor count
+        n_after_decontam = survivors.count()
     n_boiler_lines = None
     if args.strip_boilerplate:
         # post-funnel rewrite tier: cut host-scoped chrome lines (the
@@ -373,14 +412,19 @@ def cmd_curate(args: argparse.Namespace) -> None:
                               shards=args.jsonl_shards)
     dt = time.time() - t0
     n_in = metrics[0]["docs_out"]
+    n_survivors = (n_after_decontam if n_after_decontam is not None
+                   else metrics[-1]["docs_out"])
     print(json.dumps({
         "run_id": args.run_id, "tiers": metrics,
-        "n_docs": n_in, "n_survivors": metrics[-1]["docs_out"],
+        "n_docs": n_in, "n_survivors": n_survivors,
         "wall_sec": round(dt, 2),
         "docs_per_sec": round(n_in / dt, 1) if dt else None,
         "survivors_stage": ("span_clean" if args.remove_spans
                             else "boiler_clean" if args.strip_boilerplate
+                            else "decontam" if args.decontaminate
                             else f"funnel_{metrics[-1]['tier']}"),
+        **({"decontam_removed": metrics[-1]["docs_out"] - n_after_decontam}
+           if n_after_decontam is not None else {}),
         **({"blocklist_removed": n_raw - n_in} if n_raw is not None else {}),
         **({"wet_records": n_wet, "wet_output": args.wet_output}
            if n_wet is not None else {}),
@@ -493,6 +537,17 @@ def main(argv: list[str] | None = None) -> None:
                         "suffix-match pass before the funnel")
     c.add_argument("--blocked-url-regex", action="append", default=None,
                    help="url regex to block (repeatable)")
+    c.add_argument("--decontaminate", default=None, metavar="EVAL_FILE",
+                   help="benchmark decontamination: drop survivors sharing "
+                        "word n-grams with the eval texts in EVAL_FILE (one "
+                        "per line); file content rides the checkpoint "
+                        "config echo")
+    c.add_argument("--contam-ngram", type=int, default=13,
+                   help="n-gram size for --decontaminate (default 13, the "
+                        "GPT-3 convention)")
+    c.add_argument("--contam-threshold", type=float, default=0.0,
+                   help="drop when shared-ngram fraction EXCEEDS this "
+                        "(default 0.0 = any overlap drops the doc)")
     c.add_argument("--wet-output", default=None,
                    help="also export survivors as WET-style .warc.gz "
                         "conversion records under this dir")
