@@ -493,6 +493,96 @@ def incremental_line_dedup_stream(spark: SparkSession, input_dir: str,
     return writer.start()
 
 
+def incremental_line_dedup_keep_first_stream(
+        spark: SparkSession, input_dir: str, state_dir: str,
+        schema: str = "doc_id long, text string",
+        available_now: bool = True,
+        max_files_per_trigger: int = 16,
+        compact_every: int | None = 64):
+    """Streaming twin of entry_queries.q_line_dedup_keep_first (Dolma
+    keep-first line dedup).  Unlike the C4 twin above, keep-first is
+    MONOTONE in the ingested prefix — the first occurrence of a line is
+    final the moment it arrives — so every removal is emitted exactly
+    once in the occurrence's OWN arrival batch and no retroactive rows
+    exist: a verdict never changes later.
+
+    Semantics: an occurrence (doc_id, pos) is removed iff its line was
+    seen in an EARLIER batch, or earlier within the same batch (ties by
+    min (doc_id, pos) — the batch query's order).  Under monotone ingest
+    (doc_ids non-decreasing across batches — the natural crawl-log
+    order) the cumulative removal set equals the batch query's global
+    min-(doc_id, pos) rule exactly; under arbitrary interleaving it is
+    the first-ARRIVAL rule (both pinned in tests).
+
+    State layout under `state_dir`:
+      checkpoint/   Spark streaming checkpoint
+      line_index/   ONE row per distinct line key ever seen (lk) —
+                    strictly smaller than the C4 twin's occurrence index
+      removed/      removed occurrences, with batch_id lineage
+
+    Per-batch cost: O(batch lines) + one probe join on 8-byte lks,
+    semi-restricted to the batch's keys.  Index rows duplicated by a
+    compaction crash window are tolerated: the presence probe
+    dropDuplicates, and the index append anti-joins against history so
+    duplicates never grow."""
+    from distributed_lsh_spark.functions.text import doc_lines
+
+    idx_dir = os.path.join(state_dir, "line_index")
+    rm_dir = os.path.join(state_dir, "removed")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", str(max_files_per_trigger))
+              .parquet(input_dir))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_batch_index(spark, idx_dir, batch_id)
+        new = (doc_lines(batch_df.select("doc_id", "text"))
+               .select("doc_id", "pos", "lk"))
+        new.persist()
+        seen = None
+        try:
+            if has_band_history(spark, idx_dir):
+                seen = (spark.read.parquet(idx_dir)
+                        .where(F.col("batch_id") < batch_id)
+                        .join(new.select("lk").dropDuplicates(),
+                              "lk", "left_semi")
+                        .select("lk").dropDuplicates())
+            else:
+                seen = spark.createDataFrame([], "lk long")
+            seen.persist()
+            firsts = (new.groupBy("lk")
+                      .agg(F.min(F.struct("doc_id", "pos"))
+                           .alias("first_occ")))
+            removed = (new.join(firsts, "lk")
+                       .join(seen.withColumn("_seen", F.lit(1)), "lk", "left")
+                       .where(F.col("_seen").isNotNull() |
+                              (F.struct("doc_id", "pos") !=
+                               F.col("first_occ")))
+                       .select("doc_id", "pos", "lk")
+                       .withColumn("batch_id", F.lit(batch_id)))
+            new_lks = (new.select("lk").dropDuplicates()
+                       .join(seen, "lk", "left_anti")
+                       .withColumn("batch_id", F.lit(batch_id)))
+            for df, d in ((removed, rm_dir), (new_lks, idx_dir)):
+                (df.write.mode("overwrite").partitionBy("batch_id")
+                   .option("partitionOverwriteMode", "dynamic").parquet(d))
+        finally:
+            new.unpersist()
+            if seen is not None:
+                seen.unpersist()
+
+    writer = (stream.writeStream
+              .foreachBatch(process_batch)
+              .option("checkpointLocation",
+                      os.path.join(state_dir, "checkpoint")))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def incremental_containment_stream(spark: SparkSession, input_dir: str,
                                    state_dir: str, tau: float = 0.8,
                                    schema: str = "doc_id long, text string",
