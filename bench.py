@@ -40,6 +40,7 @@ def main() -> None:
         "top_unshipped_orders",
         "events_hourly",
         "user_sessions",
+        "decontam_filter",
         "line_dedup",
         "line_dedup_keep_first",
         "fuzzy_exact_dup_groups",

@@ -842,6 +842,52 @@ FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
 WHERE s.n > 0 ORDER BY s.doc_id"""
 
 
+def q_decontam_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operational decontamination VERDICT (operators/decontam.py,
+    `curate --decontaminate`'s exact rule) as a gated row: per doc, the
+    GPT-3 any-hit 13-gram boolean against the modulo-50 eval-set
+    stand-in (contamination_check's convention; production feeds a fixed
+    benchmark suite).  Distinct from contamination_check, which scores a
+    5-gram overlap RATIO — this row value-checks the n=13 drop rule the
+    CLI tier executes: the broadcast left-semi probe (no counting) plus
+    the whole-text fallback for docs shorter than 13 tokens.
+
+    Scale shape: eval inventory broadcasts (fixed MBs); corpus cost is
+    one codegen shingle scan + explode + a distinct-on-doc_id semi hit
+    set; the verdict join is narrow.  No counting aggregates at all."""
+    from distributed_lsh_spark.operators.decontam import (
+        contaminated_ids, eval_ngram_inventory)
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    ev_texts = df.where(F.pmod(F.col("doc_id"), F.lit(50)) == 0) \
+        .select("text")
+    inv = eval_ngram_inventory(ev_texts, n=13)
+    bad = contaminated_ids(df, inv, n=13).withColumn("c", F.lit(True))
+    return (df.select("doc_id").join(bad, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("c", F.lit(False)).alias("contaminated"))
+            .orderBy("doc_id"))
+
+
+_SQL_DECONTAM_FILTER = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 13 THEN [array_to_string(t, ' ')]
+              ELSE [array_to_string(t[i:i+12], ' ')
+                    for i in range(1, len(t) - 11)]
+         END AS grams
+  FROM toks
+),
+shd AS (SELECT doc_id, unnest(list_distinct(grams)) AS g FROM sh),
+ev AS (SELECT DISTINCT g FROM shd WHERE doc_id % 50 = 0),
+hit AS (SELECT DISTINCT shd.doc_id FROM shd JOIN ev USING (g))
+SELECT d.doc_id, h.doc_id IS NOT NULL AS contaminated
+FROM documents d LEFT JOIN hit h ON h.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+
+
 # --------------------------------------------------------------------------
 # relational queries (TPC-H-ish + events) — operator-inventory breadth
 # --------------------------------------------------------------------------
@@ -3457,6 +3503,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_pairs_recall_audit": q_cosine_pairs_recall_audit,
     "pii_scrub": q_pii_scrub,
     "contamination_check": q_contamination_check,
+    "decontam_filter": q_decontam_filter,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "multimodal_features": q_multimodal_features,
     "balance_rollup": q_balance_rollup,
@@ -3529,6 +3576,7 @@ ORACLE_SQL: dict[str, str] = {
     "cosine_pairs_recall_audit": _sql_cosine_pairs_recall_audit(),
     "pii_scrub": _sql_pii_scrub(),
     "contamination_check": _sql_contamination_check(),
+    "decontam_filter": _SQL_DECONTAM_FILTER,
     "embedding_cosine_pairs": _SQL_EMBEDDING_COSINE_PAIRS,
     "multimodal_features": _sql_multimodal_features(),
     "balance_rollup": _SQL_BALANCE_ROLLUP,
