@@ -41,6 +41,7 @@ def main() -> None:
         "events_hourly",
         "user_sessions",
         "decontam_filter",
+        "word_blocklist_filter",
         "line_dedup",
         "line_dedup_keep_first",
         "fuzzy_exact_dup_groups",

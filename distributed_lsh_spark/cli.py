@@ -259,6 +259,33 @@ def cmd_curate(args: argparse.Namespace) -> None:
             bl = bl.limit(0)
         pages = blocklist_filter(pages, bl, "url",
                                  args.blocked_url_regex or None)
+    wd_words: list[str] = []
+    n_after_host = None
+    if args.blocked_words:
+        # C4-style bad-WORDS content filter (the host/url blocklist's
+        # content counterpart): one codegen regexp scan, map-only
+        import re as _re
+
+        with open(args.blocked_words) as fh:
+            wd_words = sorted({w.strip().lower() for w in fh
+                               if w.strip() and not w.startswith("#")})
+        bad_entries = [w for w in wd_words
+                       if not _re.fullmatch("[a-z0-9]+", w)]
+        if bad_entries:
+            raise SystemExit("--blocked-words entries must be single "
+                             "[a-z0-9]+ tokens (the tokenizer alphabet); "
+                             f"offending: {bad_entries[:5]}")
+        if not wd_words:
+            raise SystemExit("--blocked-words file has no entries")
+        from distributed_lsh_spark.entry_queries import word_blocklist_expr
+
+        if n_raw is None:
+            n_raw = pages.count()
+        else:
+            # both blocklists active: one intermediate count splits the
+            # removal attribution between them
+            n_after_host = pages.count()
+        pages = pages.where(word_blocklist_expr(wd_words) == 0)
     eval_texts: list[str] = []
     eval_md5 = None
     if args.decontaminate:
@@ -304,6 +331,7 @@ def cmd_curate(args: argparse.Namespace) -> None:
                                               bool(args.drop_contained),
                                           "strip_boilerplate":
                                               bool(args.strip_boilerplate),
+                                          "blocked_words": wd_words,
                                           "decontaminate": eval_md5,
                                           "contam_ngram": args.contam_ngram,
                                           "contam_threshold":
@@ -414,6 +442,19 @@ def cmd_curate(args: argparse.Namespace) -> None:
     n_in = metrics[0]["docs_out"]
     n_survivors = (n_after_decontam if n_after_decontam is not None
                    else metrics[-1]["docs_out"])
+    # pre-funnel removal attribution: n_raw -> [host/url blocklist] ->
+    # n_after_host -> [word blocklist] -> n_in (the funnel input count)
+    host_word_removed: dict[str, int] = {}
+    if n_raw is not None:
+        host_active = bool(bl_entries or args.blocked_url_regex)
+        if host_active and wd_words:
+            host_word_removed = {
+                "blocklist_removed": n_raw - n_after_host,
+                "word_blocklist_removed": n_after_host - n_in}
+        elif wd_words:
+            host_word_removed = {"word_blocklist_removed": n_raw - n_in}
+        else:
+            host_word_removed = {"blocklist_removed": n_raw - n_in}
     print(json.dumps({
         "run_id": args.run_id, "tiers": metrics,
         "n_docs": n_in, "n_survivors": n_survivors,
@@ -425,7 +466,7 @@ def cmd_curate(args: argparse.Namespace) -> None:
                             else f"funnel_{metrics[-1]['tier']}"),
         **({"decontam_removed": metrics[-1]["docs_out"] - n_after_decontam}
            if n_after_decontam is not None else {}),
-        **({"blocklist_removed": n_raw - n_in} if n_raw is not None else {}),
+        **(host_word_removed),
         **({"wet_records": n_wet, "wet_output": args.wet_output}
            if n_wet is not None else {}),
         **({"jsonl_records": n_jsonl, "jsonl_output": args.jsonl_output}
@@ -537,6 +578,11 @@ def main(argv: list[str] | None = None) -> None:
                         "suffix-match pass before the funnel")
     c.add_argument("--blocked-url-regex", action="append", default=None,
                    help="url regex to block (repeatable)")
+    c.add_argument("--blocked-words", default=None, metavar="WORDS_FILE",
+                   help="C4-style bad-words content filter: drop pages "
+                        "whose token stream contains any listed word (one "
+                        "[a-z0-9]+ token per line, # comments); rides the "
+                        "checkpoint config echo")
     c.add_argument("--decontaminate", default=None, metavar="EVAL_FILE",
                    help="benchmark decontamination: drop survivors sharing "
                         "word n-grams with the eval texts in EVAL_FILE (one "

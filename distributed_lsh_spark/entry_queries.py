@@ -489,6 +489,14 @@ def quality_keep_expr():
     return keep & (n_chars > 0) & (n_tokens > 0)
 
 
+def word_blocklist_expr(words: list[str], col: str = "text"):
+    """Public single source of the C4 bad-words rule (`curate
+    --blocked-words` and the gated word_blocklist_filter row): count of
+    blocklist-word token hits in `col`'s normalized token stream
+    (0 == keep).  One codegen regexp scan, list-size-independent."""
+    return _word_hits_col(sorted(words), col=col)
+
+
 _SQL_QUALITY_CTE = """
 qt AS (
   SELECT doc_id, length(text) AS n_chars,
@@ -886,6 +894,60 @@ hit AS (SELECT DISTINCT shd.doc_id FROM shd JOIN ev USING (g))
 SELECT d.doc_id, h.doc_id IS NOT NULL AS contaminated
 FROM documents d LEFT JOIN hit h ON h.doc_id = d.doc_id
 ORDER BY d.doc_id"""
+
+
+#: sandbox stand-in for the fixed public bad-words list the C4 pipeline
+#: filters on (Raffel et al. 2020 §2.2); production swaps the real list —
+#: the plan is list-size-independent (one alternation regex).
+_BADWORDS = ["xbadone", "xbadtwo"]
+
+
+def q_word_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style bad-WORDS content filter: drop any page whose token
+    stream contains a word from a fixed word blocklist — the content
+    counterpart of the host/URL blocklist pass (operators/blocklist.py
+    filters WHERE a page came from; this filters what it SAYS).
+
+    Plantings (both engines construct identical text):
+      - doc_id % 73 == 0: ' xbadone ' appended -> n_bad >= 1, dropped;
+      - doc_id % 79 == 0: ' xbadones xxbadone ' appended -> near-miss
+        tokens that must NOT match, pinning whole-token semantics (a
+        substring match would wrongly drop these).
+    GATE SCAFFOLDING ONLY (dense non-negative ids); production applies
+    the same expression to the raw table.
+
+    Scale shape (100 TB): ONE codegen regexp_count over the double-pipe-
+    padded token stream — map-only, zero shuffle, no UDFs, no explode;
+    cost independent of list size (single alternation scan)."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    planted = F.concat(
+        F.col("text"),
+        F.when(F.pmod("doc_id", F.lit(73)) == 0,
+               F.lit(" xbadone ")).otherwise(F.lit("")),
+        F.when(F.pmod("doc_id", F.lit(79)) == 0,
+               F.lit(" xbadones xxbadone ")).otherwise(F.lit("")))
+    d = df.select("doc_id", planted.alias("t2"))
+    n_bad = word_blocklist_expr(_BADWORDS, col="t2").cast("long")
+    return (d.select("doc_id", n_bad.alias("n_bad"),
+                     (n_bad == 0).alias("keep"))
+            .orderBy("doc_id"))
+
+
+_SQL_WORD_BLOCKLIST_FILTER = f"""
+WITH base AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 73 = 0 THEN ' xbadone ' ELSE '' END
+              || CASE WHEN doc_id % 79 = 0 THEN ' xbadones xxbadone '
+                      ELSE '' END AS text
+  FROM documents
+),
+tk AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM base),
+ct AS (SELECT doc_id,
+              CAST(len(list_filter(toks,
+                   x -> list_contains({_BADWORDS!r}, x))) AS BIGINT) AS n_bad
+       FROM tk)
+SELECT doc_id, n_bad, n_bad = 0 AS keep FROM ct ORDER BY doc_id"""
 
 
 # --------------------------------------------------------------------------
@@ -3504,6 +3566,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "contamination_check": q_contamination_check,
     "decontam_filter": q_decontam_filter,
+    "word_blocklist_filter": q_word_blocklist_filter,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "multimodal_features": q_multimodal_features,
     "balance_rollup": q_balance_rollup,
@@ -3577,6 +3640,7 @@ ORACLE_SQL: dict[str, str] = {
     "pii_scrub": _sql_pii_scrub(),
     "contamination_check": _sql_contamination_check(),
     "decontam_filter": _SQL_DECONTAM_FILTER,
+    "word_blocklist_filter": _SQL_WORD_BLOCKLIST_FILTER,
     "embedding_cosine_pairs": _SQL_EMBEDDING_COSINE_PAIRS,
     "multimodal_features": _sql_multimodal_features(),
     "balance_rollup": _SQL_BALANCE_ROLLUP,

@@ -124,3 +124,57 @@ def test_plan_never_shuffles_pages(spark):
     assert "hashpartitioning(doc_id" not in plan
     assert "hashpartitioning(url" not in plan
     assert "hashpartitioning(_host" not in plan
+
+
+def test_cli_curate_blocked_words(spark, tmp_path, capsys):
+    """--blocked-words drops pages containing a listed token (whole-token
+    semantics: near-miss tokens survive); removal count attributed in the
+    JSON; a changed word list invalidates via the config echo."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from distributed_lsh_spark.cli import main
+
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "cur")
+    base = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    # plant 'zzevil' into docs 0..4, near-miss 'zzevils' into 5..9
+    planted = (base.withColumn(
+        "text",
+        F.when(F.col("doc_id") < 5,
+               F.concat(F.col("text"), F.lit(" zzevil ")))
+         .when(F.col("doc_id") < 10,
+               F.concat(F.col("text"), F.lit(" zzevils ")))
+         .otherwise(F.col("text"))))
+    planted.write.parquet(src)
+    n_total = planted.count()
+    words = tmp_path / "badwords.txt"
+    words.write_text("# sandbox list\nzzevil\n")
+
+    args = ["curate", "--input", src, "--output", out, "--run-id", "w1",
+            "--cores", "8", "--no-quality", "--blocked-words", str(words)]
+    main(args)
+    r1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r1["word_blocklist_removed"] == 5
+    assert r1["n_docs"] == n_total - 5
+    surv = spark.read.parquet(
+        os.path.join(out, "w1", f"funnel_{r1['tiers'][-1]['tier']}", "data"))
+    assert surv.where(F.col("doc_id") < 5).count() == 0
+    assert surv.where((F.col("doc_id") >= 5) & (F.col("doc_id") < 10)) \
+               .count() > 0, "near-miss tokens must survive"
+
+    # changed list -> rebuild: now nothing matches
+    words.write_text("zzabsent\n")
+    main(args)
+    r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r2["word_blocklist_removed"] == 0
+    assert r2["n_docs"] == n_total
+
+    # malformed entry (not a tokenizer-alphabet token) is rejected
+    words.write_text("two words\n")
+    import pytest
+    with pytest.raises(SystemExit):
+        main(args)
