@@ -1715,14 +1715,16 @@ FROM x ORDER BY url"""
 
 def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-audit that puts the APPROXIMATE similarity paths behind the
-    hard gate: recall@10 of the SRP-LSH and IVF searchers against the
-    oracled exact top-k (`embedding_topk`), as per-(method, query) pass
-    booleans with wide margins (SRP tables=48/bits=5 and IVF nprobe=16
-    measure recall 0.7-1.0 at sf0.01 and sf0.1; thresholds 0.7/0.5).
-    The DuckDB oracle is the constant all-passed table — a drop in either
-    searcher's recall flips a boolean and reddens the row."""
+    hard gate: recall@10 of the SRP-LSH, multi-probe SRP-LSH, and IVF
+    searchers against the oracled exact top-k (`embedding_topk`), as
+    per-(method, query) pass booleans with wide margins (SRP
+    tables=48/bits=5 and IVF nprobe=16 measure recall 0.7-1.0 at sf0.01
+    and sf0.1; multi-probe at tables=12 — a 4x SMALLER point index —
+    measures 0.9-1.0; thresholds 0.7/0.7/0.5).  The DuckDB oracle is the
+    constant all-passed table — a drop in any searcher's recall flips a
+    boolean and reddens the row."""
     from distributed_lsh_spark.operators.vector_ann import (
-        cosine_topk_ivf, cosine_topk_lsh,
+        cosine_topk_ivf, cosine_topk_lsh, cosine_topk_lsh_multiprobe,
     )
 
     exact = q_embedding_topk(spark, sf_dir).select("query_id", "vec_id")
@@ -1730,13 +1732,17 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.where(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
     srp = (cosine_topk_lsh(emb, q, k=10, tables=48, bits=5, seed=42)
            .select(F.lit("srp").alias("method"), "query_id", "vec_id"))
+    mp = (cosine_topk_lsh_multiprobe(emb, q, k=10, tables=12, bits=5,
+                                     seed=42)
+          .select(F.lit("srp_mp").alias("method"), "query_id", "vec_id"))
     ivf = (cosine_topk_ivf(emb, q, k=10, nlist=32, nprobe=16, seed=42)
            .select(F.lit("ivf").alias("method"), "query_id", "vec_id"))
-    appx = srp.unionByName(ivf)
+    appx = srp.unionByName(mp).unionByName(ivf)
     grid = appx.select("method", "query_id").dropDuplicates()
     hits = (appx.join(exact, ["query_id", "vec_id"])
             .groupBy("method", "query_id").agg(F.count("*").alias("n_hits")))
-    need = F.when(F.col("method") == "srp", F.lit(7)).otherwise(F.lit(5))
+    need = F.when(F.col("method").isin("srp", "srp_mp"),
+                  F.lit(7)).otherwise(F.lit(5))
     return (grid.join(hits, ["method", "query_id"], "left")
             .select("method", "query_id",
                     (F.coalesce("n_hits", F.lit(0)) >= need).alias("passed"))
@@ -1744,7 +1750,7 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_ann_recall_audit() -> str:
-    rows = ",".join(f"('{m}',{q},TRUE)" for m in ("ivf", "srp")
+    rows = ",".join(f"('{m}',{q},TRUE)" for m in ("ivf", "srp", "srp_mp")
                     for q in range(5))
     return f"""SELECT method, CAST(query_id AS BIGINT) AS query_id, passed
 FROM (VALUES {rows}) t(method, query_id, passed)

@@ -200,7 +200,13 @@ def cosine_topk_lsh(points: DataFrame, queries: DataFrame, k: int = 10,
                        F.col(vec_col).alias("qe"))
     pb = p.select("vec_id", F.posexplode(sig(F.col("emb"))).alias("table_id", "code"))
     qb = q.select("query_id", F.posexplode(sig(F.col("qe"))).alias("table_id", "code"))
+    return _bucket_topk(p, q, pb, qb, k, cap_per_bucket)
 
+
+def _bucket_topk(p: DataFrame, q: DataFrame, pb: DataFrame, qb: DataFrame,
+                 k: int, cap_per_bucket: int) -> DataFrame:
+    """Shared tail of the bucketed cosine searchers: hot-bucket cap ->
+    broadcast probe join -> exact cosine re-rank -> per-query top-k."""
     if cap_per_bucket:
         wcap = Window.partitionBy("table_id", "code").orderBy("vec_id")
         pb = (pb.withColumn("_rn", F.row_number().over(wcap))
@@ -214,6 +220,49 @@ def cosine_topk_lsh(points: DataFrame, queries: DataFrame, k: int = 10,
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def cosine_topk_lsh_multiprobe(points: DataFrame, queries: DataFrame,
+                               k: int = 10, dim: int | None = None,
+                               tables: int = 8, bits: int = 12,
+                               seed: int = 42, id_col: str = "vec_id",
+                               vec_col: str = "embedding",
+                               query_id_col: str = "query_id",
+                               cap_per_bucket: int = 5000) -> DataFrame:
+    """Multi-probe SRP-LSH (Lv et al. VLDB'07, applied to hyperplane
+    codes): each query probes its own bucket PLUS every bucket at
+    Hamming distance 1 in each table — bits+1 probes per table, the
+    standard perturbation set for sign-random-projection codes (the
+    nearest-miss bucket differs in exactly one hyperplane sign).
+
+    Why it matters at 10^9 vectors: recall is bought with QUERY-side
+    probe fan-out instead of POINT-side table count.  The point index —
+    the expensive side: tables x n_vectors rows, shuffled, persisted,
+    re-read per batch — shrinks ~(bits+1)x for equal recall, while the
+    extra probes ride the tiny broadcast query frame.  The probe
+    expansion is pure codegen (posexplode over XOR literals); candidate
+    generation, hot-bucket cap, exact re-rank, and top-k are the exact
+    cosine_topk_lsh tail.
+
+    Reference analogue: probing neighboring buckets generalizes the
+    reference's radius-expansion re-probe (LSHSearcher.java radius loop)
+    from rehash-per-radius to bit-perturbation within one table set."""
+    if dim is None:
+        dim = len(points.select(vec_col).first()[0])
+    sig = _srp_udf(dim, tables, bits, seed)
+
+    p = points.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb"))
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).alias("qe"))
+    pb = p.select("vec_id", F.posexplode(sig(F.col("emb"))).alias("table_id", "code"))
+    qb0 = q.select("query_id",
+                   F.posexplode(sig(F.col("qe"))).alias("table_id", "code"))
+    probe_set = F.array(
+        F.col("code"),
+        *[F.col("code").bitwiseXOR(F.lit(1 << b)) for b in range(bits)])
+    qb = (qb0.select("query_id", "table_id",
+                     F.explode(probe_set).alias("code")))
+    return _bucket_topk(p, q, pb, qb, k, cap_per_bucket)
 
 
 def train_ivf_centroids(points: DataFrame, nlist: int, seed: int = 42,

@@ -221,3 +221,49 @@ def test_cosine_pairs_dispatch(spark, monkeypatch):
     picked.clear()
     va.cosine_pairs(df, tau)
     assert picked == ["exact"]
+
+
+def test_multiprobe_beats_single_probe_at_equal_tables(emb):
+    """Hamming-1 multi-probe (Lv et al. VLDB'07): candidate superset of
+    single-probe at the same (tables, bits, seed) -> recall never lower;
+    and a 4x-smaller multi-probe index matches the big single-probe
+    index's recall on the clustered fixture."""
+    from distributed_lsh_spark.operators.vector_ann import (
+        cosine_topk_lsh, cosine_topk_lsh_multiprobe)
+
+    df, vecs = emb
+    qids = [0, 40, 80, 120]
+    q = df.where(df.vec_id.isin(qids)).withColumnRenamed("vec_id", "query_id")
+    expect = _brute_topk(vecs, qids, k=5)
+
+    def recall(got):
+        hits = total = 0
+        for qid in qids:
+            truth = {i for i, _ in expect[qid]}
+            found = {r["vec_id"] for r in got if r["query_id"] == qid}
+            hits += len(truth & found)
+            total += len(truth)
+        return hits / total
+
+    kw = dict(k=5, bits=8, seed=42)
+    r_single = recall(cosine_topk_lsh(df, q, tables=16, **kw).collect())
+    r_multi = recall(cosine_topk_lsh_multiprobe(df, q, tables=16,
+                                                **kw).collect())
+    assert r_multi >= r_single
+    # 4x fewer tables, same recall bar as the full single-probe index
+    r_small = recall(cosine_topk_lsh_multiprobe(df, q, tables=4,
+                                                **kw).collect())
+    assert r_small >= 0.8, f"multi-probe tables=4 recall: {r_small}"
+
+
+def test_multiprobe_is_deterministic(emb):
+    from distributed_lsh_spark.operators.vector_ann import (
+        cosine_topk_lsh_multiprobe)
+
+    df, _ = emb
+    q = df.where(df.vec_id == 0).withColumnRenamed("vec_id", "query_id")
+    a = sorted(map(tuple, cosine_topk_lsh_multiprobe(
+        df, q, k=5, tables=4, bits=8, seed=42).collect()))
+    b = sorted(map(tuple, cosine_topk_lsh_multiprobe(
+        df, q, k=5, tables=4, bits=8, seed=42).collect()))
+    assert a == b
