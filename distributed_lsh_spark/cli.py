@@ -332,6 +332,8 @@ def cmd_curate(args: argparse.Namespace) -> None:
                                           "strip_boilerplate":
                                               bool(args.strip_boilerplate),
                                           "blocked_words": wd_words,
+                                          "max_docs_per_host":
+                                              args.max_docs_per_host,
                                           "decontaminate": eval_md5,
                                           "contam_ngram": args.contam_ngram,
                                           "contam_threshold":
@@ -364,6 +366,29 @@ def cmd_curate(args: argparse.Namespace) -> None:
         # one count on the committed stage; the rewrite tiers below are
         # 1:1 on doc_id, so this is also the final survivor count
         n_after_decontam = survivors.count()
+    n_after_hostcap = None
+    if args.max_docs_per_host:
+        # anti-domination cap: keep at most N docs per host, chosen by
+        # deterministic md5 rank (operators/sampling.reservoir_sample),
+        # so the kept set is reproducible across runs AND physical
+        # layouts; the sampler's hash-threshold prefilter bounds the
+        # per-host window at ~2N rows even for a mega-host.
+        from distributed_lsh_spark.operators.blocklist import url_host
+        from distributed_lsh_spark.operators.sampling import reservoir_sample
+
+        if "url" not in pages.columns:
+            raise SystemExit("--max-docs-per-host needs a url column "
+                             "(hosts scope the cap)")
+        cap_surv = survivors
+
+        def _cap():
+            withhost = cap_surv.withColumn("_host", url_host(F.col("url")))
+            return (reservoir_sample(withhost, "_host",
+                                     args.max_docs_per_host)
+                    .drop("_host", "sample_rank"))
+
+        survivors = ckpt.stage("host_cap", _cap)
+        n_after_hostcap = survivors.count()
     n_boiler_lines = None
     if args.strip_boilerplate:
         # post-funnel rewrite tier: cut host-scoped chrome lines (the
@@ -440,8 +465,9 @@ def cmd_curate(args: argparse.Namespace) -> None:
                               shards=args.jsonl_shards)
     dt = time.time() - t0
     n_in = metrics[0]["docs_out"]
-    n_survivors = (n_after_decontam if n_after_decontam is not None
-                   else metrics[-1]["docs_out"])
+    n_survivors = next(
+        (n for n in (n_after_hostcap, n_after_decontam) if n is not None),
+        metrics[-1]["docs_out"])
     # pre-funnel removal attribution: n_raw -> [host/url blocklist] ->
     # n_after_host -> [word blocklist] -> n_in (the funnel input count)
     host_word_removed: dict[str, int] = {}
@@ -462,10 +488,15 @@ def cmd_curate(args: argparse.Namespace) -> None:
         "docs_per_sec": round(n_in / dt, 1) if dt else None,
         "survivors_stage": ("span_clean" if args.remove_spans
                             else "boiler_clean" if args.strip_boilerplate
+                            else "host_cap" if args.max_docs_per_host
                             else "decontam" if args.decontaminate
                             else f"funnel_{metrics[-1]['tier']}"),
         **({"decontam_removed": metrics[-1]["docs_out"] - n_after_decontam}
            if n_after_decontam is not None else {}),
+        **({"host_cap_removed":
+            (n_after_decontam if n_after_decontam is not None
+             else metrics[-1]["docs_out"]) - n_after_hostcap}
+           if n_after_hostcap is not None else {}),
         **(host_word_removed),
         **({"wet_records": n_wet, "wet_output": args.wet_output}
            if n_wet is not None else {}),
@@ -578,6 +609,10 @@ def main(argv: list[str] | None = None) -> None:
                         "suffix-match pass before the funnel")
     c.add_argument("--blocked-url-regex", action="append", default=None,
                    help="url regex to block (repeatable)")
+    c.add_argument("--max-docs-per-host", type=int, default=None,
+                   help="anti-domination cap: keep at most N survivors "
+                        "per url host, chosen by deterministic md5 rank "
+                        "(reproducible across runs and layouts)")
     c.add_argument("--blocked-words", default=None, metavar="WORDS_FILE",
                    help="C4-style bad-words content filter: drop pages "
                         "whose token stream contains any listed word (one "

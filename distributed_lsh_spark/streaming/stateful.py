@@ -55,28 +55,50 @@ def _dedup_group(key: tuple, pdfs: Iterator[pd.DataFrame],
     state.update((canonical, n_seen))
 
 
-def stateful_exact_dedup(stream_df: DataFrame) -> DataFrame:
+def stateful_exact_dedup(stream_df: DataFrame, key_expr=None) -> DataFrame:
     """(doc_id, text) stream -> (doc_id, text, content_hash, canonical_id,
-    is_dup) stream with per-hash state in the Spark state store."""
+    is_dup) stream with per-hash state in the Spark state store.
+
+    `key_expr` customizes the dedup key (default: byte-level md5(text));
+    see stateful_fuzzy_exact_dedup for the normalized-key twin."""
+    key = key_expr if key_expr is not None else F.md5("text")
     keyed = stream_df.select(
-        "doc_id", "text", F.md5("text").alias("content_hash"))
+        "doc_id", "text", key.alias("content_hash"))
     return keyed.groupBy("content_hash").applyInPandasWithState(
         _dedup_group, OUT_SCHEMA, STATE_SCHEMA, "append",
         GroupStateTimeout.NoTimeout)
 
 
+def stateful_fuzzy_exact_dedup(stream_df: DataFrame) -> DataFrame:
+    """Streaming twin of entry_queries.q_fuzzy_exact_dup_groups (Dolma
+    exact-after-normalization): per-key state over md5 of the NORMALIZED
+    token stream, so case/punctuation/spacing variants of already-seen
+    content label is_dup in their arrival batch even though their bytes
+    (and the byte-level twin's key) differ.  Same state-store shape and
+    per-key cost as the byte-exact twin — the key is one codegen regexp
+    scan upstream of the same stateful operator."""
+    from distributed_lsh_spark.functions.text import token_stream
+
+    return stateful_exact_dedup(
+        stream_df, F.md5(token_stream("text").cast("binary")))
+
+
 def run_stateful_dedup(spark: SparkSession, input_dir: str, state_dir: str,
                        schema: str = "doc_id long, text string",
-                       max_files_per_trigger: int = 1):
+                       max_files_per_trigger: int = 1,
+                       fuzzy: bool = False):
     """Run the stateful exact-dedup stream over parquet drops in
     `input_dir` with availableNow (drains what is there, then stops);
     labeled rows land in `state_dir`/labeled, query state under
     `state_dir`/checkpoint.  Re-invoking after new drops resumes from the
-    checkpoint with per-key state intact."""
+    checkpoint with per-key state intact.  `fuzzy=True` keys state by the
+    normalized token stream (stateful_fuzzy_exact_dedup) instead of raw
+    bytes."""
     src = (spark.readStream.schema(schema)
            .option("maxFilesPerTrigger", max_files_per_trigger)
            .parquet(input_dir))
-    labeled = stateful_exact_dedup(src)
+    labeled = (stateful_fuzzy_exact_dedup(src) if fuzzy
+               else stateful_exact_dedup(src))
     return (labeled.writeStream
             .format("parquet")
             .option("path", f"{state_dir}/labeled")

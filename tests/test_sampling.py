@@ -93,3 +93,59 @@ def test_reservoir_sample_stable_under_repartition(spark):
     kb = sorted(map(tuple, reservoir_sample(b, "stratum", 5)
                     .select("stratum", "doc_id", "sample_rank").collect()))
     assert ka == kb and len(ka) == 10
+
+
+def test_cli_curate_max_docs_per_host(spark, tmp_path, capsys):
+    """--max-docs-per-host keeps at most N survivors per host by
+    deterministic md5 rank; removal attributed in the JSON; resume
+    serves the committed stage with the identical kept set."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from distributed_lsh_spark.cli import main
+
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "cur")
+    base = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    host = F.when(F.col("doc_id") < 30, F.lit("big.example")) \
+            .otherwise(F.lit("small.example"))
+    (base.withColumn("url", F.concat(F.lit("https://"), host, F.lit("/p/"),
+                                     F.col("doc_id").cast("string")))
+         .withColumn("warc_epoch", (F.col("doc_id") * 7).cast("long"))
+         .write.parquet(src))
+
+    args = ["curate", "--input", src, "--output", out, "--run-id", "hc1",
+            "--cores", "8", "--no-quality", "--max-docs-per-host", "3"]
+    main(args)
+    r1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r1["survivors_stage"] == "host_cap"
+    surv = spark.read.parquet(os.path.join(out, "hc1", "host_cap", "data"))
+    per_host = {r["h"]: r["c"] for r in
+                (surv.withColumn("h", F.regexp_extract("url",
+                                                       "https://([^/]+)/", 1))
+                     .groupBy("h").agg(F.count("*").alias("c")).collect())}
+    assert all(c <= 3 for c in per_host.values()), per_host
+    assert r1["n_survivors"] == surv.count() == sum(per_host.values())
+    assert r1["host_cap_removed"] == \
+        r1["tiers"][-1]["docs_out"] - r1["n_survivors"]
+    kept1 = sorted(r["doc_id"] for r in surv.select("doc_id").collect())
+
+    # resume: identical kept SET (md5 rank is layout- and run-independent)
+    main(args)
+    r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    surv2 = spark.read.parquet(os.path.join(out, "hc1", "host_cap", "data"))
+    kept2 = sorted(r["doc_id"] for r in surv2.select("doc_id").collect())
+    assert kept2 == kept1
+    assert r2["n_survivors"] == r1["n_survivors"]
+
+    # a no-url input rejects the flag
+    src2 = str(tmp_path / "pages2")
+    base.write.parquet(src2)
+    import pytest
+    with pytest.raises(SystemExit):
+        main(["curate", "--input", src2, "--output", out, "--run-id",
+              "hc2", "--cores", "8", "--no-quality",
+              "--max-docs-per-host", "3"])

@@ -100,3 +100,35 @@ def test_stateful_url_latest_parity_and_restart(spark, tmp_path):
     kept = {r["url"]: r["doc_id"]
             for r in res.tiers["url_latest"].collect()}
     assert kept == {u: d for u, (_, d, _) in final.items()}
+
+
+def test_stateful_fuzzy_exact_dedup_catches_variants(spark, tmp_path):
+    """The fuzzy twin keys state by the normalized token stream: a
+    case/punctuation variant of seen content labels is_dup (the
+    byte-level twin would not), and genuinely new content does not."""
+    input_dir = str(tmp_path / "incoming")
+    state_dir = str(tmp_path / "state")
+    byte_state = str(tmp_path / "state_byte")
+    os.makedirs(input_dir)
+
+    _drop(spark, input_dir, "d1", [(1, "hello world one"),
+                                   (2, "other content two")])
+    # doc 3: uppercase + punctuation noise variant of doc 1 (byte-distinct,
+    # normalization-identical); doc 4: fresh
+    _drop(spark, input_dir, "d2", [(3, "  HELLO, world -- ONE!! "),
+                                   (4, "fresh stuff")])
+
+    q = run_stateful_dedup(spark, input_dir + "/*", state_dir, fuzzy=True)
+    q.awaitTermination(240)
+    got = {r["doc_id"]: (r["canonical_id"], r["is_dup"])
+           for r in spark.read.parquet(f"{state_dir}/labeled").collect()}
+    assert got[3] == (1, True)
+    assert got[1] == (1, False)
+    assert got[4] == (4, False)
+
+    # the byte-level twin on the same drops does NOT flag the variant
+    q2 = run_stateful_dedup(spark, input_dir + "/*", byte_state)
+    q2.awaitTermination(240)
+    byte_got = {r["doc_id"]: r["is_dup"] for r in
+                spark.read.parquet(f"{byte_state}/labeled").collect()}
+    assert byte_got[3] is False
