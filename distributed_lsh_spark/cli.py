@@ -329,6 +329,8 @@ def cmd_curate(args: argparse.Namespace) -> None:
                                           "span_window": args.span_window,
                                           "drop_contained":
                                               bool(args.drop_contained),
+                                          "fuzzy_exact":
+                                              bool(args.fuzzy_exact),
                                           "strip_boilerplate":
                                               bool(args.strip_boilerplate),
                                           "blocked_words": wd_words,
@@ -344,6 +346,7 @@ def cmd_curate(args: argparse.Namespace) -> None:
         quality_keep=None if args.no_quality else quality_keep_expr(),
         drop_contained=cfg.jaccard_threshold if args.drop_contained
         else None,
+        fuzzy_exact=bool(args.fuzzy_exact),
         ckpt=ckpt)
     survivors = res.survivors
     n_after_decontam = None
@@ -609,6 +612,10 @@ def main(argv: list[str] | None = None) -> None:
                         "suffix-match pass before the funnel")
     c.add_argument("--blocked-url-regex", action="append", default=None,
                    help="url regex to block (repeatable)")
+    c.add_argument("--fuzzy-exact", action="store_true",
+                   help="key the funnel's exact tier by the NORMALIZED "
+                        "token stream (Dolma exact-after-normalization) "
+                        "instead of raw bytes")
     c.add_argument("--max-docs-per-host", type=int, default=None,
                    help="anti-domination cap: keep at most N survivors "
                         "per url host, chosen by deterministic md5 rank "

@@ -100,6 +100,7 @@ def curation_funnel(pages: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG, *,
                     quality_keep: Column | None = None,
                     rep_rank: dict[str, Column] | None = None,
                     drop_contained: float | None = None,
+                    fuzzy_exact: bool = False,
                     ckpt=None) -> FunnelResult:
     """Run the 4-tier dedup funnel over `pages(doc_id, text[, url, ts])`.
 
@@ -176,9 +177,16 @@ def curation_funnel(pages: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG, *,
                            cur.join(keep_latest, "doc_id", "left_semi"))
         tiers["url_latest"] = cur
 
-    # exact tier: keep-min-doc_id per md5(text), hash/id projection only
-    keep_rep = (cur.select(F.md5(F.col("text").cast("binary")).alias("_h"),
-                           "doc_id")
+    # exact tier: keep-min-doc_id per md5(text), hash/id projection only.
+    # fuzzy_exact keys by the NORMALIZED token stream instead (the gated
+    # fuzzy_exact_dup_groups rule): case/punct/spacing variants collapse
+    # too — same plan, the key is one extra codegen regexp in the scan.
+    if fuzzy_exact:
+        from distributed_lsh_spark.functions.text import token_stream
+        exact_key = F.md5(token_stream("text").cast("binary"))
+    else:
+        exact_key = F.md5(F.col("text").cast("binary"))
+    keep_rep = (cur.select(exact_key.alias("_h"), "doc_id")
                 .groupBy("_h").agg(F.min("doc_id").alias("doc_id"))
                 .select("doc_id"))
     cur = checkpointed("exact", cur.join(keep_rep, "doc_id", "left_semi"))

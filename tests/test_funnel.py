@@ -176,3 +176,33 @@ def test_funnel_containment_tier(spark, tiny_corpus, funnel_input):
     assert rows["containment"]["docs_in"] == rows["near_dup"]["docs_out"]
     assert rows["containment"]["docs_out"] == len(got_ids)
     assert rows["containment"]["docs_removed"] >= 1
+
+
+def test_funnel_fuzzy_exact_tier_collapses_variants(spark):
+    """fuzzy_exact=True keys tier 2 by the normalized token stream: a
+    byte-distinct case/punct variant collapses (min doc_id survives),
+    while the default byte key keeps both."""
+    from pyspark.sql import functions as F
+
+    from distributed_lsh_spark.operators.funnel import curation_funnel
+
+    rows = [(1, "hello world sample text one two three four five six"),
+            (2, "  HELLO, world (SAMPLE) text ONE two three four five six!"),
+            (3, "entirely different content body seven eight nine ten")]
+    pages = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # same survivor set either way (the variant's token stream is
+    # identical, so the LSH tier catches it downstream at Jaccard 1.0) —
+    # what changes is WHICH tier pays: fuzzy_exact collapses it in the
+    # cheap hash tier before any shingling/banding happens
+    plain = curation_funnel(pages, url_col="__no_url__")
+    assert sorted(r.doc_id for r in plain.survivors.collect()) == [1, 3]
+    pm = {r["tier"]: r for r in plain.metrics.collect()}
+    assert pm["exact"]["docs_removed"] == 0
+    assert pm["near_dup"]["docs_removed"] == 1
+
+    fz = curation_funnel(pages, url_col="__no_url__", fuzzy_exact=True)
+    assert sorted(r.doc_id for r in fz.survivors.collect()) == [1, 3]
+    m = {r["tier"]: r for r in fz.metrics.collect()}
+    assert m["exact"]["docs_removed"] == 1
+    assert m["near_dup"]["docs_removed"] == 0
