@@ -5,18 +5,32 @@ a training document is contaminated when it shares word n-grams
 (conventionally 13-grams) with any document of a held-out benchmark
 suite; contaminated docs are removed before training so downstream
 evals measure generalization, not memorization.  The gated
-`contamination_check` query computes the per-doc overlap SIGNAL; this
-operator is the operational REMOVAL tier `curate --decontaminate`
-composes after the dedup funnel.
+`contamination_check` query computes the per-doc overlap SIGNAL over
+5-gram strings; this operator is the operational REMOVAL tier `curate
+--decontaminate` composes after the dedup funnel, and the gated
+`decontam_filter` row value-checks its verdicts against a DuckDB oracle
+that shingles the raw STRINGS — so the hashed engine path below is
+cross-checked against an independent string formulation.
+
+N-grams are 64-bit ROLLING-POLY HASHES of the token stream, computed in
+the same fused Arrow pass the substring family uses (one tokenize, md5
+per DISTINCT token, W shifted multiply-adds for the whole batch) — NOT
+materialized n-gram strings.  A first cut used
+`shingle_strings(text, 13)` (interpreted higher-order functions,
+~100-byte strings per gram): measured 1,130 s for the decontam tier
+over 700k docs at local[32]; the Arrow-hash form is O(tokens) with
+8-byte keys.  A 64-bit collision mis-dropping a doc is
+~n_grams/2^64 — the same tolerated class as the line-dedup and
+substring families' hash keys.  Docs/eval lines shorter than n tokens
+fall back to one whole-text gram (matching shingle_strings' semantics).
 
 Scale shape (100 TB corpus, fixed eval suite):
-- the eval inventory is distinct n-grams of a FIXED benchmark suite —
-  MBs at any corpus size — so it broadcasts and the corpus side never
-  shuffles for the probe join;
-- corpus cost = one codegen shingle scan + explode + a map-side-
-  combining groupBy(doc_id) for hit counts (threshold > 0) or a plain
-  broadcast left-semi for drop-on-any-hit (threshold == 0, the GPT-3
-  rule) — the semi form never materializes per-doc counts at all;
+- the eval inventory is distinct n-gram hashes of a FIXED benchmark
+  suite — MBs at any corpus size — so it broadcasts and the corpus side
+  never shuffles for the probe join;
+- corpus cost = one fused Arrow scan + explode of 8-byte hashes + a
+  broadcast left-semi (any-hit rule, threshold 0 — no counting at all)
+  or a map-side-combining hit-count groupBy (threshold > 0);
 - the drop is a broadcast-able left_anti on doc_id against the
   contaminated-id frame (bounded by the eval suite's reach, not the
   corpus);
@@ -30,22 +44,83 @@ inventory broadcast against a large scanned corpus.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
 
-from distributed_lsh_spark.functions.text import shingle_strings
+from distributed_lsh_spark.operators.substring import (
+    TH_SHIFT, _md5_vocab, window_pows)
 
 #: conventional decontamination n-gram size (GPT-3 used 13-grams)
 DEFAULT_NGRAM = 13
 
 
+def _allwindow_hash_udf(window: int):
+    """pandas UDF: text -> array<long> of the DISTINCT rolling-poly
+    hashes of all `window`-token n-grams (whole-text gram for shorter
+    docs) — the un-winnowed sibling of substring._window_fp_udf, same
+    token/hash chain (md5 per distinct token >> TH_SHIFT, mod-2^64
+    poly)."""
+    W = window
+    pows = np.array(window_pows(W), dtype=np.uint64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _awh(texts: pd.Series) -> pd.Series:
+        from distributed_lsh_spark.functions.signature import _token_hashes
+
+        tok_h, lens = _token_hashes(texts, token_hash=_md5_vocab)
+        th = tok_h >> np.uint64(TH_SHIFT)
+        n_tok = len(th)
+        if n_tok >= W:
+            H = np.zeros(n_tok - W + 1, dtype=np.uint64)
+            for j in range(W):
+                H += th[j:n_tok - W + 1 + j] * pows[j]
+        else:
+            H = np.empty(0, dtype=np.uint64)
+        offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+
+        out: list[np.ndarray] = []
+        for d in range(len(lens)):
+            n, off = int(lens[d]), int(offsets[d])
+            if n >= W:
+                # windows starting inside doc d never cross its end for
+                # start offsets 0..n-W, so the global H slice is exact
+                wh = H[off:off + n - W + 1]
+            elif n > 0:
+                # whole-text gram (shingle_strings' short-doc fallback)
+                seg = th[off:off + n]
+                pw = np.array(window_pows(n), dtype=np.uint64)
+                wh = np.array([np.sum(seg * pw, dtype=np.uint64)],
+                              dtype=np.uint64)
+            else:
+                # 0-token doc: shingle_strings yields the empty-string
+                # gram; represent it as the empty-poly hash (0)
+                wh = np.zeros(1, dtype=np.uint64)
+            out.append(np.unique(wh).astype(np.int64))
+        return pd.Series(out)
+
+    return _awh
+
+
+def doc_ngram_hashes(df: DataFrame, n: int = DEFAULT_NGRAM,
+                     text_col: str = "text") -> DataFrame:
+    """(doc_id, g): the distinct n-gram hashes of every doc — one fused
+    Arrow pass, 8-byte keys."""
+    awh = _allwindow_hash_udf(n)
+    return df.select("doc_id", F.explode(awh(F.col(text_col))).alias("g"))
+
+
 def eval_ngram_inventory(eval_texts: DataFrame, n: int = DEFAULT_NGRAM,
                          text_col: str = "text") -> DataFrame:
-    """Distinct word n-grams of the eval suite — one column `g`.
+    """Distinct n-gram hashes of the eval suite — one column `g`.
 
-    Normalization is the engine-wide token rule (shingle_strings), so a
-    case/punctuation variant of an eval passage still collides."""
-    grams = F.array_distinct(shingle_strings(text_col, n))
-    return (eval_texts.select(F.explode(grams).alias("g"))
+    Normalization/hashing is the engine-wide chain (same as the corpus
+    side), so a case/punctuation variant of an eval passage still
+    collides."""
+    awh = _allwindow_hash_udf(n)
+    return (eval_texts.select(F.explode(awh(F.col(text_col))).alias("g"))
             .dropDuplicates())
 
 
@@ -59,16 +134,15 @@ def contaminated_ids(pages: DataFrame, eval_inventory: DataFrame,
     doc — and uses a broadcast left-semi join (no counting).  For
     threshold > 0 the compare is exact integer ppm cross-multiplication:
     n_hit * 1e6 > ppm * n_grams."""
-    grams = F.array_distinct(shingle_strings("text", n))
-    g = pages.select("doc_id", F.explode(grams).alias("g"))
+    g = doc_ngram_hashes(pages, n)
     ev = F.broadcast(eval_inventory.select("g"))
     if threshold <= 0.0:
         return g.join(ev, "g", "left_semi").select("doc_id").dropDuplicates()
     ppm = int(round(threshold * 1_000_000))
+    per_doc = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     hits = (g.join(ev, "g")
             .groupBy("doc_id").agg(F.count("*").alias("n_hit")))
-    sizes = pages.select("doc_id", F.size(grams).alias("n_grams"))
-    return (sizes.join(hits, "doc_id")
+    return (per_doc.join(hits, "doc_id")
             .where(F.col("n_hit") * F.lit(1_000_000) >
                    F.lit(ppm) * F.col("n_grams"))
             .select("doc_id"))
@@ -83,5 +157,5 @@ def decontaminate(pages: DataFrame, eval_texts: DataFrame,
     return pages.join(bad, "doc_id", "left_anti")
 
 
-__all__ = ["DEFAULT_NGRAM", "eval_ngram_inventory", "contaminated_ids",
-           "decontaminate"]
+__all__ = ["DEFAULT_NGRAM", "doc_ngram_hashes", "eval_ngram_inventory",
+           "contaminated_ids", "decontaminate"]
