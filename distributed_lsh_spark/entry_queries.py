@@ -821,12 +821,18 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval sets a lab decontaminates against), which broadcasts at any corpus
     size; if an inventory ever outgrew broadcast range, dropping the hint
     degrades this to a plain shuffle join with identical semantics."""
+    # gram side = the fused Arrow rolling-hash pass (O(tokens), 8-byte
+    # keys; operators/decontam docstring records the measured 10x cost
+    # of the string-HOF alternative at 800k); the DuckDB oracle shingles
+    # raw STRINGS — a cross-formulation check, tolerant of
+    # ~n_grams/2^64 hash collisions (the line-dedup key argument).
+    from distributed_lsh_spark.operators.decontam import doc_ngram_hashes
+
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    grams = F.array_distinct(shingle_strings("text", CFG.shingle_k))
-    g = df.select("doc_id", F.explode(grams).alias("g"))
+    g = doc_ngram_hashes(df, n=CFG.shingle_k)
     eval_grams = (g.where(F.pmod(F.col("doc_id"), F.lit(50)) == 0)
                   .select("g").dropDuplicates())
-    sizes = df.select("doc_id", F.size(grams).alias("n_grams"))
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     hits = (g.join(F.broadcast(eval_grams), "g")
              .groupBy("doc_id").agg(F.count("*").alias("n_hit")))
     return (sizes.join(hits, "doc_id", "left")
