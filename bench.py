@@ -71,6 +71,9 @@ def main() -> None:
         "substring_removal",
         "mirror_hosts",
         "reservoir_sample",
+        "corpus_profile",
+        "pair_similarity_histogram",
+        "export_shards",
     ]
 
     spark = get_spark(app_name="bench", cores=cores, shuffle_partitions=cores)

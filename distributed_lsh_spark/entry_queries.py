@@ -3540,6 +3540,141 @@ SELECT stratum, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
 FROM w WHERE sample_rank <= 20 ORDER BY stratum, sample_rank"""
 
 
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile — the pre-curation census every
+    web-scale pipeline runs before deciding tier budgets: doc counts,
+    source fan-in, total tokens, and EXACT token-count percentiles
+    (Spark `percentile`, linear interpolation — not the approximate
+    sketch, so the row is value-gateable against `quantile_cont`).
+
+    Scale shape: one groupBy over a projected 4-column frame (map-side
+    combine for the sums/counts; percentile is the only full-width
+    per-group state and groups are O(#languages) — bounded fan-in, never
+    per-doc state).  At 10^12 docs the exact percentile's per-group
+    value buffer is the corpus's doc count per language; swap
+    `percentile_approx` in production if that ever exceeds executor
+    memory — the gate keeps the exact form because it is checkable."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = _n_tokens_col()
+    return (df.select("lang", "source", n.alias("_n"), "n_chars")
+              .groupBy("lang")
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.countDistinct("source").alias("n_sources"),
+                   F.sum("_n").cast("bigint").alias("total_tokens"),
+                   F.round(F.percentile("_n", F.lit(0.5)), 6)
+                    .alias("p50_tokens"),
+                   F.round(F.percentile("_n", F.lit(0.9)), 6)
+                    .alias("p90_tokens"),
+                   F.max("n_chars").cast("bigint").alias("max_chars"))
+              .orderBy("lang"))
+
+
+_SQL_CORPUS_PROFILE = f"""
+WITH t AS (SELECT lang, source, len({_DUCK_TOKS}) AS n, n_chars
+           FROM documents)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+       round(quantile_cont(n, 0.5), 6) AS p50_tokens,
+       round(quantile_cont(n, 0.9), 6) AS p90_tokens,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM t GROUP BY lang ORDER BY lang"""
+
+
+def q_pair_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup quality report: the exact-Jaccard distribution of the
+    verified LSH pair set, binned at 0.05 — the histogram an operator
+    reads to pick the next run's threshold (mass piled at the low edge
+    means the τ cut is doing real work; an empty [τ, τ+0.05) bin means
+    the corpus's duplicate families are far from the boundary).
+
+    Cross-formulation binning: the engine bins its verified `jaccard`
+    DOUBLE via floor(j*20 + 1e-9); the oracle bins the SAME pairs in
+    exact integer arithmetic, (20·|∩|) // |∪|.  They agree because a
+    pair's distance to any m/20 boundary is either 0 or ≥ 1/(20·|∪|) —
+    orders of magnitude above double error + epsilon — so the gate
+    checks the float pipeline against exact rational arithmetic.
+    min/max per bin instead of mean: order-independent, no float-sum
+    divergence.  Scale shape: everything above the verified pair frame
+    is one O(#bins) groupBy."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    v = build_stages(df, CFG, persist=True).verified
+    b = F.floor(F.col("jaccard") * 20 + F.lit(1e-9)).cast("bigint")
+    return (v.select(b.alias("bin_no"),
+                     F.round("jaccard", 6).alias("_j"))
+             .groupBy("bin_no")
+             .agg(F.count(F.lit(1)).alias("n_pairs"),
+                  F.min("_j").alias("min_jaccard"),
+                  F.max("_j").alias("max_jaccard"))
+             .select("bin_no",
+                     F.round(F.col("bin_no").cast("double") / F.lit(20.0), 2)
+                      .alias("bin_lo"),
+                     "n_pairs", "min_jaccard", "max_jaccard")
+             .orderBy("bin_no"))
+
+
+def _sql_pair_similarity_histogram() -> str:
+    return f"""WITH {_duck_shingle_cte(CFG.shingle_k)},
+pj AS (
+  SELECT id_a, id_b, c, (sa.n + sb.n - c) AS u,
+         c * 1.0 / (sa.n + sb.n - c) AS j
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE c * 1.0 / (sa.n + sb.n - c) >= {CFG.jaccard_threshold}
+)
+SELECT CAST((20 * c) // u AS BIGINT) AS bin_no,
+       round(CAST((20 * c) // u AS DOUBLE) / 20.0, 2) AS bin_lo,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       min(round(j, 6)) AS min_jaccard,
+       max(round(j, 6)) AS max_jaccard
+FROM pj GROUP BY 1, 2 ORDER BY bin_no"""
+
+
+def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-export shard manifest: docs are assigned
+    to 16 shards by content hash (md5_h64(text) mod 16 — re-runs over
+    the same corpus land every doc in the same shard regardless of
+    input order or partitioning), with per-shard doc/token counts and
+    an ORDER-INDEPENDENT content fingerprint (bit_xor of the per-doc
+    md5_h64) so two exports can be compared shard-by-shard without
+    reading the data.  The manifest is what a downstream trainer pins:
+    same fingerprint = same shard bytes.
+
+    Scale shape: one map-side-combinable groupBy on a 16-key space over
+    a 3-column projection; the md5 and token count ride the same codegen
+    scan.  bit_xor (not sum) keeps the fingerprint exact under 64-bit
+    wraparound on both engines."""
+    from distributed_lsh_spark.functions.md5hash import spark_h64
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = F.expr(spark_h64("text"))
+    n = _n_tokens_col()
+    return (df.select(F.pmod(h, F.lit(16)).alias("shard_id"),
+                      h.alias("_h"), n.alias("_n"), "doc_id")
+              .groupBy("shard_id")
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum("_n").cast("bigint").alias("n_tokens"),
+                   F.expr("bit_xor(_h)").alias("content_fp"),
+                   F.min("doc_id").alias("min_doc_id"),
+                   F.max("doc_id").alias("max_doc_id"))
+              .orderBy("shard_id"))
+
+
+def _sql_export_shards() -> str:
+    from distributed_lsh_spark.functions.md5hash import duck_h64
+
+    h = duck_h64("text")
+    return f"""
+WITH d AS (SELECT doc_id, {h} AS h, len({_DUCK_TOKS}) AS n FROM documents)
+SELECT CAST(((h % 16) + 16) % 16 AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(bit_xor(h) AS BIGINT) AS content_fp,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM d GROUP BY 1 ORDER BY shard_id"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3612,6 +3747,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substring_removal": q_substring_removal,
     "mirror_hosts": q_mirror_hosts,
     "reservoir_sample": q_reservoir_sample,
+    "corpus_profile": q_corpus_profile,
+    "pair_similarity_histogram": q_pair_similarity_histogram,
+    "export_shards": q_export_shards,
 }
 
 _ANN_TOPK_SQL = _sql_ann_topk()
@@ -3686,4 +3824,7 @@ ORACLE_SQL: dict[str, str] = {
     "substring_removal": _sql_substring_removal(),
     "mirror_hosts": _SQL_MIRROR_HOSTS,
     "reservoir_sample": _SQL_RESERVOIR_SAMPLE,
+    "corpus_profile": _SQL_CORPUS_PROFILE,
+    "pair_similarity_histogram": _sql_pair_similarity_histogram(),
+    "export_shards": _sql_export_shards(),
 }

@@ -19,7 +19,8 @@ TABLES = ["documents", "embeddings"]
 NAMES = ["line_dedup", "gopher_repetition", "url_latest_dedup",
          "dedup_funnel", "token_rarity", "domain_stats", "semantic_dedup",
          "host_boilerplate", "dedup_funnel_contained", "gopher_quality",
-         "line_dedup_keep_first", "fuzzy_exact_dup_groups"]
+         "line_dedup_keep_first", "fuzzy_exact_dup_groups",
+         "corpus_profile", "pair_similarity_histogram", "export_shards"]
 
 
 @pytest.fixture(scope="module")
@@ -207,6 +208,78 @@ def test_funnel_contained_tier_removes_rows(results):
     assert removed["containment"] > 0
     for tier in ("url_latest", "exact", "quality", "near_dup"):
         assert removed[tier] > 0, tier
+
+
+def test_corpus_profile_matches_python_census(results, duck):
+    """Independent pin: per-lang doc counts, token totals, and EXACT
+    percentiles recomputed in pure Python (numpy linear interpolation ==
+    Spark `percentile` == DuckDB `quantile_cont`)."""
+    import collections
+    import re
+
+    import numpy as np
+
+    sp, _ = results["corpus_profile"]
+    rows = duck.sql("SELECT lang, text FROM documents").fetchall()
+    toks = collections.defaultdict(list)
+    for lang, t in rows:
+        toks[lang].append(len([x for x in re.split(r"[^a-z0-9]+", t.lower())
+                               if x]))
+    assert sorted(sp.lang) == sorted(toks)
+    assert sp.n_docs.sum() == len(rows)
+    for r in sp.itertuples():
+        ns = toks[r.lang]
+        assert r.n_docs == len(ns)
+        assert r.total_tokens == sum(ns)
+        assert abs(r.p50_tokens - round(float(np.percentile(ns, 50)), 6)) < 1e-9
+        assert abs(r.p90_tokens - round(float(np.percentile(ns, 90)), 6)) < 1e-9
+        assert r.p50_tokens <= r.p90_tokens
+
+
+def test_pair_histogram_partitions_the_verified_pairs(results, duck):
+    """The histogram's mass must equal the gated dup-pair row count, its
+    bins must live in [16, 20] (τ=0.8 -> bin 16 is the lowest possible),
+    and every bin's min/max must sit inside the bin's [lo, lo+0.05)
+    interval (bin 20 = exactly 1.0)."""
+    sp, _ = results["pair_similarity_histogram"]
+    n_pairs = len(duck.sql(ORACLE_SQL["minhash_lsh_dup_pairs"]).df())
+    assert sp.n_pairs.sum() == n_pairs > 0
+    assert ((sp.bin_no >= 16) & (sp.bin_no <= 20)).all()
+    for r in sp.itertuples():
+        assert r.bin_lo - 1e-9 <= r.min_jaccard <= r.max_jaccard, r
+        hi = r.bin_lo + 0.05 if r.bin_no < 20 else 1.0 + 1e-12
+        assert r.max_jaccard < hi + 1e-9, r
+
+
+def test_export_shards_manifest_matches_python(results, duck):
+    """Full manifest recomputed in pure Python over the raw texts: shard
+    assignment, counts, and the xor content fingerprint must all match
+    (order-independence of the fingerprint is what makes the manifest
+    comparable across exports)."""
+    import collections
+    import re
+
+    from distributed_lsh_spark.functions.md5hash import py_md5_h64
+
+    sp, _ = results["export_shards"]
+    rows = duck.sql("SELECT doc_id, text FROM documents").fetchall()
+    agg = collections.defaultdict(lambda: [0, 0, 0, None, None])
+    for doc_id, t in rows:
+        h = py_md5_h64(t)
+        s = h % 16
+        a = agg[s]
+        a[0] += 1
+        a[1] += len([x for x in re.split(r"[^a-z0-9]+", t.lower()) if x])
+        a[2] ^= h & ((1 << 64) - 1)
+        a[3] = doc_id if a[3] is None else min(a[3], doc_id)
+        a[4] = doc_id if a[4] is None else max(a[4], doc_id)
+    assert sp.n_docs.sum() == len(rows)
+    assert set(sp.shard_id) == set(agg)
+    for r in sp.itertuples():
+        n, tok, fp, lo, hi = agg[r.shard_id]
+        fp_signed = fp - (1 << 64) if fp >= (1 << 63) else fp
+        assert (r.n_docs, r.n_tokens, r.content_fp, r.min_doc_id,
+                r.max_doc_id) == (n, tok, fp_signed, lo, hi), r.shard_id
 
 
 def test_gopher_quality_planted_failure_modes(results):
