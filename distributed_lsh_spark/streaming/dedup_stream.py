@@ -583,6 +583,63 @@ def incremental_line_dedup_keep_first_stream(
     return writer.start()
 
 
+def incremental_decontam_stream(spark: SparkSession, input_dir: str,
+                                state_dir: str, eval_texts: DataFrame,
+                                n: int | None = None,
+                                threshold: float = 0.0,
+                                schema: str = "doc_id long, text string",
+                                available_now: bool = True,
+                                max_files_per_trigger: int = 16):
+    """Streaming twin of operators/decontam.decontaminate: drop incoming
+    docs whose n-gram hashes overlap a FIXED eval suite.
+
+    Unlike the dedup twins, the verdict is DOC-LOCAL — it depends only
+    on the doc itself and the (fixed) eval inventory, never on history —
+    so the stream keeps NO growing index: the eval inventory is computed
+    ONCE at stream construction, persisted, and broadcast into every
+    batch's probe join.  Every verdict is final in the doc's own arrival
+    batch (trivially monotone, exactly-once by batch_id partitioning),
+    and the cumulative removed set equals the batch operator's verdicts
+    on the union of all batches — for ANY threshold, because the
+    threshold rule is a per-doc ratio.
+
+    State layout under `state_dir`:
+      checkpoint/   Spark streaming checkpoint
+      removed/      contaminated doc_ids, with batch_id lineage
+
+    Per-batch cost: one fused Arrow n-gram pass over the batch + a
+    broadcast semi/anti probe — O(batch), never O(history)."""
+    from distributed_lsh_spark.operators.decontam import (
+        DEFAULT_NGRAM, contaminated_ids, eval_ngram_inventory)
+
+    if n is None:
+        n = DEFAULT_NGRAM
+    rm_dir = os.path.join(state_dir, "removed")
+    inv = eval_ngram_inventory(eval_texts, n).persist()
+    inv.count()  # materialize once, before the first batch
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", str(max_files_per_trigger))
+              .parquet(input_dir))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bad = (contaminated_ids(batch_df.select("doc_id", "text"), inv,
+                                n, threshold)
+               .withColumn("batch_id", F.lit(batch_id)))
+        (bad.write.mode("overwrite").partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic").parquet(rm_dir))
+
+    writer = (stream.writeStream
+              .foreachBatch(process_batch)
+              .option("checkpointLocation",
+                      os.path.join(state_dir, "checkpoint")))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def incremental_containment_stream(spark: SparkSession, input_dir: str,
                                    state_dir: str, tau: float = 0.8,
                                    schema: str = "doc_id long, text string",
