@@ -44,6 +44,7 @@ def main() -> None:
         "word_blocklist_filter",
         "line_dedup",
         "line_dedup_keep_first",
+        "c4_line_filter",
         "fuzzy_exact_dup_groups",
         "host_boilerplate",
         "gopher_quality",

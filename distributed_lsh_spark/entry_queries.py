@@ -2237,6 +2237,128 @@ SELECT doc_id,
 FROM fl GROUP BY doc_id ORDER BY doc_id"""
 
 
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line+page heuristic filter (Raffel et al. 2020 §2.2), the
+    canonical web-corpus cleaning pass that precedes every dedup tier:
+      line keep rules — ends in a terminal punctuation mark, >= 3 words,
+        does not contain the word 'javascript';
+      page drop rules — contains the phrase 'lorem ipsum', contains '{'
+        (code), or fewer than 5 kept lines ("sentences") survive.
+    Output per doc = (n_lines, n_kept, drop_reason, clean_md5 of the
+    kept-line reconstruction), so the gate value-checks every rule AND
+    the ordered rebuild of the cleaned page.
+
+    GATE SCAFFOLDING: the sf corpora are punctuation-free token soup, so
+    a raw C4 punctuation rule would degenerate (drop everything).  Lines
+    are the corpus-standard 8-token chunks (q_line_dedup's chunker) and
+    C4-triggering features are planted deterministically on BOTH engines
+    from (doc_id, pos) arithmetic: ~3/4 of lines get a terminal '.',
+    every doc_id % 29 == 0 page gets a ' javascript.' line at pos % 11
+    == 1, every pos % 13 == 5 line is truncated to 2 words, doc_id % 107
+    == 0 pages get a 'lorem ipsum dolor sit amet.' first line, and
+    doc_id % 109 == 0 pages get a '{' first line (doc_id 0 matches every
+    modulus and lands in the lorem branch — CASE precedence is part of
+    the contract).  A production corpus runs the same rule set over real
+    newline-split sentences with no planting.
+
+    Scale shape (100 TB): map-only per line — one explode, per-line
+    codegen flags (LIKE / contains / split-size; no interpreted HOFs, no
+    Python), then ONE per-doc groupBy for flags + ordered reconstruction
+    (array_sort(collect_list(struct)) — the line_dedup family's shape).
+    Line text shuffles once, keyed by doc_id; dropped pages still carry
+    their kept-line md5 so the gate checks the reconstruction everywhere.
+    No joins, no driver collects."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    lines = _doc_lines(df)  # (doc_id, pos, line, lk); pos is 0-based
+    two_words = F.regexp_extract(F.col("line"), "[^ ]+( [^ ]+)?", 0)
+    line2 = (
+        F.when((F.pmod(F.col("doc_id"), F.lit(107)) == 0) & (F.col("pos") == 0),
+               F.lit("lorem ipsum dolor sit amet."))
+         .when((F.pmod(F.col("doc_id"), F.lit(109)) == 0) & (F.col("pos") == 0),
+               F.concat(F.col("line"), F.lit(" { code }.")))
+         .when((F.pmod(F.col("doc_id"), F.lit(29)) == 0)
+               & (F.pmod(F.col("pos"), F.lit(11)) == 1),
+               F.concat(F.col("line"), F.lit(" javascript.")))
+         .when(F.pmod(F.col("pos"), F.lit(13)) == 5,
+               F.concat(two_words, F.lit(".")))
+         .when(F.pmod(F.col("doc_id") + F.col("pos"), F.lit(4)) == 3,
+               F.col("line"))
+         .otherwise(F.concat(F.col("line"), F.lit("."))))
+    decorated = lines.select("doc_id", "pos", line2.alias("line2"))
+    keep = (F.expr("line2 LIKE '%.'")
+            & (F.size(F.split(F.col("line2"), " ")) >= 3)
+            & ~F.expr("contains(line2, ' javascript')"))
+    flagged = decorated.select(
+        "doc_id", "pos", "line2", keep.alias("keep"),
+        F.expr("contains(line2, 'lorem ipsum')").alias("lorem"),
+        F.expr("contains(line2, '{')").alias("brace"))
+    kept = F.array_sort(F.collect_list(
+        F.when(F.col("keep"), F.struct("pos", "line2"))))
+    grp = (flagged.groupBy("doc_id")
+           .agg(F.count("*").alias("n_lines"),
+                F.sum(F.col("keep").cast("long")).alias("n_kept"),
+                F.max(F.col("lorem")).alias("has_lorem"),
+                F.max(F.col("brace")).alias("has_brace"),
+                F.md5(F.concat_ws("\n", kept["line2"]).cast("binary"))
+                 .alias("clean_md5")))
+    reason = (F.when(F.col("has_lorem"), F.lit("lorem_ipsum"))
+               .when(F.col("has_brace"), F.lit("brace"))
+               .when(F.col("n_kept") < 5, F.lit("too_few_sentences"))
+               .otherwise(F.lit("kept")))
+    return (grp.select("doc_id", "n_lines", "n_kept",
+                       reason.alias("drop_reason"), "clean_md5")
+            .orderBy("doc_id"))
+
+
+def _sql_c4_line_filter() -> str:
+    return f"""WITH tk AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+lnl AS (
+  SELECT doc_id,
+         [{{'pos': i - 1, 'line': array_to_string(t[(i-1)*8+1:(i-1)*8+8], ' ')}}
+          for i in range(1, CAST(ceil(len(t)/8.0) AS INT) + 1)] AS ls
+  FROM tk
+),
+ln AS (SELECT doc_id, unnest(ls, recursive := true) FROM lnl),
+dec AS (
+  SELECT doc_id, pos,
+         CASE
+           WHEN doc_id % 107 = 0 AND pos = 0 THEN 'lorem ipsum dolor sit amet.'
+           WHEN doc_id % 109 = 0 AND pos = 0 THEN line || ' {{ code }}.'
+           WHEN doc_id % 29 = 0 AND pos % 11 = 1 THEN line || ' javascript.'
+           WHEN pos % 13 = 5 THEN regexp_extract(line, '[^ ]+( [^ ]+)?') || '.'
+           WHEN (doc_id + pos) % 4 = 3 THEN line
+           ELSE line || '.'
+         END AS line2
+  FROM ln
+),
+fl AS (
+  SELECT doc_id, pos, line2,
+         (line2 LIKE '%.' AND len(string_split(line2, ' ')) >= 3
+          AND NOT contains(line2, ' javascript')) AS keep,
+         contains(line2, 'lorem ipsum') AS lorem,
+         contains(line2, '{{') AS brace
+  FROM dec
+),
+grp AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         max(lorem) AS has_lorem,
+         max(brace) AS has_brace,
+         md5(coalesce(string_agg(CASE WHEN keep THEN line2 END, chr(10)
+                                 ORDER BY pos), '')) AS clean_md5
+  FROM fl GROUP BY doc_id
+)
+SELECT doc_id, n_lines, n_kept,
+       CASE WHEN has_lorem THEN 'lorem_ipsum'
+            WHEN has_brace THEN 'brace'
+            WHEN n_kept < 5 THEN 'too_few_sentences'
+            ELSE 'kept' END AS drop_reason,
+       clean_md5
+FROM grp ORDER BY doc_id"""
+
+
 def q_fuzzy_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dolma/RefinedWeb 'exact dedup after normalization': group key =
     md5 of the NORMALIZED token stream (lowercase, punctuation and
@@ -3720,6 +3842,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_semi_anti": q_part_supplier_semi_anti,
     "line_dedup": q_line_dedup,
     "line_dedup_keep_first": q_line_dedup_keep_first,
+    "c4_line_filter": q_c4_line_filter,
     "fuzzy_exact_dup_groups": q_fuzzy_exact_dup_groups,
     "host_boilerplate": q_host_boilerplate,
     "gopher_quality": q_gopher_quality,
@@ -3797,6 +3920,7 @@ ORACLE_SQL: dict[str, str] = {
     "part_semi_anti": _SQL_PART_SEMI_ANTI,
     "line_dedup": _sql_line_dedup(),
     "line_dedup_keep_first": _sql_line_dedup_keep_first(),
+    "c4_line_filter": _sql_c4_line_filter(),
     "fuzzy_exact_dup_groups": _SQL_FUZZY_EXACT_DUP_GROUPS,
     "host_boilerplate": _sql_host_boilerplate(),
     "gopher_quality": _sql_gopher_quality(),

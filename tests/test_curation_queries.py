@@ -20,7 +20,8 @@ NAMES = ["line_dedup", "gopher_repetition", "url_latest_dedup",
          "dedup_funnel", "token_rarity", "domain_stats", "semantic_dedup",
          "host_boilerplate", "dedup_funnel_contained", "gopher_quality",
          "line_dedup_keep_first", "fuzzy_exact_dup_groups",
-         "corpus_profile", "pair_similarity_histogram", "export_shards"]
+         "corpus_profile", "pair_similarity_histogram", "export_shards",
+         "c4_line_filter"]
 
 
 @pytest.fixture(scope="module")
@@ -306,3 +307,29 @@ def test_gopher_quality_planted_failure_modes(results):
     b41 = only(41)
     assert b41 and all(10 * r.n_bullet_lines <= 9 * r.n_lines for r in b41)
     assert 0 < sp.keep_gopher.sum() < len(sp), "rule must be non-vacuous"
+
+
+def test_c4_line_filter_rules_fire_and_compose(results):
+    """Each C4 rule fires on exactly the docs whose (doc_id, pos)
+    arithmetic plants its trigger; doc 0 stacks every modulus and must
+    land in the lorem branch (CASE precedence)."""
+    sp, _ = results["c4_line_filter"]
+    by_id = sp.set_index("doc_id")
+    assert by_id.loc[0, "drop_reason"] == "lorem_ipsum"
+    lorem = sp[sp.doc_id % 107 == 0]
+    assert len(lorem) > 0 and (lorem.drop_reason == "lorem_ipsum").all()
+    brace = sp[(sp.doc_id % 109 == 0) & (sp.doc_id % 107 != 0)]
+    assert len(brace) > 0 and (brace.drop_reason == "brace").all()
+    # pages never trip lorem/brace unless planted
+    clean = sp[(sp.doc_id % 107 != 0) & (sp.doc_id % 109 != 0)]
+    assert set(clean.drop_reason) <= {"kept", "too_few_sentences"}
+    kept = sp[sp.drop_reason == "kept"]
+    assert len(kept) > 0 and (kept.n_kept >= 5).all()
+    few = sp[sp.drop_reason == "too_few_sentences"]
+    assert (few.n_kept < 5).all()
+    assert (sp.n_kept <= sp.n_lines).all()
+    # a javascript-planted page with >= 2 lines loses its pos==1 line even
+    # though it ends in '.', so n_kept < n_lines there
+    js = sp[(sp.doc_id % 29 == 0) & (sp.doc_id % 107 != 0)
+            & (sp.doc_id % 109 != 0) & (sp.n_lines >= 2)]
+    assert len(js) > 0 and (js.n_kept < js.n_lines).all()
