@@ -2359,6 +2359,73 @@ SELECT doc_id, n_lines, n_kept,
 FROM grp ORDER BY doc_id"""
 
 
+_BPE_MERGES = 8
+
+
+def q_bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016) — learn
+    the first 8 merges over the corpus: collapse the corpus to a
+    distinct-word frequency frame (the only corpus-scale job: one
+    map-side-combinable wordcount groupBy), then iterate {count adjacent
+    symbol pairs weighted by word frequency -> global argmax (count DESC,
+    pair ASC tie-break) -> apply the merge greedy-leftmost to every
+    word}.  Output = the learned merge table (step, left, right, merged,
+    pair_count) — BPE training is deterministic, so the gate value-checks
+    the whole training trajectory, not a statistic of it.
+
+    Scale shape (100 TB): iterations never touch the corpus — they run on
+    the distinct-word frame (~10^7-10^8 rows for web text, a few GB);
+    per-step driver traffic is the single argmax row (the merge decision
+    is global state every distributed BPE trainer synchronizes); merge
+    application is one codegen regexp_replace (greedy leftmost
+    non-overlap == the regex engine's scan order, via double-space
+    separators — no lookahead, so RE2/DuckDB replays it exactly); lineage
+    is truncated per iteration (operators/bpe.py).  The DuckDB oracle
+    unrolls all 8 iterations as MATERIALIZED CTEs and a pytest pins the
+    same trajectory against a pure-Python BPE reference — a 3-way check."""
+    from distributed_lsh_spark.operators.bpe import learn_bpe, word_counts
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+    merges, _ = learn_bpe(spark, word_counts(df), _BPE_MERGES)
+    return merges.orderBy("step")
+
+
+def _sql_bpe_merge_learn(k: int = _BPE_MERGES) -> str:
+    parts = [f"""w0 AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+         trim(regexp_replace(word, '(.)', '\\1  ', 'g')) AS seq
+  FROM (SELECT unnest({_DUCK_TOKS}) AS word FROM documents)
+  GROUP BY word
+)"""]
+    for s in range(1, k + 1):
+        p = s - 1
+        parts.append(f"""p{s} AS MATERIALIZED (
+  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS c FROM (
+    SELECT word, cnt, sym AS l,
+           lead(sym) OVER (PARTITION BY word ORDER BY i) AS r
+    FROM (SELECT word, cnt,
+                 unnest(string_split(seq, '  ')) AS sym,
+                 generate_subscripts(string_split(seq, '  '), 1) AS i
+          FROM w{p})
+  ) WHERE r IS NOT NULL GROUP BY l, r
+)""")
+        parts.append(f"""b{s} AS MATERIALIZED (
+  SELECT {s} AS step, l, r, l || r AS merged, c
+  FROM p{s} ORDER BY c DESC, l, r LIMIT 1
+)""")
+        parts.append(f"""w{s} AS MATERIALIZED (
+  SELECT word, cnt,
+         trim(regexp_replace('  ' || seq || '  ',
+              ' ' || b.l || '  ' || b.r || ' ',
+              ' ' || b.merged || ' ', 'g')) AS seq
+  FROM w{p} CROSS JOIN b{s} b
+)""")
+    union = " UNION ALL ".join(
+        f"SELECT step, l AS left, r AS right, merged, c AS pair_count FROM b{s}"
+        for s in range(1, k + 1))
+    return "WITH " + ",\n".join(parts) + "\n" + union + " ORDER BY step"
+
+
 def q_fuzzy_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dolma/RefinedWeb 'exact dedup after normalization': group key =
     md5 of the NORMALIZED token stream (lowercase, punctuation and
@@ -3843,6 +3910,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup": q_line_dedup,
     "line_dedup_keep_first": q_line_dedup_keep_first,
     "c4_line_filter": q_c4_line_filter,
+    "bpe_merge_learn": q_bpe_merge_learn,
     "fuzzy_exact_dup_groups": q_fuzzy_exact_dup_groups,
     "host_boilerplate": q_host_boilerplate,
     "gopher_quality": q_gopher_quality,
@@ -3921,6 +3989,7 @@ ORACLE_SQL: dict[str, str] = {
     "line_dedup": _sql_line_dedup(),
     "line_dedup_keep_first": _sql_line_dedup_keep_first(),
     "c4_line_filter": _sql_c4_line_filter(),
+    "bpe_merge_learn": _sql_bpe_merge_learn(),
     "fuzzy_exact_dup_groups": _SQL_FUZZY_EXACT_DUP_GROUPS,
     "host_boilerplate": _sql_host_boilerplate(),
     "gopher_quality": _sql_gopher_quality(),

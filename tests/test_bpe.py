@@ -1,0 +1,85 @@
+"""Distributed BPE merge learning (operators/bpe.py): the Spark
+trajectory vs an independent pure-Python BPE reference (3rd leg of the
+Spark/DuckDB/Python check), plus unit pins on the greedy-leftmost merge
+contract the regexp formulation must honor."""
+
+from __future__ import annotations
+
+import collections
+import re
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from distributed_lsh_spark.operators.bpe import learn_bpe, word_counts  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def python_bpe(word_freq: dict[str, int], k: int) -> list[tuple]:
+    """Reference BPE (Sennrich et al. 2016 Algorithm 1 shape): count
+    adjacent pairs weighted by word frequency, merge the most frequent
+    (ties: lexicographically smallest pair), leftmost-greedy."""
+    seqs = {w: tuple(w) for w in word_freq}
+    merges = []
+    for step in range(1, k + 1):
+        stats = collections.Counter()
+        for w, s in seqs.items():
+            for i in range(len(s) - 1):
+                stats[(s[i], s[i + 1])] += word_freq[w]
+        if not stats:
+            break
+        (left, right), c = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, left, right, left + right, c))
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = tuple(out)
+    return merges
+
+
+def test_spark_bpe_matches_python_reference(spark):
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("text")
+    merges, final_words = learn_bpe(spark, word_counts(df), 8)
+    got = [tuple(r) for r in merges.orderBy("step").collect()]
+
+    import pandas as pd
+    texts = pd.read_parquet(f"{SF_DIR}/documents.parquet")["text"]
+    wf = collections.Counter()
+    for t in texts:
+        wf.update(x for x in re.split(r"[^a-z0-9]+", t.lower()) if x)
+    assert got == python_bpe(dict(wf), 8)
+    # merged symbols must concatenate their parts and counts be positive
+    assert all(m == l + r and c > 0 for _, l, r, m, c in got)
+    # final sequences reassemble their words exactly
+    for row in final_words.collect():
+        assert row["seq"].replace(" ", "") == row["word"]
+
+
+@pytest.mark.parametrize("freqs,expected_first", [
+    # overlap chain: 'aaaa' x1 -> pair (a,a) counted 3 times, merged
+    # greedy-leftmost into 'aa aa' (not 'a aa a')
+    ({"aaaa": 1}, ("a", "a", "aa", 3)),
+    # tie on count 2: ('a','b') vs ('b','a') — lexicographic tie-break
+    ({"abab": 1}, ("a", "b", "ab", 2)),
+])
+def test_merge_contract_on_crafted_words(spark, freqs, expected_first):
+    words = spark.createDataFrame(list(freqs.items()), "word string, cnt long")
+    merges, final_words = learn_bpe(spark, words, 1)
+    (row,) = merges.collect()
+    assert (row["left"], row["right"], row["merged"],
+            row["pair_count"]) == expected_first
+    seqs = {r["word"]: r["seq"] for r in final_words.collect()}
+    if set(freqs) == {"aaaa"}:
+        assert seqs["aaaa"] == "aa  aa"
+    else:
+        assert seqs["abab"] == "ab  ab"
