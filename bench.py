@@ -46,6 +46,7 @@ def main() -> None:
         "line_dedup_keep_first",
         "c4_line_filter",
         "bpe_merge_learn",
+        "bpe_encode",
         "fuzzy_exact_dup_groups",
         "host_boilerplate",
         "gopher_quality",

@@ -2390,7 +2390,60 @@ def q_bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merges.orderBy("step")
 
 
-def _sql_bpe_merge_learn(k: int = _BPE_MERGES) -> str:
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE tokenizer corpus-wide: per-doc encoded
+    length under the 8 merges q_bpe_merge_learn trains.  The scale-right
+    encoder never regex-scans documents: learn_bpe already leaves every
+    DISTINCT WORD's final symbol sequence on the word frame, so encoding
+    is one token explode + a broadcast join against the (word ->
+    n_symbols) map + one per-doc sum — the corpus moves once, and the k
+    merge passes ran over ~10^7-10^8 distinct words, not 10^12 documents
+    (merges never cross word boundaries, so word-level encoding IS
+    document-level encoding).  Output = per-doc (n_tokens, n_chars,
+    n_symbols, chars_per_symbol) — the tokenized-length / data-budgeting
+    numbers an LLM pipeline prices corpora with."""
+    from distributed_lsh_spark.operators.bpe import learn_bpe, word_counts
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    _, words_final = learn_bpe(spark, word_counts(df.select("text")),
+                               _BPE_MERGES)
+    wenc = words_final.select(
+        "word", F.size(F.split("seq", "  ")).alias("n_syms"),
+        F.length("word").alias("n_chr"))
+    toks = df.select(
+        "doc_id",
+        F.explode(F.split(F.expr(_TOK_STREAM.format(col="text")), " "))
+         .alias("word")).where(F.col("word") != "")
+    ratio = F.round(F.sum("n_chr") * 1.0 / F.sum("n_syms"), 6)
+    return (toks.join(F.broadcast(wenc), "word")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum("n_chr").alias("n_chars"),
+                 F.sum("n_syms").alias("n_symbols"),
+                 ratio.alias("chars_per_symbol"))
+            .orderBy("doc_id"))
+
+
+def _sql_bpe_encode(k: int = _BPE_MERGES) -> str:
+    parts = _bpe_cte_parts(k)
+    return ("WITH " + ",\n".join(parts) + f"""
+, wenc AS (
+  SELECT word, len(string_split(seq, '  ')) AS n_syms, length(word) AS n_chr
+  FROM w{k}
+),
+tks AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS word FROM documents)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(n_chr) AS BIGINT) AS n_chars,
+       CAST(sum(n_syms) AS BIGINT) AS n_symbols,
+       round(CAST(sum(n_chr) AS BIGINT) * 1.0
+             / CAST(sum(n_syms) AS BIGINT), 6) AS chars_per_symbol
+FROM tks JOIN wenc USING (word)
+GROUP BY doc_id ORDER BY doc_id""")
+
+
+def _bpe_cte_parts(k: int) -> list[str]:
     parts = [f"""w0 AS MATERIALIZED (
   SELECT word, CAST(count(*) AS BIGINT) AS cnt,
          trim(regexp_replace(word, '(.)', '\\1  ', 'g')) AS seq
@@ -2420,6 +2473,11 @@ def _sql_bpe_merge_learn(k: int = _BPE_MERGES) -> str:
               ' ' || b.merged || ' ', 'g')) AS seq
   FROM w{p} CROSS JOIN b{s} b
 )""")
+    return parts
+
+
+def _sql_bpe_merge_learn(k: int = _BPE_MERGES) -> str:
+    parts = _bpe_cte_parts(k)
     union = " UNION ALL ".join(
         f"SELECT step, l AS left, r AS right, merged, c AS pair_count FROM b{s}"
         for s in range(1, k + 1))
@@ -3911,6 +3969,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup_keep_first": q_line_dedup_keep_first,
     "c4_line_filter": q_c4_line_filter,
     "bpe_merge_learn": q_bpe_merge_learn,
+    "bpe_encode": q_bpe_encode,
     "fuzzy_exact_dup_groups": q_fuzzy_exact_dup_groups,
     "host_boilerplate": q_host_boilerplate,
     "gopher_quality": q_gopher_quality,
@@ -3990,6 +4049,7 @@ ORACLE_SQL: dict[str, str] = {
     "line_dedup_keep_first": _sql_line_dedup_keep_first(),
     "c4_line_filter": _sql_c4_line_filter(),
     "bpe_merge_learn": _sql_bpe_merge_learn(),
+    "bpe_encode": _sql_bpe_encode(),
     "fuzzy_exact_dup_groups": _SQL_FUZZY_EXACT_DUP_GROUPS,
     "host_boilerplate": _sql_host_boilerplate(),
     "gopher_quality": _sql_gopher_quality(),

@@ -83,3 +83,46 @@ def test_merge_contract_on_crafted_words(spark, freqs, expected_first):
         assert seqs["aaaa"] == "aa  aa"
     else:
         assert seqs["abab"] == "ab  ab"
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    """Per-doc encoded lengths under the learned merges, recomputed in
+    pure Python (word-level encode == doc-level encode because merges
+    never cross word boundaries)."""
+    from distributed_lsh_spark.entry_queries import QUERIES
+
+    sp = QUERIES["bpe_encode"](spark, SF_DIR).toPandas()
+
+    import pandas as pd
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")[["doc_id", "text"]]
+    wf = collections.Counter()
+    toks = {}
+    for _, row in docs.iterrows():
+        ts = [x for x in re.split(r"[^a-z0-9]+", row.text.lower()) if x]
+        toks[row.doc_id] = ts
+        wf.update(ts)
+    merges = python_bpe(dict(wf), 8)
+    seqs = {w: list(w) for w in wf}
+    for _, left, right, merged, _c in merges:
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    nsym = {w: len(s) for w, s in seqs.items()}
+    got = sp.set_index("doc_id")
+    for doc_id, ts in toks.items():
+        if not ts:
+            assert doc_id not in got.index
+            continue
+        r = got.loc[doc_id]
+        assert r.n_tokens == len(ts)
+        assert r.n_chars == sum(len(w) for w in ts)
+        assert r.n_symbols == sum(nsym[w] for w in ts)
+    assert (sp.n_symbols <= sp.n_chars).all()
+    assert (sp.n_tokens <= sp.n_symbols).all()
