@@ -79,11 +79,14 @@ def learn_bpe(spark: SparkSession, words: DataFrame,
             break
         left, right, cnt = best[0]["l"], best[0]["r"], int(best[0]["c"])
         merges.append((step, left, right, left + right, cnt))
+        # eager=False: the checkpoint materializes inside the NEXT
+        # iteration's argmax job (one job per iteration, not two) while
+        # still truncating lineage for iteration k+1
         words = (words.withColumn(
                      "seq",
                      F.trim(F.regexp_replace(
                          F.concat(F.lit("  "), F.col("seq"), F.lit("  ")),
                          F.lit(f" {left}  {right} "),
                          f" {left}{right} ")))
-                 .localCheckpoint(eager=True))
+                 .localCheckpoint(eager=False))
     return spark.createDataFrame(merges, MERGE_SCHEMA), words
