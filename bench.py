@@ -64,6 +64,7 @@ def main() -> None:
         "unicode_nfc_dedup",
         "cluster_representatives",
         "dedup_against_corpus",
+        "dedup_against_bloom",
         "pack_sequences",
         "blocklist_filter",
         "soft_dedup_weights",

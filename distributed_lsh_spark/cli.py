@@ -91,7 +91,8 @@ def cmd_dedup(args: argparse.Namespace) -> None:
         dups = ckpt.stage(
             "against_dups",
             lambda: dedup_against_corpus(corpus, new, cfg,
-                                         corpus_sigs=corpus_sigs))
+                                         corpus_sigs=corpus_sigs,
+                                         prefilter=args.prefilter))
         n_new = new.count()
         n_dup = int(ckpt.rows("against_dups"))
         dt = time.time() - t0
@@ -569,6 +570,13 @@ def main(argv: list[str] | None = None) -> None:
                         "batch) against this existing corpus WITHOUT "
                         "re-clustering it; emits the dup map "
                         "(doc_id, dup_of, jaccard)")
+    d.add_argument("--prefilter", default=None,
+                   choices=["semi", "bloom"],
+                   help="with --against: prune the archive's band index "
+                        "against the batch's band hashes before the "
+                        "shuffle (semi = broadcast semi-join; bloom = "
+                        "~10-bit/key bitmap for batches whose exact key "
+                        "set is too big to broadcast); output identical")
     d.add_argument("--against-sigs", default=None, metavar="SIG_PARQUET",
                    help="with --against: the archive's persisted "
                         "signature checkpoint (a prior dedup run's "

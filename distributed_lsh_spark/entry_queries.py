@@ -3303,6 +3303,36 @@ def q_dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_dedup_against_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `dedup_against_corpus` probe with the Bloom prefilter engaged
+    (`functions/bloom.py`): the corpus band index is pruned map-side
+    against a ~10-bit/key bitmap of the new batch's band hashes before
+    any 16-B band row enters the shuffle — the scale lever for probing a
+    monthly 1-TB batch against a 10^12-doc archive, where the batch's
+    exact band-hash set is too large to broadcast but its bloom is not.
+
+    Bloom false positives are killed by the exact band join and the
+    exact-Jaccard verify, so this row shares `dedup_against_corpus`'s
+    DuckDB oracle verbatim: the gate value-checks that the bitmap path
+    changes NOTHING about the output (no false negatives)."""
+    from distributed_lsh_spark.operators.snapshot import dedup_against_corpus
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = df.where(F.pmod(F.col("doc_id"), F.lit(2)) == 0) \
+               .select("doc_id", "text")
+    planted = (corpus.where(F.pmod(F.col("doc_id"), F.lit(83)) == 0)
+               .select((F.col("doc_id") + 5_000_000).alias("doc_id"),
+                       F.concat(F.col("text"),
+                                F.lit(" snapshotcopy")).alias("text")))
+    new = (df.where(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+             .select("doc_id", "text")
+             .unionByName(planted))
+    res = dedup_against_corpus(corpus, new, CFG, prefilter="bloom")
+    return (res.select("doc_id", "dup_of",
+                       F.round("jaccard", 6).alias("jaccard"))
+            .orderBy("doc_id"))
+
+
 def _sql_dedup_against_corpus() -> str:
     # corpus side := even ids below the planting offset; new side := the rest
     return f"""WITH base AS (
@@ -3987,6 +4017,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unicode_nfc_dedup": q_unicode_nfc_dedup,
     "cluster_representatives": q_cluster_representatives,
     "dedup_against_corpus": q_dedup_against_corpus,
+    "dedup_against_bloom": q_dedup_against_bloom,
     "pack_sequences": q_pack_sequences,
     "blocklist_filter": q_blocklist_filter,
     "soft_dedup_weights": q_soft_dedup_weights,
@@ -4067,6 +4098,9 @@ ORACLE_SQL: dict[str, str] = {
     "unicode_nfc_dedup": _SQL_UNICODE_NFC_DEDUP,
     "cluster_representatives": _sql_cluster_representatives(),
     "dedup_against_corpus": _sql_dedup_against_corpus(),
+    # bit-identical by design: bloom prefilter only prunes, exact verify
+    # decides — the shared oracle IS the no-false-negative check
+    "dedup_against_bloom": _sql_dedup_against_corpus(),
     "pack_sequences": _SQL_PACK_SEQUENCES,
     "blocklist_filter": _SQL_BLOCKLIST_FILTER,
     "soft_dedup_weights": _sql_soft_dedup_weights(),

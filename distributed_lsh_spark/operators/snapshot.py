@@ -44,7 +44,9 @@ from distributed_lsh_spark.operators.verify import verify_pairs
 
 def dedup_against_corpus(corpus: DataFrame, new: DataFrame,
                          cfg: DedupConfig = DEFAULT_CONFIG,
-                         corpus_sigs: DataFrame | None = None) -> DataFrame:
+                         corpus_sigs: DataFrame | None = None,
+                         prefilter: str | None = None,
+                         bloom_fpp: float = 0.01) -> DataFrame:
     """corpus(doc_id, text) x new(doc_id, text) ->
     (doc_id, dup_of, jaccard): one row per NEW doc that is a near-dup
     (exact Jaccard >= cfg.jaccard_threshold) of at least one corpus doc;
@@ -56,6 +58,23 @@ def dedup_against_corpus(corpus: DataFrame, new: DataFrame,
     checkpoint of the previous run — to skip recomputing the corpus
     side (the whole point of the incremental shape).  doc_id spaces of
     the two inputs must be disjoint.
+
+    `prefilter`: prune the CORPUS band index against the (much smaller)
+    new batch's band-hash set BEFORE the 16-B band rows enter the
+    shuffle — the dominant cost of probing a monthly batch against a
+    10^12-doc archive.  Output is bit-identical for every mode (pruning
+    removes whole non-colliding buckets; survivors still pass the exact
+    band join and the exact-Jaccard verify — pinned by
+    tests/test_snapshot_prefilter.py):
+
+      * None    — plain shuffle band join (both sides move).
+      * "semi"  — broadcast LEFT SEMI join against the batch's DISTINCT
+        band hashes: all-JVM, exact, best while the batch's distinct
+        band-hash set fits a broadcast hash relation (~16 B/key: fine
+        to ~10^8 keys).
+      * "bloom" — `functions/bloom.py` bitmap at `bloom_fpp`:
+        ~9.6 bits/key at 1% — broadcastable at batch sizes whose exact
+        key set is not; false positives only waste join probes.
     """
     if corpus_sigs is None:
         corpus_sigs = with_signatures(
@@ -65,12 +84,33 @@ def dedup_against_corpus(corpus: DataFrame, new: DataFrame,
     new_sigs = with_signatures(new.select("doc_id", "text"), cfg) \
         .select("doc_id", "shingles", "minhash").persist()
 
-    bands_c = cap_hot_buckets(
-        band_keys(corpus_sigs, cfg).select("doc_id", "band_hash"),
-        cfg.hot_band_cap)
+    bands_c = band_keys(corpus_sigs, cfg).select("doc_id", "band_hash")
     bands_n = cap_hot_buckets(
         band_keys(new_sigs, cfg).select("doc_id", "band_hash"),
         cfg.hot_band_cap)
+
+    if prefilter is not None:
+        # the capped batch bands feed BOTH the filter build and the band
+        # join — pin them once (round-2 lesson: a self-referenced subplan
+        # re-executes per consumer)
+        bands_n = bands_n.localCheckpoint(eager=False)
+        if prefilter == "semi":
+            probe_keys = bands_n.select("band_hash").distinct()
+            bands_c = bands_c.join(F.broadcast(probe_keys), "band_hash",
+                                   "left_semi")
+        elif prefilter == "bloom":
+            from distributed_lsh_spark.functions.bloom import (
+                bloom_filter_col, bloom_parameters, build_bloom)
+
+            keys = bands_n.select("band_hash").distinct() \
+                .localCheckpoint(eager=False)
+            n_bits, n_hashes = bloom_parameters(keys.count(), bloom_fpp)
+            bloom = build_bloom(keys, "band_hash", n_bits, n_hashes)
+            bands_c = bloom_filter_col(bands_c, "band_hash", bloom, n_hashes)
+        else:
+            raise ValueError(f"unknown prefilter {prefilter!r}")
+
+    bands_c = cap_hot_buckets(bands_c, cfg.hot_band_cap)
 
     cand = (bands_c.select(F.col("doc_id").alias("id_a"), "band_hash")
             .join(bands_n.select(F.col("doc_id").alias("id_b"), "band_hash"),
