@@ -66,6 +66,7 @@ def main() -> None:
         "dedup_against_corpus",
         "dedup_against_bloom",
         "pack_sequences",
+        "doc_chunking",
         "blocklist_filter",
         "soft_dedup_weights",
         "cluster_safe_split",

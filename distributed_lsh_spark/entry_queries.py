@@ -3404,6 +3404,73 @@ SELECT shard, CAST(bin_id AS BIGINT) AS bin_id,
 FROM b GROUP BY shard, bin_id ORDER BY shard, bin_id"""
 
 
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window document chunking with stride overlap — the rewrite
+    step a pretraining pipeline runs on over-long documents BEFORE
+    sequence packing (pack_sequences bins whole docs; this splits them):
+    each doc becomes ceil-strided windows of CHUNK=16 tokens every
+    STRIDE=12 (25% overlap), the last window right-aligned-truncated.
+    16/12 are the sandbox-scaled stand-ins for a production 2048/1536 —
+    the sf docs average ~54 tokens, so every chunk-count branch (single
+    short chunk, exact fit, strided tail) is exercised and value-checked.
+
+    Output per chunk: (doc_id, chunk_id, start_tok, n_chunk_toks,
+    chunk_md5) — the md5 of the space-joined token window value-checks
+    the exact window CONTENT, not just its coordinates.
+
+    Scale shape: map-only (zero shuffle before the gate's orderBy);
+    chunk-count arithmetic is pure integer (bit-exact across engines);
+    the window explode costs O(tokens x CHUNK/STRIDE) ~= 1.33x one
+    token-stream scan.  The `sequence(0, n_chunks-1)` explode carries
+    O(chunks) ints, never token payloads; the per-chunk slice/concat_ws
+    are JVM array ops over an already-materialized token array (the
+    shingle stage's own idiom, functions/text.py:_SHINGLE_SQL)."""
+    C, S = 16, 12
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = normalized_tokens("text")
+    base = (df.select("doc_id", toks.alias("t"))
+              .withColumn("n", F.size("t"))
+              .where(F.col("n") > 0)
+              .withColumn("n_chunks",
+                          F.expr(f"CASE WHEN n <= {C} THEN 1L "
+                                 f"ELSE 1 + ((n - {C} + {S - 1}) div {S}) "
+                                 f"END")))
+    ch = base.select(
+        "doc_id", "t", "n",
+        F.explode(F.sequence(F.lit(0).cast("long"),
+                             F.col("n_chunks") - 1)).alias("chunk_id"))
+    window = F.slice("t", (F.col("chunk_id") * S + 1).cast("int"), C)
+    return (ch.select(
+                "doc_id", "chunk_id",
+                (F.col("chunk_id") * S + 1).alias("start_tok"),
+                F.size(window).cast("long").alias("n_chunk_toks"),
+                F.md5(F.concat_ws(" ", window).cast("binary"))
+                 .alias("chunk_md5"))
+            .orderBy("doc_id", "chunk_id"))
+
+
+_SQL_DOC_CHUNKING = f"""
+WITH tk AS (
+  SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+),
+nn AS (
+  SELECT doc_id, t, len(t) AS n FROM tk WHERE len(t) > 0
+),
+ch AS (
+  SELECT doc_id, t, n,
+         unnest(range(0, CASE WHEN n <= 16 THEN 1
+                              ELSE 1 + (n - 16 + 11) // 12 END)) AS chunk_id
+  FROM nn
+)
+SELECT doc_id, chunk_id,
+       chunk_id * 12 + 1 AS start_tok,
+       CAST(len(t[chunk_id * 12 + 1 : least(n, chunk_id * 12 + 16)])
+            AS BIGINT) AS n_chunk_toks,
+       md5(array_to_string(t[chunk_id * 12 + 1 : least(n, chunk_id * 12 + 16)],
+                           ' ')) AS chunk_md5
+FROM ch ORDER BY doc_id, chunk_id"""
+
+
 def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UT1/C4-style domain + url-pattern blocklist pass
     (`operators/blocklist.py`): per-doc verdict (host, blocked, reason)
@@ -4019,6 +4086,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_against_corpus": q_dedup_against_corpus,
     "dedup_against_bloom": q_dedup_against_bloom,
     "pack_sequences": q_pack_sequences,
+    "doc_chunking": q_doc_chunking,
     "blocklist_filter": q_blocklist_filter,
     "soft_dedup_weights": q_soft_dedup_weights,
     "cluster_safe_split": q_cluster_safe_split,
@@ -4102,6 +4170,7 @@ ORACLE_SQL: dict[str, str] = {
     # decides — the shared oracle IS the no-false-negative check
     "dedup_against_bloom": _sql_dedup_against_corpus(),
     "pack_sequences": _SQL_PACK_SEQUENCES,
+    "doc_chunking": _SQL_DOC_CHUNKING,
     "blocklist_filter": _SQL_BLOCKLIST_FILTER,
     "soft_dedup_weights": _sql_soft_dedup_weights(),
     "cluster_safe_split": _sql_cluster_safe_split(),

@@ -21,7 +21,7 @@ NAMES = ["line_dedup", "gopher_repetition", "url_latest_dedup",
          "host_boilerplate", "dedup_funnel_contained", "gopher_quality",
          "line_dedup_keep_first", "fuzzy_exact_dup_groups",
          "corpus_profile", "pair_similarity_histogram", "export_shards",
-         "c4_line_filter", "bpe_merge_learn", "bpe_encode"]
+         "c4_line_filter", "bpe_merge_learn", "bpe_encode", "doc_chunking"]
 
 
 @pytest.fixture(scope="module")
