@@ -57,6 +57,7 @@ def main() -> None:
         "token_rarity",
         "domain_stats",
         "semantic_dedup",
+        "kmeans_topics",
         "warc_extract",
         "url_canonical_dedup",
         "stratified_sample",

@@ -1996,6 +1996,98 @@ SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
 FROM clusters GROUP BY cluster_id ORDER BY cluster_id"""
 
 
+def q_kmeans_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means topic clustering over the embedding corpus
+    (`operators/kmeans.py`) — the bucketing primitive mixture balancing
+    and SemDeDup-style pipelines run before per-cluster sampling: k=8
+    exact Lloyd iterations x3 on a 1e-3 integer grid, centroids kept as
+    exact rationals (sum, count), distances compared as int64 numerators
+    over c^2 denominators so every assignment is bit-reproducible across
+    engines, runs, AND partitionings (a distributed float k-means is
+    none of these — the mean's shuffle order leaks into the result).
+
+    The gate value-checks the per-point assignment AND the exact squared
+    distance (num, den) after 3 iterations — i.e. the entire training
+    trajectory, same standard as `bpe_merge_learn`.  The DuckDB oracle
+    unrolls all iterations as MATERIALIZED CTEs (the ANN radius loop's
+    pattern) with the update means re-derived per iteration.
+
+    Scale shape: one broadcast-centroid Arrow int64 matmul per iteration
+    (O(n*k*d)); update = one map-side-combinable (cluster, dim) groupBy
+    emitting k*d rows; per-iteration driver traffic is the k*(d+1)-int
+    centroid state (the global sync every distributed Lloyd performs);
+    lineage flat (iterations re-run over the persisted quantized frame);
+    overflow headroom asserted from the corpus's own max ||q||^2."""
+    from distributed_lsh_spark.operators.kmeans import kmeans_topics
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    return kmeans_topics(emb, k=_KMEANS_K, iters=_KMEANS_ITERS,
+                         scale=_KMEANS_SCALE).orderBy("vec_id")
+
+
+_KMEANS_K = 8
+_KMEANS_ITERS = 3
+_KMEANS_SCALE = 1000
+
+
+def _sql_kmeans_topics(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS,
+                       scale: int = _KMEANS_SCALE) -> str:
+    """Unrolled exact Lloyd replay: quantize -> (assign -> update)^T.
+    All arithmetic BIGINT except the one exactly-rounded double division
+    the argmin orders by (num < 2^53, engine-identical)."""
+    parts = [f"""q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+                        e -> CAST(round(CAST(e AS DOUBLE) * {scale}) AS BIGINT)) AS q
+  FROM embeddings
+)""", """qq AS MATERIALIZED (
+  SELECT vec_id, q,
+         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS xx
+  FROM q
+)""", f"""c0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS s,
+         CAST(1 AS BIGINT) AS c
+  FROM (SELECT vec_id, q FROM q ORDER BY vec_id LIMIT {k})
+)"""]
+    for t in range(1, iters + 1):
+        parts.append(f"""a{t} AS MATERIALIZED (
+  SELECT vec_id, q, cid, num, den FROM (
+    SELECT vec_id, q, cid, num, den,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE),
+                                       cid) AS rn
+    FROM (
+      SELECT p.vec_id, p.q, kc.cid,
+             kc.c * kc.c * p.xx
+               - 2 * kc.c * CAST(list_dot_product(CAST(p.q AS DOUBLE[]),
+                                                  CAST(kc.s AS DOUBLE[])) AS BIGINT)
+               + CAST(list_sum(list_transform(kc.s, x -> x * x)) AS BIGINT) AS num,
+             kc.c * kc.c AS den
+      FROM qq p CROSS JOIN c{t - 1} kc))
+  WHERE rn = 1
+)""")
+        if t == iters:
+            break
+        parts.append(f"""u{t} AS MATERIALIZED (
+  SELECT cid, i, CAST(sum(v) AS BIGINT) AS sv FROM (
+    SELECT cid, unnest(q) AS v, generate_subscripts(q, 1) AS i FROM a{t})
+  GROUP BY cid, i
+)""")
+        parts.append(f"""c{t} AS MATERIALIZED (
+  SELECT prev.cid, COALESCE(nl.s, prev.s) AS s, COALESCE(nc.n, prev.c) AS c
+  FROM c{t - 1} prev
+  LEFT JOIN (SELECT cid, list(sv ORDER BY i) AS s FROM u{t} GROUP BY cid) nl
+         USING (cid)
+  LEFT JOIN (SELECT cid, CAST(count(*) AS BIGINT) AS n FROM a{t} GROUP BY cid) nc
+         USING (cid)
+)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id,
+       num AS d2_num, den AS d2_den
+FROM a{iters} ORDER BY vec_id""")
+
+
 def q_balance_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets aggregation over a 3-way dim join (region->nation->
     customer): per-(region, nation) and per-region customer counts +
@@ -4077,6 +4169,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_rarity": q_token_rarity,
     "domain_stats": q_domain_stats,
     "semantic_dedup": q_semantic_dedup,
+    "kmeans_topics": q_kmeans_topics,
     "warc_extract": q_warc_extract,
     "url_canonical_dedup": q_url_canonical_dedup,
     "stratified_sample": q_stratified_sample,
@@ -4159,6 +4252,7 @@ ORACLE_SQL: dict[str, str] = {
     "token_rarity": _SQL_TOKEN_RARITY,
     "domain_stats": _sql_domain_stats(),
     "semantic_dedup": _SQL_SEMANTIC_DEDUP,
+    "kmeans_topics": _sql_kmeans_topics(),
     "warc_extract": _sql_warc_extract(),
     "url_canonical_dedup": _SQL_URL_CANONICAL_DEDUP,
     "stratified_sample": _SQL_STRATIFIED_SAMPLE,
