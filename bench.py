@@ -62,6 +62,7 @@ def main() -> None:
         "url_canonical_dedup",
         "stratified_sample",
         "link_pagerank",
+        "anchor_texts",
         "unicode_nfc_dedup",
         "cluster_representatives",
         "dedup_against_corpus",

@@ -1573,6 +1573,92 @@ LEFT JOIN indeg i ON i.dst = n.page
 ORDER BY n.page"""
 
 
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation — the inverted link index the other WAT
+    derivative feeds (per-target anchor terms mine query->doc training
+    pairs, MS-MARCO style, and anchor votes rank pages): for every
+    target page collect its incoming links' anchor texts and report
+    (n_links, n_src_pages, n_terms, top_anchor, top_cnt), where
+    top_anchor is the modal anchor term with lowest-term tie-break.
+
+    Hrefs AND anchor texts are extracted from the q_link_pagerank
+    planted html via two codegen `regexp_extract_all` passes zipped
+    positionally (match order aligns them — each <a> yields exactly one
+    href and one text); anchors vary per link (`t<(doc_id*7+i) % 31>`)
+    so the mode/tie logic is exercised for real.  The oracle derives
+    the same (dst, anchor) multiset from doc_id arithmetic WITHOUT
+    parsing html — an independent replay of the extraction, the
+    pagerank row's pattern.
+
+    Scale shape: map-only extraction (no Python), then TWO map-side-
+    combining groupBys — (dst, anchor) counts, then per-dst rollup with
+    the mode as one `min(struct(-cnt, anchor))` (never a window sort
+    over the hot page's anchor list); post-scan rows are (int, short
+    string) pairs.  Anchor spam on a hot page collapses at the first
+    combine."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    a1 = F.concat(F.lit("t"), F.pmod(F.col("doc_id") * 7 + 1, F.lit(31))
+                  .cast("string"))
+    a2 = F.concat(F.lit("t"), F.pmod(F.col("doc_id") * 7 + 2, F.lit(31))
+                  .cast("string"))
+    d1 = F.pmod(F.col("doc_id") * 13 + 1, F.lit(89))
+    d2 = F.pmod(F.col("doc_id") * 29 + 2, F.lit(83))
+    html = F.concat(
+        F.lit('<html><body><a href="/p/'), d1.cast("string"),
+        F.lit('">'), a1, F.lit('</a> <a href="/p/'), d2.cast("string"),
+        F.lit('">'), a2, F.lit("</a></body></html>"))
+    links = (df.select(html.alias("html"))
+             .select(F.arrays_zip(
+                 F.expr(r"""regexp_extract_all(html, 'href="/p/(\\d+)"', 1)""")
+                  .alias("h"),
+                 F.expr("""regexp_extract_all(html, '">([a-z0-9]+)</a>', 1)""")
+                  .alias("a")
+             ).alias("z"))
+             .select(F.explode("z").alias("l"))
+             .select(F.col("l.h").cast("long").alias("dst"),
+                     F.col("l.a").alias("anchor")))
+    per_anchor = (links.groupBy("dst", "anchor")
+                  .agg(F.count(F.lit(1)).alias("cnt")))
+    top = F.min(F.struct((-F.col("cnt")).alias("neg"),
+                         F.col("anchor").alias("a"))).alias("m")
+    return (per_anchor.groupBy("dst")
+            .agg(F.sum("cnt").alias("n_links"),
+                 F.count(F.lit(1)).alias("n_terms"), top)
+            .select(F.col("dst").alias("page"),
+                    F.col("n_links").cast("long").alias("n_links"),
+                    F.col("n_terms").cast("long").alias("n_terms"),
+                    F.col("m.a").alias("top_anchor"),
+                    (-F.col("m.neg")).cast("long").alias("top_cnt"))
+            .orderBy("page"))
+
+
+_SQL_ANCHOR_TEXTS = """
+WITH links AS (
+  SELECT (doc_id * 13 + 1) % 89 AS dst,
+         't' || CAST((doc_id * 7 + 1) % 31 AS VARCHAR) AS anchor
+  FROM documents
+  UNION ALL
+  SELECT (doc_id * 29 + 2) % 83,
+         't' || CAST((doc_id * 7 + 2) % 31 AS VARCHAR)
+  FROM documents
+),
+pa AS (SELECT dst, anchor, count(*) AS cnt FROM links GROUP BY dst, anchor),
+ranked AS (
+  SELECT dst, anchor, cnt,
+         row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, anchor) AS rn
+  FROM pa
+)
+SELECT pa.dst AS page,
+       CAST(sum(pa.cnt) AS BIGINT) AS n_links,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       max(CASE WHEN r.rn = 1 THEN r.anchor END) AS top_anchor,
+       CAST(max(CASE WHEN r.rn = 1 THEN r.cnt END) AS BIGINT) AS top_cnt
+FROM pa
+JOIN ranked r ON r.dst = pa.dst AND r.anchor = pa.anchor
+GROUP BY pa.dst
+ORDER BY page"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified subsampling — the corpus-balancing pass a
     training pipeline runs after curation (down-weight over-represented
@@ -4174,6 +4260,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_canonical_dedup": q_url_canonical_dedup,
     "stratified_sample": q_stratified_sample,
     "link_pagerank": q_link_pagerank,
+    "anchor_texts": q_anchor_texts,
     "unicode_nfc_dedup": q_unicode_nfc_dedup,
     "cluster_representatives": q_cluster_representatives,
     "dedup_against_corpus": q_dedup_against_corpus,
@@ -4257,6 +4344,7 @@ ORACLE_SQL: dict[str, str] = {
     "url_canonical_dedup": _SQL_URL_CANONICAL_DEDUP,
     "stratified_sample": _SQL_STRATIFIED_SAMPLE,
     "link_pagerank": _sql_link_pagerank(),
+    "anchor_texts": _SQL_ANCHOR_TEXTS,
     "unicode_nfc_dedup": _SQL_UNICODE_NFC_DEDUP,
     "cluster_representatives": _sql_cluster_representatives(),
     "dedup_against_corpus": _sql_dedup_against_corpus(),

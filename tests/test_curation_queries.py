@@ -21,7 +21,8 @@ NAMES = ["line_dedup", "gopher_repetition", "url_latest_dedup",
          "host_boilerplate", "dedup_funnel_contained", "gopher_quality",
          "line_dedup_keep_first", "fuzzy_exact_dup_groups",
          "corpus_profile", "pair_similarity_histogram", "export_shards",
-         "c4_line_filter", "bpe_merge_learn", "bpe_encode", "doc_chunking"]
+         "c4_line_filter", "bpe_merge_learn", "bpe_encode", "doc_chunking",
+         "anchor_texts", "kmeans_topics"]
 
 
 @pytest.fixture(scope="module")
@@ -333,3 +334,29 @@ def test_c4_line_filter_rules_fire_and_compose(results):
     js = sp[(sp.doc_id % 29 == 0) & (sp.doc_id % 107 != 0)
             & (sp.doc_id % 109 != 0) & (sp.n_lines >= 2)]
     assert len(js) > 0 and (js.n_kept < js.n_lines).all()
+
+
+def test_anchor_texts_matches_pure_python(results):
+    """Third-engine pin: rebuild the (dst, anchor) multiset from doc_id
+    arithmetic in plain Python (no regex, no SQL) and recompute every
+    aggregate including the modal anchor's lowest-term tie-break."""
+    from collections import Counter
+
+    sp, _ = results["anchor_texts"]
+    ids = duckdb.sql(
+        f"SELECT doc_id FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).df()["doc_id"].tolist()
+    per_dst: dict[int, Counter] = {}
+    for i in ids:
+        for dst, anch in (((i * 13 + 1) % 89, f"t{(i * 7 + 1) % 31}"),
+                          ((i * 29 + 2) % 83, f"t{(i * 7 + 2) % 31}")):
+            per_dst.setdefault(dst, Counter())[anch] += 1
+    expected = {}
+    for dst, ctr in per_dst.items():
+        top = min(ctr.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected[dst] = (sum(ctr.values()), len(ctr), top[0], top[1])
+    got = {r.page: (r.n_links, r.n_terms, r.top_anchor, r.top_cnt)
+           for r in sp.itertuples()}
+    assert got == expected
+    # the tie/mode logic is exercised: some page has a contested mode
+    assert any(len(c) > 1 for c in per_dst.values())
