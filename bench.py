@@ -67,6 +67,7 @@ def main() -> None:
         "cluster_representatives",
         "dedup_against_corpus",
         "dedup_against_bloom",
+        "incremental_clusters",
         "pack_sequences",
         "doc_chunking",
         "blocklist_filter",

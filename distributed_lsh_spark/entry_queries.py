@@ -3540,6 +3540,125 @@ SELECT doc_id, dup_of, round(j, 6) AS jaccard
 FROM best WHERE rn = 1 ORDER BY doc_id"""
 
 
+def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cluster maintenance (`operators/snapshot.py:
+    incremental_components`): merge a new snapshot's duplicate edges
+    into the archive's existing min-id cluster labels WITHOUT
+    re-clustering the archive — the step after `dedup_against_corpus`
+    finds this month's edges.  The archive frame is touched by exactly
+    two map-side broadcast passes (endpoint rep lookup; relabel through
+    the merged-rep map); CC runs only on the contracted batch-sized
+    graph.
+
+    GATE SCAFFOLDING: the edge sets are planted from doc_id arithmetic
+    (the link_pagerank pattern) so the oracle can derive them without
+    the LSH machinery (edge GENERATION is gated by the dedup families;
+    this row gates the maintenance ALGEBRA):
+      archive: docs with doc_id%7==0 chain as (7u, 7u+7) when u%4<2 —
+        3-doc runs with label 28k, plus unlabeled singletons;
+      batch (k = doc_id/28 per archive run): k%3==0 plants a bridge doc
+        10M+k linking runs k and k+1 (two archive clusters MERGE — run
+        k+1 relabels to 28k); k%3==1 plants a doc joining run k (labels
+        unchanged); k%3==2 plants a detached new pair (10M+k, 20M+k).
+    Output per labeled doc: (doc_id, cluster_id, status in
+    unchanged|relabeled|new).  The oracle is a FROM-SCRATCH recursive-
+    closure recompute over the union graph — the gate value-checks that
+    the incremental algebra equals full recomputation, the operator's
+    defining property (also pinned on random graphs incl. the
+    distributed-CC path by tests/test_snapshot_incremental.py)."""
+    from distributed_lsh_spark.operators.connected_components import (
+        connected_components,
+    )
+    from distributed_lsh_spark.operators.snapshot import (
+        incremental_components,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    ids = docs.localCheckpoint(eager=False)
+    p7 = ids.where(F.pmod(F.col("doc_id"), F.lit(7)) == 0)
+    e_arch = (p7.where(F.pmod(F.expr("doc_id div 7"), F.lit(4)) < 2)
+              .select(F.col("doc_id").alias("id_a"),
+                      (F.col("doc_id") + 7).alias("id_b"))
+              .join(ids.select(F.col("doc_id").alias("id_b")), "id_b",
+                    "left_semi"))
+    labels = connected_components(e_arch)
+
+    ks = (ids.where(F.pmod(F.col("doc_id"), F.lit(28)) == 0)
+          .select(F.expr("doc_id div 28").alias("k")))
+    exists_b = ids.select(F.col("doc_id").alias("id_b"))
+
+    def _guarded(sel_k, target):
+        return (ks.where(sel_k)
+                .select((F.col("k") + 10_000_000).alias("id_a"),
+                        target.alias("id_b"))
+                .join(exists_b, "id_b", "left_semi"))
+
+    bridge_lo = _guarded(F.pmod(F.col("k"), F.lit(3)) == 0,
+                         F.col("k") * 28 + 14)
+    bridge_hi = _guarded(F.pmod(F.col("k"), F.lit(3)) == 0,
+                         F.col("k") * 28 + 28)
+    attach = _guarded(F.pmod(F.col("k"), F.lit(3)) == 1,
+                      F.col("k") * 28 + 7)
+    fresh_pair = (ks.where(F.pmod(F.col("k"), F.lit(3)) == 2)
+                  .select((F.col("k") + 10_000_000).alias("id_a"),
+                          (F.col("k") + 20_000_000).alias("id_b")))
+    e_new = bridge_lo.unionByName(bridge_hi).unionByName(attach) \
+                     .unionByName(fresh_pair)
+
+    final = incremental_components(labels, e_new)
+    old = labels.select("doc_id", F.col("cluster_id").alias("old_label"))
+    status = (F.when(F.col("old_label").isNull(), F.lit("new"))
+               .when(F.col("old_label") == F.col("cluster_id"),
+                     F.lit("unchanged"))
+               .otherwise(F.lit("relabeled")))
+    return (final.join(old, "doc_id", "left")
+            .select("doc_id", F.col("cluster_id").cast("long")
+                    .alias("cluster_id"), status.alias("status"))
+            .orderBy("doc_id"))
+
+
+_SQL_INCREMENTAL_CLUSTERS = """
+WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
+e_arch AS (
+  SELECT doc_id AS id_a, doc_id + 7 AS id_b FROM ids
+  WHERE doc_id % 7 = 0 AND (doc_id // 7) % 4 < 2
+    AND EXISTS (SELECT 1 FROM ids i WHERE i.doc_id = ids.doc_id + 7)
+),
+ks AS (SELECT doc_id // 28 AS k FROM ids WHERE doc_id % 28 = 0),
+e_new AS (
+  SELECT k + 10000000 AS id_a, k * 28 + 14 AS id_b FROM ks
+  WHERE k % 3 = 0 AND EXISTS (SELECT 1 FROM ids WHERE doc_id = k * 28 + 14)
+  UNION ALL
+  SELECT k + 10000000, k * 28 + 28 FROM ks
+  WHERE k % 3 = 0 AND EXISTS (SELECT 1 FROM ids WHERE doc_id = k * 28 + 28)
+  UNION ALL
+  SELECT k + 10000000, k * 28 + 7 FROM ks
+  WHERE k % 3 = 1 AND EXISTS (SELECT 1 FROM ids WHERE doc_id = k * 28 + 7)
+  UNION ALL
+  SELECT k + 10000000, k + 20000000 FROM ks WHERE k % 3 = 2
+),
+symA AS (SELECT id_a AS a, id_b AS b FROM e_arch
+         UNION SELECT id_b, id_a FROM e_arch),
+walkA AS (SELECT a, b FROM symA
+          UNION SELECT w.a, s.b FROM walkA w JOIN symA s ON s.a = w.b),
+labA AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         FROM walkA GROUP BY a),
+allE AS (SELECT id_a, id_b FROM e_arch UNION ALL SELECT id_a, id_b FROM e_new),
+symF AS (SELECT id_a AS a, id_b AS b FROM allE
+         UNION SELECT id_b, id_a FROM allE),
+walkF AS (SELECT a, b FROM symF
+          UNION SELECT w.a, s.b FROM walkF w JOIN symF s ON s.a = w.b),
+labF AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         FROM walkF GROUP BY a)
+SELECT f.doc_id, CAST(f.cluster_id AS BIGINT) AS cluster_id,
+       CASE WHEN l.cluster_id IS NULL THEN 'new'
+            WHEN l.cluster_id = f.cluster_id THEN 'unchanged'
+            ELSE 'relabeled' END AS status
+FROM labF f LEFT JOIN labA l USING (doc_id)
+ORDER BY f.doc_id"""
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sequence packing for training export
     (`operators/packing.py`): concat-and-chunk bin assignment over the
@@ -4265,6 +4384,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_representatives": q_cluster_representatives,
     "dedup_against_corpus": q_dedup_against_corpus,
     "dedup_against_bloom": q_dedup_against_bloom,
+    "incremental_clusters": q_incremental_clusters,
     "pack_sequences": q_pack_sequences,
     "doc_chunking": q_doc_chunking,
     "blocklist_filter": q_blocklist_filter,
@@ -4351,6 +4471,7 @@ ORACLE_SQL: dict[str, str] = {
     # bit-identical by design: bloom prefilter only prunes, exact verify
     # decides — the shared oracle IS the no-false-negative check
     "dedup_against_bloom": _sql_dedup_against_corpus(),
+    "incremental_clusters": _SQL_INCREMENTAL_CLUSTERS,
     "pack_sequences": _SQL_PACK_SEQUENCES,
     "doc_chunking": _SQL_DOC_CHUNKING,
     "blocklist_filter": _SQL_BLOCKLIST_FILTER,

@@ -133,3 +133,80 @@ def dedup_against_corpus(corpus: DataFrame, new: DataFrame,
             .select("doc_id", (-F.col("_w._neg_a")).alias("dup_of"),
                     F.col("_w.jaccard").alias("jaccard")))
     return best
+
+
+def incremental_components(labels: DataFrame, new_edges: DataFrame,
+                           driver_max_edges: int | None = None) -> DataFrame:
+    """Merge a new batch's near-dup edges into an existing min-id
+    cluster labeling WITHOUT re-clustering the archive — the cluster-
+    maintenance step after `dedup_against_corpus` finds this month's
+    duplicate edges against a 10^12-doc archive.
+
+    labels(doc_id, cluster_id): the archive labeling, cluster_id = min
+    doc_id of the component (the `connected_components` invariant —
+    REQUIRED, it is what makes contraction exact).  new_edges(id_a,
+    id_b): edges among new docs and new<->archive docs (archive<->
+    archive edges are allowed too, e.g. from a threshold change).  New
+    doc_ids must not collide with archive doc_ids.
+
+    Returns the UPDATED full labeling: every previously-labeled doc plus
+    every doc appearing in new_edges.  Exactness: each archive endpoint
+    is contracted to its component's representative; since every
+    original id >= its rep, the min over a merged component of all
+    original ids equals the min over (participating reps + new ids) —
+    so running CC on the contracted graph and re-expanding reproduces
+    the from-scratch labeling exactly (pinned by
+    tests/test_snapshot_incremental.py against full recompute).
+
+    Scale shape (100 TB archive + 1 TB batch): the archive frame is
+    touched by exactly TWO map-side broadcast-hash passes (rep lookup
+    for the batch's endpoints; final relabel through the merged-rep
+    map) — it never shuffles and never feeds CC; the CC loop runs on
+    the contracted graph, O(new edges) nodes.  Both broadcast sides are
+    batch-sized (endpoint ids; reps whose label changed).
+    """
+    from distributed_lsh_spark.operators.connected_components import (
+        DRIVER_CC_MAX_EDGES, connected_components)
+
+    if driver_max_edges is None:
+        driver_max_edges = DRIVER_CC_MAX_EDGES
+    e = (new_edges.select(F.col("id_a").cast("long").alias("id_a"),
+                          F.col("id_b").cast("long").alias("id_b"))
+         .where(F.col("id_a") != F.col("id_b"))
+         .distinct()
+         .localCheckpoint(eager=False))
+    ends = (e.select(F.col("id_a").alias("doc_id"))
+            .union(e.select(F.col("id_b").alias("doc_id")))
+            .distinct())
+    # archive touched once: broadcast semi-prune to the batch's endpoints
+    rep = (labels.join(F.broadcast(ends), "doc_id")
+           .select("doc_id", F.col("cluster_id").alias("rep"))
+           .localCheckpoint(eager=False))
+    ra = rep.select(F.col("doc_id").alias("id_a"), F.col("rep").alias("rep_a"))
+    rb = rep.select(F.col("doc_id").alias("id_b"), F.col("rep").alias("rep_b"))
+    contracted = (e.join(F.broadcast(ra), "id_a", "left")
+                   .join(F.broadcast(rb), "id_b", "left")
+                   .select(F.coalesce("rep_a", F.col("id_a")).alias("id_a"),
+                           F.coalesce("rep_b", F.col("id_b")).alias("id_b")))
+    cc = connected_components(contracted, driver_max_edges=driver_max_edges) \
+        .localCheckpoint(eager=False)
+
+    rep_set = rep.select(F.col("rep").alias("doc_id")).distinct()
+    # reps whose component merged into a lower-id one
+    moved = (cc.join(rep_set, "doc_id")
+               .where(F.col("cluster_id") != F.col("doc_id"))
+               .select(F.col("doc_id").alias("old_rep"),
+                       F.col("cluster_id").alias("new_label")))
+    relabeled = (labels.join(F.broadcast(moved),
+                             labels.cluster_id == moved.old_rep, "left")
+                 .select(labels.doc_id,
+                         F.coalesce("new_label", labels.cluster_id)
+                          .alias("cluster_id")))
+    # cc nodes are exactly {rep values} U {non-archive endpoint ids}
+    # (contraction replaced every archive endpoint by its rep), so the
+    # fresh side is the anti-join against the SMALL rep-value set — an
+    # anti-join against the archive labels would both shuffle the
+    # archive and misclassify reps that are not themselves endpoints
+    fresh = (cc.join(F.broadcast(rep_set), "doc_id", "left_anti")
+               .select("doc_id", "cluster_id"))
+    return relabeled.unionByName(fresh)

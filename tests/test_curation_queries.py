@@ -22,7 +22,7 @@ NAMES = ["line_dedup", "gopher_repetition", "url_latest_dedup",
          "line_dedup_keep_first", "fuzzy_exact_dup_groups",
          "corpus_profile", "pair_similarity_histogram", "export_shards",
          "c4_line_filter", "bpe_merge_learn", "bpe_encode", "doc_chunking",
-         "anchor_texts", "kmeans_topics"]
+         "anchor_texts", "kmeans_topics", "incremental_clusters"]
 
 
 @pytest.fixture(scope="module")
