@@ -175,6 +175,8 @@ def incremental_components(labels: DataFrame, new_edges: DataFrame,
          .where(F.col("id_a") != F.col("id_b"))
          .distinct()
          .localCheckpoint(eager=False))
+    if e.isEmpty():          # e is batch-scale; a no-edge batch is a no-op
+        return labels.select("doc_id", "cluster_id")
     ends = (e.select(F.col("id_a").alias("doc_id"))
             .union(e.select(F.col("id_b").alias("doc_id")))
             .distinct())

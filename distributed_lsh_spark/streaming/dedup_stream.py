@@ -126,13 +126,27 @@ def compact_batch_index(spark: SparkSession, d: str, current_batch_id: int,
     return True
 
 
+def current_labels(spark: SparkSession, labels_dir: str) -> DataFrame:
+    """Reconstruct the CURRENT cluster labeling from a labels delta dir
+    (doc_id, cluster_id, batch_id): labels are MONOTONE under merge
+    maintenance — a relabel always lowers cluster_id to the merged
+    component's new minimum — so the latest label per doc is simply
+    `min(cluster_id)`, one map-side-combinable groupBy, independent of
+    delta order (which is what makes `compact_batch_index`'s
+    order-destroying fold safe for this dir too)."""
+    return (spark.read.parquet(labels_dir)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id")))
+
+
 def incremental_dedup_stream(spark: SparkSession, input_dir: str, state_dir: str,
                              cfg: DedupConfig = DEFAULT_CONFIG,
                              schema: str = "doc_id long, text string",
                              available_now: bool = True,
                              max_files_per_trigger: int = 16,
                              where: str | None = None,
-                             compact_every: int | None = 64):
+                             compact_every: int | None = 64,
+                             maintain_labels: bool = False):
     """Start (or run-to-completion with availableNow) the incremental dedup
     stream over parquet files appearing in `input_dir`.
 
@@ -141,10 +155,24 @@ def incremental_dedup_stream(spark: SparkSession, input_dir: str, state_dir: str
       sigs/         — accumulated signatures (doc_id, shingles, minhash)
       band_index/   — accumulated band keys (doc_id, band_id, band_hash)
       pairs/        — verified dup pairs with batch_id lineage
+      labels/       — (maintain_labels=True) cluster-label DELTAS with
+                      batch_id lineage; read back via `current_labels`
+
+    maintain_labels: additionally keep continuously-updated near-dup
+    CLUSTER LABELS — each batch's verified pairs are folded into the
+    standing labeling with `operators/snapshot.incremental_components`
+    (the archive side never shuffles; CC runs on the batch's contracted
+    edge graph).  Only CHANGED/new rows are written per batch, so the
+    dir grows O(total merges), not O(batches x corpus); replayed batches
+    overwrite their own partition idempotently, and reconstruction is a
+    min() so duplicate deltas from the compaction crash window are
+    harmless.  Invariant (pinned by tests/test_streaming_labels.py):
+    current_labels == connected_components over ALL pairs seen so far.
     """
     sigs_dir = os.path.join(state_dir, "sigs")
     bands_dir = os.path.join(state_dir, "band_index")
     pairs_dir = os.path.join(state_dir, "pairs")
+    labels_dir = os.path.join(state_dir, "labels")
 
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -191,11 +219,44 @@ def incremental_dedup_stream(spark: SparkSession, input_dir: str, state_dir: str
                          .dropDuplicates(["id_a", "id_b"])
             verified = verify_pairs(pairs, all_sigs, cfg) \
                 .withColumn("batch_id", F.lit(batch_id))
+            if maintain_labels:
+                # two consumers below (pairs write + label fold): pin once
+                verified = verified.localCheckpoint(eager=True)
 
             (verified.write.mode("overwrite")
              .partitionBy("batch_id")
              .option("partitionOverwriteMode", "dynamic")
              .parquet(pairs_dir))
+
+            if maintain_labels:
+                from distributed_lsh_spark.operators.snapshot import (
+                    incremental_components,
+                )
+
+                if has_band_history(spark, labels_dir):
+                    standing = (spark.read.parquet(labels_dir)
+                                .where(F.col("batch_id") < batch_id)
+                                .groupBy("doc_id")
+                                .agg(F.min("cluster_id").alias("cluster_id")))
+                else:
+                    standing = spark.createDataFrame(
+                        [], "doc_id long, cluster_id long")
+                updated = incremental_components(
+                    standing, verified.select("id_a", "id_b"))
+                delta = (updated.join(
+                            standing.withColumnRenamed("cluster_id", "old"),
+                            "doc_id", "left")
+                         .where(F.col("old").isNull()
+                                | (F.col("old") != F.col("cluster_id")))
+                         .select("doc_id", "cluster_id")
+                         .withColumn("batch_id", F.lit(batch_id)))
+                (delta.write.mode("overwrite")
+                 .partitionBy("batch_id")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .parquet(labels_dir))
+                if compact_every and batch_id > 0 \
+                        and batch_id % compact_every == 0:
+                    compact_batch_index(spark, labels_dir, batch_id)
             (new_sigs.write.mode("overwrite")
              .partitionBy("batch_id")
              .option("partitionOverwriteMode", "dynamic")
