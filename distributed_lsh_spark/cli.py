@@ -95,10 +95,26 @@ def cmd_dedup(args: argparse.Namespace) -> None:
                                          prefilter=args.prefilter))
         n_new = new.count()
         n_dup = int(ckpt.rows("against_dups"))
+        n_labels = None
+        if args.merge_labels:
+            # cluster maintenance: archive labels never re-cluster; the
+            # batch's (new doc, best archive match) edges fold in
+            from distributed_lsh_spark.operators.snapshot import (
+                incremental_components,
+            )
+
+            standing = spark.read.parquet(args.merge_labels) \
+                .select("doc_id", "cluster_id")
+            edges = dups.select(F.col("doc_id").alias("id_a"),
+                                F.col("dup_of").alias("id_b"))
+            ckpt.stage("updated_labels",
+                       lambda: incremental_components(standing, edges))
+            n_labels = int(ckpt.rows("updated_labels"))
         dt = time.time() - t0
         print(json.dumps({
             "run_id": args.run_id, "n_new_docs": n_new,
             "n_dup_of_archive": n_dup, "n_novel": n_new - n_dup,
+            "n_labels": n_labels,
             "wall_sec": round(dt, 2),
             "docs_per_sec": round(n_new / dt, 1) if dt else None,
             "dups_stage": "against_dups",
@@ -582,6 +598,12 @@ def main(argv: list[str] | None = None) -> None:
                         "signature checkpoint (a prior dedup run's "
                         "signatures/data dir) — skips recomputing the "
                         "archive side")
+    d.add_argument("--merge-labels", default=None, metavar="LABELS_PARQUET",
+                   help="with --against: fold the found duplicate edges "
+                        "into this existing (doc_id, cluster_id) min-id "
+                        "labeling via incremental_components (archive "
+                        "never re-clusters) and checkpoint the updated "
+                        "labels as stage 'updated_labels'")
     d.add_argument("--emit-weights", action="store_true",
                    help="also checkpoint a soft-dedup weights table "
                         "(doc_id, cluster_id, cluster_size, weight)")

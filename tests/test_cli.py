@@ -271,3 +271,38 @@ def test_cli_dedup_against_archive(spark, tmp_path, capsys):
     dups2 = spark.read.parquet(os.path.join(out, "inc2", "against_dups",
                                             "data"))
     assert {r["doc_id"]: r["dup_of"] for r in dups2.collect()} == got
+
+
+def test_cli_dedup_against_merge_labels(spark, tmp_path, capsys):
+    """--merge-labels: the incremental probe's edges fold into an
+    existing archive labeling without re-clustering it — re-crawled docs
+    join their original's cluster, untouched labels survive verbatim."""
+    from pyspark.sql import functions as F
+
+    arch = str(tmp_path / "archive")
+    newp = str(tmp_path / "new")
+    out = str(tmp_path / "dd")
+    labels_p = str(tmp_path / "labels")
+    base = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    base.write.parquet(arch)
+    recrawl = (base.where("doc_id in (2, 11)")
+               .select((F.col("doc_id") + 5_000_000).alias("doc_id"),
+                       F.concat("text", F.lit(" recrawl")).alias("text")))
+    recrawl.write.parquet(newp)
+    # archive labeling: docs 2 and 7 already share a cluster; 11 is its
+    # own singleton cluster
+    spark.createDataFrame([(2, 2), (7, 2), (11, 11), (30, 30)],
+                          "doc_id long, cluster_id long") \
+         .write.parquet(labels_p)
+
+    main(["dedup", "--input", newp, "--output", out, "--run-id", "m",
+          "--cores", "8", "--against", arch, "--merge-labels", labels_p])
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["n_dup_of_archive"] == 2
+    assert r["n_labels"] == 6          # 4 standing + 2 new docs
+    lbl = spark.read.parquet(os.path.join(out, "m", "updated_labels",
+                                          "data"))
+    got = {x["doc_id"]: x["cluster_id"] for x in lbl.collect()}
+    assert got == {2: 2, 7: 2, 11: 11, 30: 30,
+                   5_000_002: 2, 5_000_011: 11}
