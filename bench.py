@@ -81,6 +81,7 @@ def main() -> None:
         "reservoir_sample",
         "corpus_profile",
         "pair_similarity_histogram",
+        "pair_diagnostics",
         "export_shards",
     ]
 

@@ -1092,7 +1092,11 @@ def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
-def _sql_simhash_hamming_pairs() -> str:
+def _duck_simhash_fp_ctes() -> str:
+    """CTE chain `sthc` -> ... -> `fps(doc_id, fp)`: the per-doc SimHash
+    fingerprint (md5-per-token -> rolling-poly k-grams -> per-bit
+    majority) in DuckDB.  Assumes a `toks(doc_id, t)` CTE is already in
+    scope; shared by the simhash gate row and `pair_diagnostics`."""
     from distributed_lsh_spark.functions.md5hash import duck_h64u
     from distributed_lsh_spark.operators.substring import TH_SHIFT, window_pows
 
@@ -1109,14 +1113,13 @@ def _sql_simhash_hamming_pairs() -> str:
                       for j, p in enumerate(window_pows(n))) or "0::HUGEINT")
         + f") % {p64}]\n         "
         for n in range(0, k))
-    return f"""WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
-thc AS (SELECT doc_id,
+    return f"""sthc AS (SELECT doc_id,
                [({duck_h64u('tok')} // {1 << TH_SHIFT}::HUGEINT) for tok in t] AS th
         FROM toks),
 whs AS (SELECT doc_id, CASE
          {short_cases}ELSE [({win_terms}) % {p64}
                for i in range(1, len(th) - {k - 2})]
-        END AS whu FROM thc),
+        END AS whu FROM sthc),
 gh AS (SELECT doc_id,
               unnest(list_distinct(list_transform(whu, {signed}))) AS h
        FROM whs),
@@ -1130,12 +1133,87 @@ fps AS (SELECT doc_id,
                (CASE WHEN fu >= 9223372036854775808::HUGEINT
                      THEN fu - 18446744073709551616::HUGEINT
                      ELSE fu END)::BIGINT AS fp
-        FROM fpu)
+        FROM fpu)"""
+
+
+def _sql_simhash_hamming_pairs() -> str:
+    return f"""WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+{_duck_simhash_fp_ctes()}
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
 FROM fps a JOIN fps b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.fp, b.fp)) <= 3
 ORDER BY id_a, id_b"""
+
+
+def q_pair_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-pair diagnostics — the "why did these match" report a
+    curation run attaches to its dup-pair output for auditing threshold
+    choices: for every near-dup pair (exact Jaccard >= tau, the gated
+    minhash family's pair set) emit ALL the engine's similarity signals
+    side by side — exact Jaccard, shared-shingle count, asymmetric
+    containment (|∩|/min — flags doc-in-doc pairs a symmetric score
+    understates), and SimHash Hamming distance (near-0 = same topic
+    phrasing, high = coincidental shingle overlap).
+
+    Composes three already-gated hash families over ONE pair frame; the
+    oracle replays brute-force Jaccard + the full HUGEINT SimHash chain
+    (`_duck_simhash_fp_ctes`, shared with the simhash gate row) so every
+    signal is value-checked jointly on the same rows.
+
+    Scale shape: pairs come from the df-capped inverted index (the
+    ngram row's 100%-recall path; swap the LSH chain's verified frame in
+    production — same columns); the per-pair signal joins move only
+    (pair ids + one fp long) against the semi-join-pruned payload side,
+    and the array_intersect runs per PAIR (O(dup pairs), not O(corpus))."""
+    from distributed_lsh_spark.functions.signature import with_signatures
+    from distributed_lsh_spark.operators.ngram import ngram_jaccard_pairs
+    from distributed_lsh_spark.operators.simhash_exact import simhash_md5
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    docs = with_signatures(df, SHINGLE_CFG)
+    pairs = ngram_jaccard_pairs(docs, CFG, df_cap=CFG.hot_band_cap) \
+        .select("id_a", "id_b", "jaccard").localCheckpoint(eager=False)
+    fps = simhash_md5(df, k=CFG.shingle_k)
+
+    sh = docs.select("doc_id", "shingles")
+    a = (pairs.join(sh.select(F.col("doc_id").alias("id_a"),
+                              F.col("shingles").alias("_sa")), "id_a")
+              .join(sh.select(F.col("doc_id").alias("id_b"),
+                              F.col("shingles").alias("_sb")), "id_b")
+              .join(fps.select(F.col("doc_id").alias("id_a"),
+                               F.col("simhash").alias("_fa")), "id_a")
+              .join(fps.select(F.col("doc_id").alias("id_b"),
+                               F.col("simhash").alias("_fb")), "id_b"))
+    n_shared = F.size(F.array_intersect("_sa", "_sb"))
+    return (a.select(
+                "id_a", "id_b",
+                F.round("jaccard", 6).alias("jaccard"),
+                n_shared.cast("long").alias("shared_shingles"),
+                F.round(n_shared
+                        / F.least(F.size("_sa"), F.size("_sb")), 6)
+                 .alias("containment"),
+                F.bit_count(F.expr("_fa ^ _fb")).cast("long")
+                 .alias("hamming"))
+            .orderBy("id_a", "id_b"))
+
+
+def _sql_pair_diagnostics() -> str:
+    return f"""WITH {_duck_shingle_cte(CFG.shingle_k)},
+{_duck_simhash_fp_ctes()}
+SELECT i.id_a, i.id_b, round(j.j, 6) AS jaccard,
+       CAST(i.c AS BIGINT) AS shared_shingles,
+       round(i.c * 1.0 / least(sa.n, sb.n), 6) AS containment,
+       CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS hamming
+FROM jac j
+JOIN inter i ON i.id_a = j.id_a AND i.id_b = j.id_b
+JOIN sizes sa ON sa.doc_id = j.id_a
+JOIN sizes sb ON sb.doc_id = j.id_b
+JOIN fps fa ON fa.doc_id = j.id_a
+JOIN fps fb ON fb.doc_id = j.id_b
+WHERE j.j >= {CFG.jaccard_threshold}
+ORDER BY i.id_a, i.id_b"""
 
 
 def q_substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4343,6 +4421,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": q_events_hourly,
     "user_sessions": q_user_sessions,
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
+    "pair_diagnostics": q_pair_diagnostics,
     "substring_dup_pairs": q_substring_dup_pairs,
     "substring_span_pairs": q_substring_span_pairs,
     "embedding_topk_lsh": q_embedding_topk_lsh,
@@ -4426,6 +4505,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_hourly": _SQL_EVENTS_HOURLY,
     "user_sessions": _SQL_USER_SESSIONS,
     "simhash_hamming_pairs": _sql_simhash_hamming_pairs(),
+    "pair_diagnostics": _sql_pair_diagnostics(),
     "substring_dup_pairs": _sql_substring_dup_pairs(),
     "substring_span_pairs": _sql_substring_span_pairs(),
     # embedding_topk_lsh / embedding_topk_ivf: intentionally no SQL

@@ -22,7 +22,8 @@ NAMES = ["line_dedup", "gopher_repetition", "url_latest_dedup",
          "line_dedup_keep_first", "fuzzy_exact_dup_groups",
          "corpus_profile", "pair_similarity_histogram", "export_shards",
          "c4_line_filter", "bpe_merge_learn", "bpe_encode", "doc_chunking",
-         "anchor_texts", "kmeans_topics", "incremental_clusters"]
+         "anchor_texts", "kmeans_topics", "incremental_clusters",
+         "pair_diagnostics"]
 
 
 @pytest.fixture(scope="module")
@@ -360,3 +361,17 @@ def test_anchor_texts_matches_pure_python(results):
     assert got == expected
     # the tie/mode logic is exercised: some page has a contested mode
     assert any(len(c) > 1 for c in per_dst.values())
+
+
+def test_pair_diagnostics_signal_invariants(results):
+    """Cross-signal sanity on the jointly-gated diagnostics row:
+    containment >= jaccard always (min <= union), shared counts positive,
+    and byte-near-identical pairs (jaccard ~ 1) sit at Hamming ~ 0."""
+    sp, _ = results["pair_diagnostics"]
+    assert len(sp) > 0
+    assert (sp.containment >= sp.jaccard - 1e-9).all()
+    assert (sp.shared_shingles > 0).all()
+    assert ((sp.hamming >= 0) & (sp.hamming <= 64)).all()
+    near = sp[sp.jaccard >= 0.999]
+    if len(near):
+        assert (near.hamming <= 3).all()
