@@ -42,6 +42,7 @@ def main() -> None:
         "user_sessions",
         "decontam_filter",
         "word_blocklist_filter",
+        "filter_agreement",
         "line_dedup",
         "line_dedup_keep_first",
         "c4_line_filter",

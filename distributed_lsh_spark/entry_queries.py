@@ -956,6 +956,87 @@ ct AS (SELECT doc_id,
 SELECT doc_id, n_bad, n_bad = 0 AS keep FROM ct ORDER BY doc_id"""
 
 
+def q_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter agreement matrix — the audit a curation owner runs
+    before choosing a filter stack: for every pair of the four gated
+    document filters (Gopher §A1 `gopher_quality`, character-ratio
+    `doc_quality`, C4 page rules `c4_line_filter`, bad-words
+    `word_blocklist_filter`) report how their per-doc keep verdicts
+    overlap (both_keep / only_a / only_b / both_drop / agreement rate).
+    High disagreement = the filters catch DIFFERENT junk (stack them);
+    near-1 agreement = redundant cost.
+
+    Composes the four gated queries verbatim (their verdicts are each
+    value-checked independently), melts to (doc_id, filter, keep) with
+    one `stack`, and self-joins on doc_id with filter_a < filter_b —
+    one shuffle of 4·n 2-column rows, 6 output groups.  The oracle
+    nests the four full oracle queries as CTE subqueries and replays
+    the same melt+join."""
+    kg = q_gopher_quality(spark, sf_dir).select(
+        "doc_id", F.col("keep_gopher").alias("k_gopher"))
+    kd = q_doc_quality(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("k_ratio"))
+    kc = q_c4_line_filter(spark, sf_dir).select(
+        "doc_id", (F.col("drop_reason") == "kept").alias("k_c4"))
+    kw = q_word_blocklist_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("k_words"))
+    v = kg.join(kd, "doc_id").join(kc, "doc_id").join(kw, "doc_id")
+    lng = v.select("doc_id", F.expr(
+        "stack(4, 'c4_page', k_c4, 'charratio', k_ratio, "
+        "'gopher', k_gopher, 'wordlist', k_words) AS (f, keep)"))
+    a = lng.select("doc_id", F.col("f").alias("filter_a"),
+                   F.col("keep").alias("ka"))
+    b = lng.select("doc_id", F.col("f").alias("filter_b"),
+                   F.col("keep").alias("kb"))
+    n = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    return (a.join(b, "doc_id")
+            .where(F.col("filter_a") < F.col("filter_b"))
+            .groupBy("filter_a", "filter_b")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 n(F.col("ka") & F.col("kb")).alias("both_keep"),
+                 n(F.col("ka") & ~F.col("kb")).alias("only_a"),
+                 n(~F.col("ka") & F.col("kb")).alias("only_b"),
+                 n(~F.col("ka") & ~F.col("kb")).alias("both_drop"))
+            .withColumn("agreement",
+                        F.round((F.col("both_keep") + F.col("both_drop"))
+                                * 1.0 / F.col("n_docs"), 6))
+            .orderBy("filter_a", "filter_b"))
+
+
+def _sql_filter_agreement() -> str:
+    return f"""
+WITH gq AS ({_sql_gopher_quality()}),
+dq AS ({_sql_doc_quality()}),
+c4 AS ({_sql_c4_line_filter()}),
+wb AS ({_SQL_WORD_BLOCKLIST_FILTER}),
+v AS (
+  SELECT g.doc_id, g.keep_gopher AS k_gopher, d.keep AS k_ratio,
+         (c.drop_reason = 'kept') AS k_c4, w.keep AS k_words
+  FROM gq g JOIN dq d USING (doc_id) JOIN c4 c USING (doc_id)
+  JOIN wb w USING (doc_id)
+),
+lng AS (
+  SELECT doc_id, 'c4_page' AS f, k_c4 AS keep FROM v
+  UNION ALL SELECT doc_id, 'charratio', k_ratio FROM v
+  UNION ALL SELECT doc_id, 'gopher', k_gopher FROM v
+  UNION ALL SELECT doc_id, 'wordlist', k_words FROM v
+)
+SELECT a.f AS filter_a, b.f AS filter_b,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN a.keep AND b.keep THEN 1 ELSE 0 END) AS BIGINT)
+         AS both_keep,
+       CAST(sum(CASE WHEN a.keep AND NOT b.keep THEN 1 ELSE 0 END) AS BIGINT)
+         AS only_a,
+       CAST(sum(CASE WHEN NOT a.keep AND b.keep THEN 1 ELSE 0 END) AS BIGINT)
+         AS only_b,
+       CAST(sum(CASE WHEN NOT a.keep AND NOT b.keep THEN 1 ELSE 0 END)
+            AS BIGINT) AS both_drop,
+       round((sum(CASE WHEN a.keep = b.keep THEN 1 ELSE 0 END)) * 1.0
+             / count(*), 6) AS agreement
+FROM lng a JOIN lng b ON a.doc_id = b.doc_id AND a.f < b.f
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
 # --------------------------------------------------------------------------
 # relational queries (TPC-H-ish + events) — operator-inventory breadth
 # --------------------------------------------------------------------------
@@ -4434,6 +4515,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_check": q_contamination_check,
     "decontam_filter": q_decontam_filter,
     "word_blocklist_filter": q_word_blocklist_filter,
+    "filter_agreement": q_filter_agreement,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "multimodal_features": q_multimodal_features,
     "balance_rollup": q_balance_rollup,
@@ -4520,6 +4602,7 @@ ORACLE_SQL: dict[str, str] = {
     "contamination_check": _sql_contamination_check(),
     "decontam_filter": _SQL_DECONTAM_FILTER,
     "word_blocklist_filter": _SQL_WORD_BLOCKLIST_FILTER,
+    "filter_agreement": _sql_filter_agreement(),
     "embedding_cosine_pairs": _SQL_EMBEDDING_COSINE_PAIRS,
     "multimodal_features": _sql_multimodal_features(),
     "balance_rollup": _SQL_BALANCE_ROLLUP,
