@@ -43,6 +43,7 @@ def main() -> None:
         "decontam_filter",
         "word_blocklist_filter",
         "filter_agreement",
+        "tokenizer_fertility",
         "line_dedup",
         "line_dedup_keep_first",
         "c4_line_filter",

@@ -2813,6 +2813,53 @@ def _bpe_cte_parts(k: int) -> list[str]:
     return parts
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility — the data-budgeting number a
+    multilingual pretraining mix is priced with (how many BPE symbols a
+    language costs per character; high fertility = the tokenizer under-
+    serves that language): compose the gated BPE encoder
+    (`q_bpe_encode`, corpus-trained 8-merge tokenizer) with the gated
+    language-ID verdicts (`q_lang_id`) and roll up symbols/chars/tokens
+    per predicted language.  chars_per_symbol stays an exact-int
+    division rounded once, so the gate hash is stable.
+
+    Scale shape: the two inputs are each one corpus scan (already
+    gated); the composition adds one broadcast-sized join key (doc_id)
+    and one O(#languages) map-side-combining groupBy."""
+    enc = q_bpe_encode(spark, sf_dir)
+    lang = q_lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    return (enc.join(lang, "doc_id")
+            .groupBy("pred_lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens"),
+                 F.sum("n_chars").alias("n_chars"),
+                 F.sum("n_symbols").alias("n_symbols"))
+            .withColumn("chars_per_symbol",
+                        F.round(F.col("n_chars") * 1.0 / F.col("n_symbols"),
+                                6))
+            .withColumn("symbols_per_token",
+                        F.round(F.col("n_symbols") * 1.0 / F.col("n_tokens"),
+                                6))
+            .orderBy("pred_lang"))
+
+
+def _sql_tokenizer_fertility() -> str:
+    return f"""
+WITH enc AS ({_sql_bpe_encode()}),
+lng AS ({_sql_lang_id()})
+SELECT l.pred_lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(e.n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(e.n_chars) AS BIGINT) AS n_chars,
+       CAST(sum(e.n_symbols) AS BIGINT) AS n_symbols,
+       round(CAST(sum(e.n_chars) AS BIGINT) * 1.0
+             / CAST(sum(e.n_symbols) AS BIGINT), 6) AS chars_per_symbol,
+       round(CAST(sum(e.n_symbols) AS BIGINT) * 1.0
+             / CAST(sum(e.n_tokens) AS BIGINT), 6) AS symbols_per_token
+FROM enc e JOIN lng l USING (doc_id)
+GROUP BY l.pred_lang ORDER BY l.pred_lang"""
+
+
 def _sql_bpe_merge_learn(k: int = _BPE_MERGES) -> str:
     parts = _bpe_cte_parts(k)
     union = " UNION ALL ".join(
@@ -4516,6 +4563,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontam_filter": q_decontam_filter,
     "word_blocklist_filter": q_word_blocklist_filter,
     "filter_agreement": q_filter_agreement,
+    "tokenizer_fertility": q_tokenizer_fertility,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "multimodal_features": q_multimodal_features,
     "balance_rollup": q_balance_rollup,
@@ -4603,6 +4651,7 @@ ORACLE_SQL: dict[str, str] = {
     "decontam_filter": _SQL_DECONTAM_FILTER,
     "word_blocklist_filter": _SQL_WORD_BLOCKLIST_FILTER,
     "filter_agreement": _sql_filter_agreement(),
+    "tokenizer_fertility": _sql_tokenizer_fertility(),
     "embedding_cosine_pairs": _SQL_EMBEDDING_COSINE_PAIRS,
     "multimodal_features": _sql_multimodal_features(),
     "balance_rollup": _SQL_BALANCE_ROLLUP,

@@ -23,7 +23,7 @@ NAMES = ["line_dedup", "gopher_repetition", "url_latest_dedup",
          "corpus_profile", "pair_similarity_histogram", "export_shards",
          "c4_line_filter", "bpe_merge_learn", "bpe_encode", "doc_chunking",
          "anchor_texts", "kmeans_topics", "incremental_clusters",
-         "pair_diagnostics", "filter_agreement"]
+         "pair_diagnostics", "filter_agreement", "tokenizer_fertility"]
 
 
 @pytest.fixture(scope="module")
