@@ -529,6 +529,41 @@ def cmd_curate(args: argparse.Namespace) -> None:
     }))
 
 
+def cmd_topics(args: argparse.Namespace) -> None:
+    """Deterministic k-means topic clustering (operators/kmeans.py): one
+    checkpointed assignment table (vec_id, cluster_id, d2_num, d2_den) —
+    bit-reproducible across runs/partitionings, so a resumed or repeated
+    run writes the identical table."""
+    from pyspark.sql import functions as F
+
+    from distributed_lsh_spark.operators.kmeans import kmeans_topics
+    from distributed_lsh_spark.session import get_spark
+    from distributed_lsh_spark.sources.checkpoint import CheckpointManager
+
+    spark = get_spark("topics", cores=args.cores,
+                      shuffle_partitions=args.shuffle_partitions)
+    t0 = time.time()
+    emb = spark.read.parquet(args.input)
+    ckpt = CheckpointManager(spark, args.output, run_id=args.run_id,
+                             config_echo={"k": args.k, "iters": args.iters,
+                                          "scale": args.scale})
+    assigned = ckpt.stage(
+        "topic_assignments",
+        lambda: kmeans_topics(emb, k=args.k, iters=args.iters,
+                              scale=args.scale, vec_col=args.vec_col,
+                              id_col=args.id_col))
+    sizes = sorted(r["n"] for r in assigned.groupBy("cluster_id")
+                   .agg(F.count(F.lit(1)).alias("n")).collect())
+    dt = time.time() - t0
+    print(json.dumps({
+        "run_id": args.run_id, "n_vectors": int(sum(sizes)),
+        "k": args.k, "iters": args.iters,
+        "smallest_cluster": int(sizes[0]), "largest_cluster": int(sizes[-1]),
+        "wall_sec": round(dt, 2),
+        "assignments_stage": "topic_assignments",
+    }))
+
+
 def cmd_query(args: argparse.Namespace) -> None:
     from distributed_lsh_spark.oracle.reference_lsh import ReferenceLSHModel
     from distributed_lsh_spark.operators.ann import ann_search_spark, build_hash_tables
@@ -711,6 +746,22 @@ def main(argv: list[str] | None = None) -> None:
     q.add_argument("--seed", type=int, default=42)
     _add_spark_args(q)
     q.set_defaults(fn=cmd_query)
+
+    t = sub.add_parser("topics",
+                       help="deterministic k-means topic clustering over "
+                            "an embedding table")
+    t.add_argument("--input", required=True,
+                   help="parquet with (vec_id, embedding)")
+    t.add_argument("--output", required=True)
+    t.add_argument("--run-id", default="run0")
+    t.add_argument("--k", type=int, default=8)
+    t.add_argument("--iters", type=int, default=3)
+    t.add_argument("--scale", type=int, default=1000,
+                   help="quantization grid (round(v*scale) int64)")
+    t.add_argument("--id-col", default="vec_id")
+    t.add_argument("--vec-col", default="embedding")
+    _add_spark_args(t)
+    t.set_defaults(fn=cmd_topics)
 
     args = ap.parse_args(argv)
     args.fn(args)

@@ -306,3 +306,29 @@ def test_cli_dedup_against_merge_labels(spark, tmp_path, capsys):
     got = {x["doc_id"]: x["cluster_id"] for x in lbl.collect()}
     assert got == {2: 2, 7: 2, 11: 11, 30: 30,
                    5_000_002: 2, 5_000_011: 11}
+
+
+def test_cli_topics(spark, tmp_path, capsys):
+    """`topics` writes a checkpointed assignment table identical to the
+    operator's direct output, and a rerun resumes from the manifest."""
+    out = str(tmp_path / "tp")
+    main(["topics", "--input", "/root/testdata/sf0.001/embeddings.parquet",
+          "--output", out, "--run-id", "t", "--k", "4", "--iters", "2",
+          "--cores", "8"])
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["n_vectors"] == 500 and r["k"] == 4
+    assert r["smallest_cluster"] >= 1
+    got = spark.read.parquet(os.path.join(out, "t", "topic_assignments",
+                                          "data"))
+    from distributed_lsh_spark.operators.kmeans import kmeans_topics
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    want = {(x.vec_id, x.cluster_id)
+            for x in kmeans_topics(emb, k=4, iters=2).collect()}
+    assert {(x.vec_id, x.cluster_id) for x in got.collect()} == want
+    # resume: second run skips the stage (manifest complete)
+    main(["topics", "--input", "/root/testdata/sf0.001/embeddings.parquet",
+          "--output", out, "--run-id", "t", "--k", "4", "--iters", "2",
+          "--cores", "8"])
+    r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r2["n_vectors"] == 500
