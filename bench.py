@@ -85,6 +85,10 @@ def main() -> None:
         "pair_similarity_histogram",
         "pair_diagnostics",
         "export_shards",
+        "ngram_novelty",
+        "perplexity_buckets",
+        "host_token_budget",
+        "events_asof_join",
     ]
 
     spark = get_spark(app_name="bench", cores=cores, shuffle_partitions=cores)

@@ -4522,6 +4522,226 @@ SELECT CAST(((h % 16) + 16) % 16 AS BIGINT) AS shard_id,
 FROM d GROUP BY 1 ORDER BY shard_id"""
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram NOVELTY score — the fraction of a doc's distinct
+    k-grams whose globally FIRST occurrence (min doc_id) is this doc.
+    The curation signal behind 'keep documents that add new text':
+    exact/near duplicates of earlier pages score ~0, fresh pages score
+    ~1 — a soft, per-doc generalisation of keep-first dedup.
+
+    Engine: the same fused Arrow rolling-hash gram scan every n-gram
+    membership op uses (operators/decontam.doc_ngram_hashes — 8-byte
+    keys, O(tokens)); one groupBy(g).min(doc_id) with map-side combine,
+    one co-partitioned join back (both sides hash-partitioned on g by
+    the agg), one groupBy(doc_id).  The DuckDB oracle shingles raw
+    STRINGS — a cross-formulation check (collision-tolerance argument
+    as contamination_check)."""
+    from distributed_lsh_spark.operators.decontam import doc_ngram_hashes
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    g = doc_ngram_hashes(df, n=CFG.shingle_k)
+    first = g.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per = (g.join(first, "g")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                        .otherwise(0)).cast("bigint").alias("n_novel")))
+    return (per.where(F.col("n_grams") > 0)
+               .select("doc_id", "n_grams", "n_novel",
+                       F.round(F.col("n_novel") / F.col("n_grams"), 6)
+                        .alias("novelty"))
+               .orderBy("doc_id"))
+
+
+def _sql_ngram_novelty() -> str:
+    return f"""WITH {_duck_shingle_cte(CFG.shingle_k)},
+fg AS (SELECT g, min(doc_id) AS first_doc FROM shd GROUP BY g),
+per AS (SELECT shd.doc_id, count(*) AS n_grams,
+               sum(CASE WHEN fg.first_doc = shd.doc_id THEN 1 ELSE 0 END)
+                 AS n_novel
+        FROM shd JOIN fg USING (g) GROUP BY shd.doc_id)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_novel AS BIGINT) AS n_novel,
+       round(n_novel * 1.0 / n_grams, 6) AS novelty
+FROM per WHERE n_grams > 0 ORDER BY doc_id"""
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. LREC'20 §3.4):
+    per predicted language, rank docs by LM score and split into
+    head / middle / tail terciles — the standard way a web corpus is
+    stratified by LM quality before mixing.
+
+    Composes two gated rows verbatim: `bigram_lm_quality` (the corpus-
+    trained LM score) and `lang_id` (the per-doc language verdict).
+    Cross-engine determinism: the rank key is the exact rational
+    sum_nll_micro / n_bigrams (int64/int64, both < 2^53, so the double
+    division is exactly rounded in both engines) with doc_id tiebreak;
+    ntile(3) is ANSI (first buckets take the remainder) in both.
+    Scale: the LM score is the dominant cost; the bucket pass is one
+    narrow join + one window partitioned by language."""
+    from distributed_lsh_spark.operators.lm_quality import bigram_lm_scores
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lm = bigram_lm_scores(df).where(F.col("n_bigrams") > 0)
+    lang = q_lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    rate = F.col("sum_nll_micro") / F.col("n_bigrams")
+    w = Window.partitionBy("pred_lang").orderBy(rate.asc(),
+                                                F.col("doc_id").asc())
+    return (lm.join(lang, "doc_id")
+              .withColumn("b", F.ntile(3).over(w))
+              .select("doc_id", "pred_lang", "n_bigrams", "avg_nll",
+                      F.when(F.col("b") == 1, "head")
+                       .when(F.col("b") == 2, "middle")
+                       .otherwise("tail").alias("ppl_bucket"))
+              .orderBy("doc_id"))
+
+
+def _sql_perplexity_buckets() -> str:
+    return f"""WITH lmq AS ({_SQL_BIGRAM_LM_QUALITY}),
+lng AS ({_sql_lang_id()}),
+j AS (
+  SELECT l.doc_id, g.pred_lang, l.n_bigrams, l.avg_nll,
+         ntile(3) OVER (PARTITION BY g.pred_lang
+                        ORDER BY CAST(l.sum_nll_micro AS DOUBLE) / l.n_bigrams,
+                                 l.doc_id) AS b
+  FROM lmq l JOIN lng g USING (doc_id)
+  WHERE l.n_bigrams > 0
+)
+SELECT doc_id, pred_lang, n_bigrams, avg_nll,
+       CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS ppl_bucket
+FROM j ORDER BY doc_id"""
+
+
+#: per-host token budget for q_host_token_budget — ~half of a host's
+#: sf0.01 token mass (~3.9k), so the gate exercises both verdicts.
+_HOST_TOKEN_BUDGET = 2000
+
+
+def q_host_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-capped greedy curation per host: rank each host's pages
+    by quality-classifier score (best first) and keep pages while the
+    host's cumulative token count stays within a fixed budget — the
+    selection rule behind 'cap any one site's contribution to the
+    training mix by tokens, keeping its best pages'.  The token-budget
+    complement of the `curate --max-docs-per-host` reservoir (which
+    caps by DOC count, uniformly at random).
+
+    Composes the gated `quality_classifier` scorer; hosts derive from
+    the `domain_stats`/`temperature_mixture` deterministic url scheme.
+    Rank key = exact rational z_micro / max(n_tokens,1) (ints < 2^53 →
+    exactly-rounded double in both engines), doc_id tiebreak.  Scale:
+    one scan for the score, one window partitioned by host (cumsum) —
+    the same shape as sessionization; no collects."""
+    from distributed_lsh_spark.operators.classifier import \
+        hashed_linear_score
+
+    dim = 4096
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    weights = spark.range(dim).select(
+        F.col("id").alias("feature_id"),
+        (F.pmod(F.col("id") * F.lit(2654435761), F.lit(2000001))
+         - F.lit(1000000)).alias("w_micro"))
+    sc = hashed_linear_score(df, weights, dim, bias_micro=250000)
+    host = F.concat(F.lit("h"),
+                    F.pmod(F.pmod(F.col("doc_id"), F.lit(97)), F.lit(7))
+                     .cast("string"),
+                    F.lit(".example.com"))
+    rate = F.col("z_micro") / F.greatest(F.col("n_tokens"), F.lit(1))
+    w = (Window.partitionBy("host")
+         .orderBy(rate.desc(), F.col("doc_id").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (sc.withColumn("host", host)
+              .withColumn("cum_tokens",
+                          F.sum("n_tokens").over(w).cast("bigint"))
+              .select("host", "doc_id", "n_tokens", "cum_tokens",
+                      (F.col("cum_tokens") <= F.lit(_HOST_TOKEN_BUDGET))
+                       .alias("kept"))
+              .orderBy("doc_id"))
+
+
+def _sql_host_token_budget() -> str:
+    return f"""WITH qc AS ({_SQL_QUALITY_CLASSIFIER}),
+h AS (
+  SELECT doc_id, n_tokens, z_micro,
+         'h' || ((doc_id % 97) % 7) || '.example.com' AS host
+  FROM qc
+),
+c AS (
+  SELECT host, doc_id, n_tokens,
+         sum(n_tokens) OVER (
+           PARTITION BY host
+           ORDER BY CAST(z_micro AS DOUBLE) / greatest(n_tokens, 1) DESC,
+                    doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM h
+)
+SELECT host, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       cum_tokens <= {_HOST_TOKEN_BUDGET} AS kept
+FROM c ORDER BY doc_id"""
+
+
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward AS-OF join (operators/asof.py): for each probed order,
+    the most recent event by the same user at or before the order
+    timestamp — the temporal-join primitive behind feature snapshots
+    ('state of the user when the order happened').
+
+    Engine: union-tag + per-key window carry-forward — ONE shuffle, no
+    range join (operators/asof.py docstring).  The oracle deliberately
+    uses the OTHER algorithm (inequality join + row_number argmax), so
+    the gate compares two independent formulations.
+
+    Determinism: the build side is pre-aggregated to one event per
+    (user_id, ts) keeping the max event_id (events carry no (user, ts)
+    ties in the sf tables, but the contract must not depend on that);
+    probe subsampled to o_orderkey % 10 == 0 and keyed on
+    o_custkey % 15 (the events user-id domain at every sf); unmatched
+    probes dropped (inner as-of)."""
+    from distributed_lsh_spark.operators.asof import asof_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ev = (events.groupBy("user_id", "ts")
+          .agg(F.max(F.struct("event_id", "event_type")).alias("s"))
+          .select("user_id", "ts", F.col("s.event_id").alias("event_id"),
+                  F.col("s.event_type").alias("event_type")))
+    probe = (orders.where(F.pmod(F.col("o_orderkey"), F.lit(10)) == 0)
+             .select("o_orderkey",
+                     F.pmod(F.col("o_custkey"), F.lit(15)).alias("user_id"),
+                     F.col("o_orderdate").alias("order_ts")))
+    out = asof_join(probe, ev, key="user_id", probe_ts="order_ts",
+                    build_ts="ts", matched_ts="event_ts")
+    return (out.where(F.col("event_id").isNotNull())
+               .select("o_orderkey", "user_id", "order_ts", "event_ts",
+                       "event_id", "event_type")
+               .orderBy("o_orderkey"))
+
+
+_SQL_EVENTS_ASOF_JOIN = """
+WITH e1 AS (
+  SELECT user_id, ts,
+         max_by(event_id, event_id) AS event_id,
+         max_by(event_type, event_id) AS event_type
+  FROM events GROUP BY user_id, ts
+),
+p AS (
+  SELECT o_orderkey, o_custkey % 15 AS user_id, o_orderdate AS order_ts
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+j AS (
+  SELECT p.o_orderkey, p.user_id, p.order_ts,
+         e.ts AS event_ts, e.event_id, e.event_type,
+         row_number() OVER (PARTITION BY p.o_orderkey
+                            ORDER BY e.ts DESC) AS rn
+  FROM p JOIN e1 e ON e.user_id = p.user_id AND e.ts <= p.order_ts
+)
+SELECT o_orderkey, user_id, order_ts, event_ts, event_id, event_type
+FROM j WHERE rn = 1 ORDER BY o_orderkey"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4608,6 +4828,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_profile": q_corpus_profile,
     "pair_similarity_histogram": q_pair_similarity_histogram,
     "export_shards": q_export_shards,
+    "ngram_novelty": q_ngram_novelty,
+    "perplexity_buckets": q_perplexity_buckets,
+    "host_token_budget": q_host_token_budget,
+    "events_asof_join": q_events_asof_join,
 }
 
 _ANN_TOPK_SQL = _sql_ann_topk()
@@ -4698,4 +4922,8 @@ ORACLE_SQL: dict[str, str] = {
     "corpus_profile": _SQL_CORPUS_PROFILE,
     "pair_similarity_histogram": _sql_pair_similarity_histogram(),
     "export_shards": _sql_export_shards(),
+    "ngram_novelty": _sql_ngram_novelty(),
+    "perplexity_buckets": _sql_perplexity_buckets(),
+    "host_token_budget": _sql_host_token_budget(),
+    "events_asof_join": _SQL_EVENTS_ASOF_JOIN,
 }
