@@ -644,6 +644,92 @@ def incremental_line_dedup_keep_first_stream(
     return writer.start()
 
 
+def incremental_novelty_stream(spark: SparkSession, input_dir: str,
+                               state_dir: str, n: int = 5,
+                               schema: str = "doc_id long, text string",
+                               available_now: bool = True,
+                               max_files_per_trigger: int = 16,
+                               compact_every: int | None = 64):
+    """Streaming twin of entry_queries.q_ngram_novelty (per-doc n-gram
+    novelty).  Novelty is MONOTONE in the ingested prefix — a gram's
+    first claimant is final the moment it arrives — so every doc's score
+    is emitted exactly once in its OWN arrival batch and never revised:
+    a doc's novelty counts the grams seen neither in any earlier batch
+    nor claimed by a lower-doc_id doc in the same batch.
+
+    Under monotone ingest (doc_ids non-decreasing across batches — the
+    crawl-log order) the cumulative output equals the batch query's
+    global min-doc_id rule exactly; under arbitrary interleaving it is
+    the first-ARRIVAL rule (the keep-first line twin's contract).
+
+    State layout under `state_dir`:
+      checkpoint/   Spark streaming checkpoint
+      gram_index/   ONE row per distinct gram hash ever seen (g)
+      novelty/      per-doc (n_grams, n_novel, novelty), batch lineage
+
+    Per-batch cost: O(batch tokens) for the fused Arrow gram scan + one
+    probe join on 8-byte keys semi-restricted to the batch's grams —
+    never O(corpus).  Compaction crash windows tolerated as in the line
+    twin (probe dropDuplicates; index append anti-joins history)."""
+    from distributed_lsh_spark.operators.decontam import doc_ngram_hashes
+
+    idx_dir = os.path.join(state_dir, "gram_index")
+    out_dir = os.path.join(state_dir, "novelty")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", str(max_files_per_trigger))
+              .parquet(input_dir))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_batch_index(spark, idx_dir, batch_id)
+        g = doc_ngram_hashes(batch_df.select("doc_id", "text"), n)
+        g.persist()
+        seen = None
+        try:
+            if has_band_history(spark, idx_dir):
+                seen = (spark.read.parquet(idx_dir)
+                        .where(F.col("batch_id") < batch_id)
+                        .join(g.select("g").dropDuplicates(),
+                              "g", "left_semi")
+                        .select("g").dropDuplicates())
+            else:
+                seen = spark.createDataFrame([], "g long")
+            seen.persist()
+            firsts = g.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+            novel = (F.col("_seen").isNull() &
+                     (F.col("first_doc") == F.col("doc_id"))).cast("int")
+            per = (g.join(firsts, "g")
+                    .join(seen.withColumn("_seen", F.lit(1)), "g", "left")
+                    .groupBy("doc_id")
+                    .agg(F.count(F.lit(1)).alias("n_grams"),
+                         F.sum(novel).cast("bigint").alias("n_novel"))
+                    .select("doc_id", "n_grams", "n_novel",
+                            F.round(F.col("n_novel") / F.col("n_grams"), 6)
+                             .alias("novelty"))
+                    .withColumn("batch_id", F.lit(batch_id)))
+            new_gs = (g.select("g").dropDuplicates()
+                       .join(seen, "g", "left_anti")
+                       .withColumn("batch_id", F.lit(batch_id)))
+            for df, d in ((per, out_dir), (new_gs, idx_dir)):
+                (df.write.mode("overwrite").partitionBy("batch_id")
+                   .option("partitionOverwriteMode", "dynamic").parquet(d))
+        finally:
+            g.unpersist()
+            if seen is not None:
+                seen.unpersist()
+
+    writer = (stream.writeStream
+              .foreachBatch(process_batch)
+              .option("checkpointLocation",
+                      os.path.join(state_dir, "checkpoint")))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def incremental_decontam_stream(spark: SparkSession, input_dir: str,
                                 state_dir: str, eval_texts: DataFrame,
                                 n: int | None = None,
