@@ -3865,6 +3865,127 @@ FROM labF f LEFT JOIN labA l USING (doc_id)
 ORDER BY f.doc_id"""
 
 
+def q_cluster_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-aware cluster maintenance (`operators/snapshot.py:
+    retract_components`): retract a takedown/GDPR batch from the
+    archive labeling and EXACTLY re-split the affected components from
+    the archived edge set — the direction `incremental_clusters`'
+    monotone merge algebra cannot express.  The label frame is touched
+    by broadcast semi/anti passes only; the edge archive by one
+    semi-join against the affected members; CC re-runs on the affected
+    subgraph alone.
+
+    GATE SCAFFOLDING (same pattern as `incremental_clusters`: edge
+    GENERATION is gated by the dedup families; this row gates the
+    retraction ALGEBRA): archive docs with doc_id%9==0 chain as
+    (9u, 9u+9) when u%5<3 — 4-doc runs {45m..45m+27} labeled 45m.
+    Deletions per run m: m%4==0 deletes the second doc 45m+9 (SPLITS
+    the run: 45m isolated, {45m+18,45m+27} relabel); m%4==1 deletes
+    the rep 45m (rest relabels to 45m+9); m%4==2 deletes nothing
+    (unchanged); m%4==3 deletes 45m+9 AND 45m+18 (both survivors
+    isolated).  Output per surviving labeled doc: (doc_id, cluster_id,
+    status in unchanged|relabeled|isolated; isolated = no surviving
+    incident edge, checked before label comparison).  The oracle is a
+    FROM-SCRATCH recursive-closure recompute over the remaining edges —
+    the gate value-checks that targeted re-solving equals full
+    recomputation (also pinned on random graphs incl. the
+    distributed-CC path by tests/test_retract.py)."""
+    from distributed_lsh_spark.operators.connected_components import (
+        connected_components,
+    )
+    from distributed_lsh_spark.operators.snapshot import retract_components
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    ids = docs.localCheckpoint(eager=False)
+    e_arch = (ids.where(F.pmod(F.col("doc_id"), F.lit(9)) == 0)
+              .where(F.pmod(F.expr("doc_id div 9"), F.lit(5)) < 3)
+              .select(F.col("doc_id").alias("id_a"),
+                      (F.col("doc_id") + 9).alias("id_b"))
+              .join(ids.select(F.col("doc_id").alias("id_b")), "id_b",
+                    "left_semi")
+              .localCheckpoint(eager=False))
+    labels = connected_components(e_arch)
+
+    ms = (ids.where(F.pmod(F.col("doc_id"), F.lit(45)) == 0)
+          .select(F.expr("doc_id div 45").alias("m")))
+
+    def _del(mod_val, target):
+        return (ms.where(F.pmod(F.col("m"), F.lit(4)) == mod_val)
+                .select(target.alias("doc_id"))
+                .join(ids, "doc_id", "left_semi"))
+
+    deleted = (_del(0, F.col("m") * 45 + 9)
+               .unionByName(_del(1, F.col("m") * 45))
+               .unionByName(_del(3, F.col("m") * 45 + 9))
+               .unionByName(_del(3, F.col("m") * 45 + 18))
+               .localCheckpoint(eager=False))
+
+    final = retract_components(labels, e_arch, deleted)
+    e_rem = (e_arch
+             .join(deleted.select(F.col("doc_id").alias("id_a")),
+                   "id_a", "left_anti")
+             .join(deleted.select(F.col("doc_id").alias("id_b")),
+                   "id_b", "left_anti"))
+    with_edge = (e_rem.select(F.col("id_a").alias("doc_id"))
+                 .union(e_rem.select(F.col("id_b").alias("doc_id")))
+                 .distinct().withColumn("_has_edge", F.lit(1)))
+    old = labels.select("doc_id", F.col("cluster_id").alias("old_label"))
+    status = (F.when(F.col("_has_edge").isNull(), F.lit("isolated"))
+               .when(F.col("old_label") == F.col("cluster_id"),
+                     F.lit("unchanged"))
+               .otherwise(F.lit("relabeled")))
+    return (final.join(old, "doc_id")
+            .join(with_edge, "doc_id", "left")
+            .select("doc_id",
+                    F.col("cluster_id").cast("long").alias("cluster_id"),
+                    status.alias("status"))
+            .orderBy("doc_id"))
+
+
+_SQL_CLUSTER_RETRACTION = """
+WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
+e_arch AS (
+  SELECT doc_id AS id_a, doc_id + 9 AS id_b FROM ids
+  WHERE doc_id % 9 = 0 AND (doc_id // 9) % 5 < 3
+    AND EXISTS (SELECT 1 FROM ids i WHERE i.doc_id = ids.doc_id + 9)
+),
+ms AS (SELECT doc_id // 45 AS m FROM ids WHERE doc_id % 45 = 0),
+dels AS (
+  SELECT m * 45 + 9 AS doc_id FROM ms WHERE m % 4 = 0
+  UNION ALL SELECT m * 45 FROM ms WHERE m % 4 = 1
+  UNION ALL SELECT m * 45 + 9 FROM ms WHERE m % 4 = 3
+  UNION ALL SELECT m * 45 + 18 FROM ms WHERE m % 4 = 3
+),
+del_ok AS (SELECT DISTINCT d.doc_id FROM dels d
+           JOIN ids i ON i.doc_id = d.doc_id),
+symA AS (SELECT id_a AS a, id_b AS b FROM e_arch
+         UNION SELECT id_b, id_a FROM e_arch),
+walkA AS (SELECT a, b FROM symA
+          UNION SELECT w.a, s.b FROM walkA w JOIN symA s ON s.a = w.b),
+labA AS (SELECT a AS doc_id, least(a, min(b)) AS old_label
+         FROM walkA GROUP BY a),
+e_rem AS (SELECT id_a, id_b FROM e_arch
+          WHERE id_a NOT IN (SELECT doc_id FROM del_ok)
+            AND id_b NOT IN (SELECT doc_id FROM del_ok)),
+symR AS (SELECT id_a AS a, id_b AS b FROM e_rem
+         UNION SELECT id_b, id_a FROM e_rem),
+walkR AS (SELECT a, b FROM symR
+          UNION SELECT w.a, s.b FROM walkR w JOIN symR s ON s.a = w.b),
+labR AS (SELECT a AS doc_id, least(a, min(b)) AS new_label
+         FROM walkR GROUP BY a)
+SELECT s.doc_id,
+       CAST(COALESCE(r.new_label, s.doc_id) AS BIGINT) AS cluster_id,
+       CASE WHEN r.doc_id IS NULL THEN 'isolated'
+            WHEN COALESCE(r.new_label, s.doc_id) = s.old_label
+              THEN 'unchanged'
+            ELSE 'relabeled' END AS status
+FROM labA s
+LEFT JOIN labR r ON r.doc_id = s.doc_id
+WHERE s.doc_id NOT IN (SELECT doc_id FROM del_ok)
+ORDER BY s.doc_id"""
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sequence packing for training export
     (`operators/packing.py`): concat-and-chunk bin assignment over the
@@ -4814,6 +4935,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_against_corpus": q_dedup_against_corpus,
     "dedup_against_bloom": q_dedup_against_bloom,
     "incremental_clusters": q_incremental_clusters,
+    "cluster_retraction": q_cluster_retraction,
     "pack_sequences": q_pack_sequences,
     "doc_chunking": q_doc_chunking,
     "blocklist_filter": q_blocklist_filter,
@@ -4908,6 +5030,7 @@ ORACLE_SQL: dict[str, str] = {
     # decides — the shared oracle IS the no-false-negative check
     "dedup_against_bloom": _sql_dedup_against_corpus(),
     "incremental_clusters": _SQL_INCREMENTAL_CLUSTERS,
+    "cluster_retraction": _SQL_CLUSTER_RETRACTION,
     "pack_sequences": _SQL_PACK_SEQUENCES,
     "doc_chunking": _SQL_DOC_CHUNKING,
     "blocklist_filter": _SQL_BLOCKLIST_FILTER,

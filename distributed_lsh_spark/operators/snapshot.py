@@ -135,6 +135,80 @@ def dedup_against_corpus(corpus: DataFrame, new: DataFrame,
     return best
 
 
+def retract_components(labels: DataFrame, edges: DataFrame,
+                       deleted: DataFrame,
+                       driver_max_edges: int | None = None) -> DataFrame:
+    """Remove a set of docs from an existing min-id cluster labeling and
+    EXACTLY re-split the affected components — the takedown/GDPR
+    direction of cluster maintenance.  `incremental_components` handles
+    the merge direction (new edges only ever merge components, so a
+    monotone label algebra suffices); a deletion can SPLIT a component,
+    which no monotone algebra can express, so the affected components
+    are re-solved from the archived edge set (the `candidate edges`
+    checkpoint the north-rule resume contract already persists).
+
+    labels(doc_id, cluster_id): the archive labeling, cluster_id = min
+    doc_id of the component (the `connected_components` invariant).
+    edges(id_a, id_b): the verified near-dup edge archive that produced
+    `labels`.  deleted(doc_id): docs to retract (ids absent from
+    `labels` are no-ops).
+
+    Returns the updated labeling over every SURVIVING previously-
+    labeled doc.  Unlike `connected_components`, survivors whose last
+    edge died keep a row with cluster_id = their own doc_id — callers
+    need that row to learn the doc's cluster dissolved.
+
+    Exactness: components are vertex-disjoint, so deleting docs can
+    only change the components that contain one; those are recomputed
+    from scratch on their remaining subgraph, and every untouched
+    component keeps its label (its min member cannot have been deleted
+    because it contains no deleted doc).  Pinned against full recompute
+    by tests/test_retract.py, driver and distributed CC paths.
+
+    Scale shape (10^12-doc archive, batch-sized takedown list): the
+    label frame is touched by one broadcast semi-join (find affected
+    cluster ids), one broadcast anti/semi pair (split untouched vs
+    affected members); the edge archive by ONE semi-join against the
+    affected members (AQE broadcasts the typically-tiny member set), so
+    only the affected components' edges enter the CC recompute —
+    O(affected), not O(archive).
+    """
+    from distributed_lsh_spark.operators.connected_components import (
+        DRIVER_CC_MAX_EDGES, connected_components)
+
+    if driver_max_edges is None:
+        driver_max_edges = DRIVER_CC_MAX_EDGES
+    d = deleted.select(F.col("doc_id").cast("long").alias("doc_id")) \
+        .distinct().localCheckpoint(eager=False)
+    affected = (labels.join(F.broadcast(d), "doc_id", "left_semi")
+                .select("cluster_id").distinct()
+                .localCheckpoint(eager=False))
+    untouched = labels.join(F.broadcast(affected), "cluster_id",
+                            "left_anti").select("doc_id", "cluster_id")
+    members = (labels.join(F.broadcast(affected), "cluster_id",
+                           "left_semi")
+               .select("doc_id").localCheckpoint(eager=False))
+    survivors = members.join(F.broadcast(d), "doc_id", "left_anti")
+    # both endpoints of an archived edge share a component, so ONE
+    # endpoint semi-join prunes the archive to the affected components
+    e_aff = (edges.select(F.col("id_a").cast("long").alias("id_a"),
+                          F.col("id_b").cast("long").alias("id_b"))
+             .join(members.select(F.col("doc_id").alias("id_a")),
+                   "id_a", "left_semi"))
+    e_rem = (e_aff
+             .join(F.broadcast(d.select(F.col("doc_id").alias("id_a"))),
+                   "id_a", "left_anti")
+             .join(F.broadcast(d.select(F.col("doc_id").alias("id_b"))),
+                   "id_b", "left_anti"))
+    cc = connected_components(e_rem, driver_max_edges=driver_max_edges)
+    relabeled = (survivors
+                 .join(cc, "doc_id", "left")
+                 .select("doc_id",
+                         F.coalesce("cluster_id", F.col("doc_id"))
+                          .alias("cluster_id")))
+    return untouched.unionByName(relabeled)
+
+
 def incremental_components(labels: DataFrame, new_edges: DataFrame,
                            driver_max_edges: int | None = None) -> DataFrame:
     """Merge a new batch's near-dup edges into an existing min-id
