@@ -564,6 +564,55 @@ def cmd_topics(args: argparse.Namespace) -> None:
     }))
 
 
+def cmd_retract(args: argparse.Namespace) -> None:
+    """Takedown/GDPR cluster maintenance (operators/snapshot.py:
+    retract_components): remove a deletion batch from a prior dedup run's
+    labels and exactly re-split the affected components from the run's
+    checkpointed edge stages.  Point --labels/--edges at the prior run's
+    stage data dirs (OUT/<run>/clusters/data, OUT/<run>/verified_pairs/data
+    [+ exact_edges/data]); the updated labeling is itself a checkpointed
+    stage, so a re-invocation resumes from the manifest."""
+    from pyspark.sql import functions as F
+
+    from distributed_lsh_spark.operators.snapshot import retract_components
+    from distributed_lsh_spark.session import get_spark
+    from distributed_lsh_spark.sources.checkpoint import CheckpointManager
+
+    spark = get_spark("retract", cores=args.cores,
+                      shuffle_partitions=args.shuffle_partitions)
+    t0 = time.time()
+    labels = spark.read.parquet(args.labels).select("doc_id", "cluster_id")
+    edges = None
+    for p in args.edges:
+        e = spark.read.parquet(p).select("id_a", "id_b")
+        edges = e if edges is None else edges.unionByName(e)
+    deleted = spark.read.parquet(args.deleted).select("doc_id") \
+        .localCheckpoint(eager=False)
+    ckpt = CheckpointManager(spark, args.output, run_id=args.run_id,
+                             config_echo={"labels": args.labels,
+                                          "edges": ",".join(args.edges),
+                                          "deleted": args.deleted})
+    out = ckpt.stage("retracted_labels",
+                     lambda: retract_components(labels, edges, deleted))
+    # one agg job for the report: per-doc old-vs-new label comparison
+    chg = (out.join(labels.select("doc_id",
+                                  F.col("cluster_id").alias("_old")),
+                    "doc_id")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("cluster_id") != F.col("_old"), 1)
+                      .otherwise(0)).alias("n_relabeled")).collect()[0])
+    dt = time.time() - t0
+    print(json.dumps({
+        "run_id": args.run_id,
+        "n_deleted": deleted.distinct().count(),
+        "n_labels_before": labels.count(),
+        "n_labels_after": int(chg["n"]),
+        "n_relabeled": int(chg["n_relabeled"]),
+        "wall_sec": round(dt, 2),
+        "labels_stage": "retracted_labels",
+    }))
+
+
 def cmd_query(args: argparse.Namespace) -> None:
     from distributed_lsh_spark.oracle.reference_lsh import ReferenceLSHModel
     from distributed_lsh_spark.operators.ann import ann_search_spark, build_hash_tables
@@ -762,6 +811,22 @@ def main(argv: list[str] | None = None) -> None:
     t.add_argument("--vec-col", default="embedding")
     _add_spark_args(t)
     t.set_defaults(fn=cmd_topics)
+
+    r = sub.add_parser("retract",
+                       help="takedown: delete docs from a dedup run's "
+                            "labels, exactly re-splitting clusters")
+    r.add_argument("--labels", required=True,
+                   help="parquet with (doc_id, cluster_id) — e.g. the "
+                        "dedup run's clusters/data stage")
+    r.add_argument("--edges", required=True, action="append",
+                   help="parquet with (id_a, id_b); repeatable — e.g. "
+                        "verified_pairs/data and exact_edges/data")
+    r.add_argument("--deleted", required=True,
+                   help="parquet with (doc_id) to retract")
+    r.add_argument("--output", required=True)
+    r.add_argument("--run-id", default="run0")
+    _add_spark_args(r)
+    r.set_defaults(fn=cmd_retract)
 
     args = ap.parse_args(argv)
     args.fn(args)

@@ -332,3 +332,52 @@ def test_cli_topics(spark, tmp_path, capsys):
           "--cores", "8"])
     r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert r2["n_vectors"] == 500
+
+
+def test_cli_retract(spark, tmp_path, capsys):
+    """dedup run -> retract a deletion batch from its checkpointed
+    stages: CLI output == direct retract_components, and a re-invocation
+    resumes from the manifest."""
+    src = str(tmp_path / "pages_r")
+    out = str(tmp_path / "out_r")
+    rout = str(tmp_path / "out_retract")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+         .select("doc_id", "text").write.parquet(src)
+    main(["dedup", "--input", src, "--output", out, "--run-id", "t1",
+          "--cores", "8"])
+    capsys.readouterr()
+
+    labels_p = os.path.join(out, "t1", "clusters", "data")
+    ver_p = os.path.join(out, "t1", "verified_pairs", "data")
+    ex_p = os.path.join(out, "t1", "exact_edges", "data")
+    labels = spark.read.parquet(labels_p)
+    # delete every 3rd labeled doc
+    deleted = labels.where(labels.doc_id % 3 == 0).select("doc_id")
+    del_p = str(tmp_path / "deleted")
+    deleted.write.parquet(del_p)
+
+    args = ["retract", "--labels", labels_p, "--edges", ver_p,
+            "--edges", ex_p, "--deleted", del_p,
+            "--output", rout, "--run-id", "t1", "--cores", "8"]
+    main(args)
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["n_deleted"] == deleted.count()
+    assert r["n_labels_after"] == r["n_labels_before"] - r["n_deleted"]
+    assert r["n_relabeled"] > 0
+
+    from distributed_lsh_spark.operators.snapshot import retract_components
+    edges = spark.read.parquet(ver_p).select("id_a", "id_b") \
+        .unionByName(spark.read.parquet(ex_p).select("id_a", "id_b"))
+    want = {x.doc_id: x.cluster_id
+            for x in retract_components(labels, edges,
+                                        deleted).collect()}
+    got = {x.doc_id: x.cluster_id
+           for x in spark.read.parquet(
+               os.path.join(rout, "t1", "retracted_labels", "data")).collect()}
+    assert got == want
+
+    # resume: stage manifest complete -> identical numbers
+    main(args)
+    r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert (r2["n_labels_after"], r2["n_relabeled"]) == \
+           (r["n_labels_after"], r["n_relabeled"])
