@@ -3399,6 +3399,91 @@ SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
 FROM d GROUP BY host ORDER BY host"""
 
 
+def q_vocab_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary size via the deterministic HyperLogLog
+    sketch (`functions/sketch.py`), gated against the exact distinct
+    count.  At 100 TB the exact `count(DISTINCT token)` shuffles every
+    distinct token; the sketch shuffles at most 256 register rows per
+    source (map-side combine) and register tables merge across
+    runs/batches — the small-sf exact column exists purely as the gate
+    comparator and error report.  Every emitted float is one
+    exactly-rounded double division of engine-identical integer
+    operands (see sketch.py's determinism notes), so the row
+    value-hashes despite being an *approximate* metric — the estimate
+    itself is deterministic; only its relation to the truth is
+    approximate, and that error is what `rel_err` reports."""
+    from distributed_lsh_spark.functions.sketch import (
+        hll_registers, hll_summary,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = (df.select("source",
+                      F.explode(F.split(F.regexp_replace(
+                          F.lower("text"), "[^a-z0-9]+", " "), " "))
+                      .alias("token"))
+            .where(F.col("token") != ""))
+    toks = toks.localCheckpoint(eager=False)   # feeds sketch AND exact
+    summ = hll_summary(hll_registers(toks, ["source"], "token"),
+                       ["source"])
+    exact = toks.groupBy("source") \
+        .agg(F.countDistinct("token").alias("n_exact"))
+    return (summ.join(exact, "source")
+            .select("source", "n_exact", "hll_estimate", "v_zero",
+                    F.round(F.abs(F.col("hll_estimate") /
+                                  F.col("n_exact").cast("double") - 1.0),
+                            4).alias("rel_err"))
+            .orderBy("source"))
+
+
+def _sql_vocab_hll() -> str:
+    from distributed_lsh_spark.functions.sketch import (
+        HLL_EST_NUM, HLL_M, HLL_RHO_MAX,
+    )
+
+    return f"""
+WITH toks AS (
+  SELECT source, unnest({_DUCK_TOKS}) AS token FROM documents
+),
+h AS (
+  SELECT source, ('0x'||substr(md5(token),1,8))::BIGINT AS u FROM toks
+),
+r AS (
+  SELECT source, u % {HLL_M} AS reg,
+         CASE WHEN u // {HLL_M} = 0 THEN {HLL_RHO_MAX}
+              ELSE bit_count(((u // {HLL_M}) & -(u // {HLL_M})) - 1) + 1
+         END AS rho
+  FROM h
+),
+regs AS (SELECT source, reg, max(rho) AS max_rho
+         FROM r GROUP BY source, reg),
+grid AS (SELECT s.source, g.reg
+         FROM (SELECT DISTINCT source FROM toks) s,
+              (SELECT unnest(range({HLL_M})) AS reg) g),
+filled AS (
+  SELECT grid.source, COALESCE(regs.max_rho, 0) AS max_rho
+  FROM grid LEFT JOIN regs
+    ON regs.source = grid.source AND regs.reg = grid.reg
+),
+agg AS (
+  SELECT source,
+         CAST(sum(1::BIGINT << ({HLL_RHO_MAX} - max_rho)) AS BIGINT)
+           AS harmonic,
+         CAST(sum(CASE WHEN max_rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS v_zero
+  FROM filled GROUP BY source
+),
+ex AS (SELECT source, CAST(count(DISTINCT token) AS BIGINT) AS n_exact
+       FROM toks GROUP BY source)
+SELECT a.source, ex.n_exact,
+       round({HLL_EST_NUM!r} / CAST(a.harmonic AS DOUBLE), 3)
+         AS hll_estimate,
+       a.v_zero,
+       round(abs(round({HLL_EST_NUM!r} / CAST(a.harmonic AS DOUBLE), 3)
+                 / CAST(ex.n_exact AS DOUBLE) - 1.0), 4) AS rel_err
+FROM agg a JOIN ex ON ex.source = a.source
+ORDER BY a.source"""
+
+
 def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tiered dedup funnel (the graft's "tier dedup" composition,
     operators/funnel.py): url-latest -> exact-hash -> quality gate ->
@@ -4936,6 +5021,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_against_bloom": q_dedup_against_bloom,
     "incremental_clusters": q_incremental_clusters,
     "cluster_retraction": q_cluster_retraction,
+    "vocab_hll": q_vocab_hll,
     "pack_sequences": q_pack_sequences,
     "doc_chunking": q_doc_chunking,
     "blocklist_filter": q_blocklist_filter,
@@ -5031,6 +5117,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_against_bloom": _sql_dedup_against_corpus(),
     "incremental_clusters": _SQL_INCREMENTAL_CLUSTERS,
     "cluster_retraction": _SQL_CLUSTER_RETRACTION,
+    "vocab_hll": _sql_vocab_hll(),
     "pack_sequences": _SQL_PACK_SEQUENCES,
     "doc_chunking": _SQL_DOC_CHUNKING,
     "blocklist_filter": _SQL_BLOCKLIST_FILTER,
