@@ -89,6 +89,10 @@ def main() -> None:
         "perplexity_buckets",
         "host_token_budget",
         "events_asof_join",
+        "cluster_retraction",
+        "vocab_hll",
+        "source_overlap_hll",
+        "cms_term_counts",
     ]
 
     spark = get_spark(app_name="bench", cores=cores, shuffle_partitions=cores)

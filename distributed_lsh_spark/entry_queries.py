@@ -3484,6 +3484,242 @@ FROM agg a JOIN ex ON ex.source = a.source
 ORDER BY a.source"""
 
 
+def q_source_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise inter-source vocabulary overlap via HLL register MERGE
+    (`functions/sketch.py`) — the mergeability contract (sketch union
+    == sketch of union) doing real work: |A∩B| is estimated by
+    inclusion-exclusion est(A) + est(B) - est(A∪B), where est(A∪B)
+    comes from max-merging the two sources' 256-register tables with
+    NO second pass over the data.  At 100 TB this is how inter-corpus
+    duplication is triaged: per-slice register tables (O(256) rows
+    each) are built once in one map-side-combining groupBy, then every
+    pairwise overlap is sketch algebra over O(#sources^2 x 256) tiny
+    rows — the exact intersection (a token-level self-join across
+    sources) exists here purely as the gate comparator.  Determinism:
+    per-pair estimates are exactly-rounded divisions of
+    engine-identical int64 operands; the inclusion-exclusion sum is
+    the same left-associated IEEE expression on both engines, so the
+    approximate metric value-hashes (see `vocab_hll`)."""
+    from distributed_lsh_spark.functions.sketch import (
+        hll_registers, hll_summary,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = (df.select("source",
+                      F.explode(F.split(F.regexp_replace(
+                          F.lower("text"), "[^a-z0-9]+", " "), " "))
+                      .alias("token"))
+            .where(F.col("token") != ""))
+    toks = toks.localCheckpoint(eager=False)   # feeds sketch AND exact
+    regs = hll_registers(toks, ["source"], "token") \
+        .localCheckpoint(eager=False)          # consumed 3x below
+    srcs = regs.select("source").distinct()
+    pairs = (srcs.select(F.col("source").alias("src_a"))
+             .crossJoin(srcs.select(F.col("source").alias("src_b")))
+             .where(F.col("src_a") < F.col("src_b")))
+    ra = pairs.join(regs.withColumnRenamed("source", "src_a"), "src_a")
+    rb = pairs.join(regs.withColumnRenamed("source", "src_b"), "src_b")
+    union_regs = (ra.select("src_a", "src_b", "reg", "max_rho")
+                  .unionByName(rb.select("src_a", "src_b", "reg",
+                                         "max_rho"))
+                  .groupBy("src_a", "src_b", "reg")
+                  .agg(F.max("max_rho").alias("max_rho")))
+    u_summ = (hll_summary(union_regs, ["src_a", "src_b"])
+              .select("src_a", "src_b",
+                      F.col("hll_estimate").alias("hll_union")))
+    per_src = hll_summary(regs, ["source"]) \
+        .select("source", "hll_estimate")
+    vt = toks.distinct()
+    common = (vt.select(F.col("source").alias("src_a"), "token")
+              .join(vt.select(F.col("source").alias("src_b"), "token"),
+                    "token")
+              .where(F.col("src_a") < F.col("src_b"))
+              .groupBy("src_a", "src_b")
+              .agg(F.count(F.lit(1)).alias("n_common_exact")))
+    return (u_summ
+            .join(per_src.select(F.col("source").alias("src_a"),
+                                 F.col("hll_estimate").alias("hll_a")),
+                  "src_a")
+            .join(per_src.select(F.col("source").alias("src_b"),
+                                 F.col("hll_estimate").alias("hll_b")),
+                  "src_b")
+            .join(common, ["src_a", "src_b"], "left")
+            .select("src_a", "src_b",
+                    F.coalesce("n_common_exact", F.lit(0)).cast("long")
+                     .alias("n_common_exact"),
+                    "hll_a", "hll_b", "hll_union",
+                    F.round(F.col("hll_a") + F.col("hll_b")
+                            - F.col("hll_union"), 3)
+                     .alias("hll_common_est"))
+            .orderBy("src_a", "src_b"))
+
+
+def _sql_source_overlap_hll() -> str:
+    from distributed_lsh_spark.functions.sketch import (
+        HLL_EST_NUM, HLL_M, HLL_RHO_MAX,
+    )
+
+    est = f"round({HLL_EST_NUM!r} / CAST({{h}} AS DOUBLE), 3)"
+    return f"""
+WITH toks AS (
+  SELECT source, unnest({_DUCK_TOKS}) AS token FROM documents
+),
+h AS (
+  SELECT source, ('0x'||substr(md5(token),1,8))::BIGINT AS u FROM toks
+),
+r AS (
+  SELECT source, u % {HLL_M} AS reg,
+         CASE WHEN u // {HLL_M} = 0 THEN {HLL_RHO_MAX}
+              ELSE bit_count(((u // {HLL_M}) & -(u // {HLL_M})) - 1) + 1
+         END AS rho
+  FROM h
+),
+regs AS (SELECT source, reg, max(rho) AS max_rho
+         FROM r GROUP BY source, reg),
+srcs AS (SELECT DISTINCT source FROM toks),
+grid AS (SELECT s.source, g.reg
+         FROM srcs s, (SELECT unnest(range({HLL_M})) AS reg) g),
+filled AS (
+  SELECT grid.source, COALESCE(regs.max_rho, 0) AS max_rho
+  FROM grid LEFT JOIN regs
+    ON regs.source = grid.source AND regs.reg = grid.reg
+),
+per_src AS (
+  SELECT source,
+         {est.format(h=f"sum(1::BIGINT << ({HLL_RHO_MAX} - max_rho))")}
+           AS hll
+  FROM filled GROUP BY source
+),
+pairs AS (SELECT a.source AS src_a, b.source AS src_b
+          FROM srcs a, srcs b WHERE a.source < b.source),
+u AS (
+  SELECT p.src_a, p.src_b, r.reg, r.max_rho
+  FROM pairs p JOIN regs r ON r.source = p.src_a
+  UNION ALL
+  SELECT p.src_a, p.src_b, r.reg, r.max_rho
+  FROM pairs p JOIN regs r ON r.source = p.src_b
+),
+umax AS (SELECT src_a, src_b, reg, max(max_rho) AS max_rho
+         FROM u GROUP BY src_a, src_b, reg),
+ugrid AS (SELECT p.src_a, p.src_b, g.reg
+          FROM pairs p, (SELECT unnest(range({HLL_M})) AS reg) g),
+ufilled AS (
+  SELECT ugrid.src_a, ugrid.src_b, COALESCE(umax.max_rho, 0) AS max_rho
+  FROM ugrid LEFT JOIN umax
+    ON umax.src_a = ugrid.src_a AND umax.src_b = ugrid.src_b
+   AND umax.reg = ugrid.reg
+),
+usum AS (
+  SELECT src_a, src_b,
+         {est.format(h=f"sum(1::BIGINT << ({HLL_RHO_MAX} - max_rho))")}
+           AS hll_union
+  FROM ufilled GROUP BY src_a, src_b
+),
+vt AS (SELECT DISTINCT source, token FROM toks),
+common AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS n_common_exact
+  FROM vt a JOIN vt b ON a.token = b.token AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT u.src_a, u.src_b,
+       CAST(COALESCE(c.n_common_exact, 0) AS BIGINT) AS n_common_exact,
+       pa.hll AS hll_a, pb.hll AS hll_b, u.hll_union,
+       round(pa.hll + pb.hll - u.hll_union, 3) AS hll_common_est
+FROM usum u
+JOIN per_src pa ON pa.source = u.src_a
+JOIN per_src pb ON pb.source = u.src_b
+LEFT JOIN common c ON c.src_a = u.src_a AND c.src_b = u.src_b
+ORDER BY u.src_a, u.src_b"""
+
+
+_CMS_PROBES = ["join", "hash", "row", "filter", "customer", "pipeline",
+               "spill", "latency", "zzabsent1", "zzabsent2"]
+
+
+def q_cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-frequency census via the Count-Min sketch
+    (`functions/sketch.py:cms_cells`, Cormode & Muthukrishnan
+    J.Alg'05) probed for a fixed term set, gated against the exact
+    occurrence counts.  At 100 TB the sketch build shuffles at most
+    D x W = 4096 int64 cells (map-side combine) where an exact term
+    census shuffles every distinct term, and cell tables MERGE by
+    addition across corpus slices/batches.  The probe set includes
+    hot terms, mid-frequency terms, and two absent terms — `overcount
+    = cms_count - n_exact` is always >= 0 (count-min never
+    undercounts) and all values are exact int64 sums, so the
+    approximate census value-hashes cross-engine (same argument as
+    `vocab_hll`)."""
+    from distributed_lsh_spark.functions.sketch import (
+        cms_cells, cms_lookup,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = (df.select(F.explode(F.split(F.regexp_replace(
+                          F.lower("text"), "[^a-z0-9]+", " "), " "))
+                      .alias("token"))
+            .where(F.col("token") != ""))
+    toks = toks.localCheckpoint(eager=False)   # feeds sketch AND exact
+    cells = cms_cells(toks, [], "token")
+    probes = spark.createDataFrame([(t,) for t in _CMS_PROBES],
+                                   "term string")
+    est = cms_lookup(cells, probes.select(F.col("term").alias("token")),
+                     "token").withColumnRenamed("token", "term")
+    exact = (probes.join(toks.groupBy(F.col("token").alias("term"))
+                         .agg(F.count(F.lit(1)).alias("_n")),
+                         "term", "left")
+             .select("term", F.coalesce("_n", F.lit(0)).cast("long")
+                     .alias("n_exact")))
+    return (est.join(exact, "term")
+            .select("term", "n_exact", "cms_count",
+                    (F.col("cms_count") - F.col("n_exact"))
+                    .alias("overcount"))
+            .orderBy("term"))
+
+
+def _sql_cms_term_counts() -> str:
+    from distributed_lsh_spark.functions.sketch import CMS_D, CMS_W
+
+    vals = ", ".join(f"('{t}')" for t in _CMS_PROBES)
+    return f"""
+WITH toks AS (
+  SELECT unnest({_DUCK_TOKS}) AS token FROM documents
+),
+cells AS (
+  SELECT r.row,
+         ('0x'||substr(md5(token || '#' || CAST(r.row AS VARCHAR)),
+                       1, 8))::BIGINT % {CMS_W} AS cell,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM toks, (SELECT unnest(range({CMS_D})) AS row) r
+  GROUP BY 1, 2
+),
+probes AS (SELECT * FROM (VALUES {vals}) AS p(term)),
+pc AS (
+  SELECT term, r.row,
+         ('0x'||substr(md5(term || '#' || CAST(r.row AS VARCHAR)),
+                       1, 8))::BIGINT % {CMS_W} AS cell
+  FROM probes, (SELECT unnest(range({CMS_D})) AS row) r
+),
+est AS (
+  SELECT pc.term,
+         CAST(min(COALESCE(cells.cnt, 0)) AS BIGINT) AS cms_count
+  FROM pc LEFT JOIN cells
+    ON cells.row = pc.row AND cells.cell = pc.cell
+  GROUP BY pc.term
+),
+ex AS (
+  SELECT p.term,
+         CAST(COALESCE(n._n, 0) AS BIGINT) AS n_exact
+  FROM probes p LEFT JOIN
+       (SELECT token AS term, count(*) AS _n
+        FROM toks GROUP BY token) n ON n.term = p.term
+)
+SELECT est.term, ex.n_exact, est.cms_count,
+       CAST(est.cms_count - ex.n_exact AS BIGINT) AS overcount
+FROM est JOIN ex ON ex.term = est.term
+ORDER BY est.term"""
+
+
 def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tiered dedup funnel (the graft's "tier dedup" composition,
     operators/funnel.py): url-latest -> exact-hash -> quality gate ->
@@ -5022,6 +5258,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_clusters": q_incremental_clusters,
     "cluster_retraction": q_cluster_retraction,
     "vocab_hll": q_vocab_hll,
+    "source_overlap_hll": q_source_overlap_hll,
+    "cms_term_counts": q_cms_term_counts,
     "pack_sequences": q_pack_sequences,
     "doc_chunking": q_doc_chunking,
     "blocklist_filter": q_blocklist_filter,
@@ -5118,6 +5356,8 @@ ORACLE_SQL: dict[str, str] = {
     "incremental_clusters": _SQL_INCREMENTAL_CLUSTERS,
     "cluster_retraction": _SQL_CLUSTER_RETRACTION,
     "vocab_hll": _sql_vocab_hll(),
+    "source_overlap_hll": _sql_source_overlap_hll(),
+    "cms_term_counts": _sql_cms_term_counts(),
     "pack_sequences": _SQL_PACK_SEQUENCES,
     "doc_chunking": _SQL_DOC_CHUNKING,
     "blocklist_filter": _SQL_BLOCKLIST_FILTER,

@@ -29,6 +29,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+CMS_D = 4                      # count-min hash rows
+CMS_W = 1024                   # counters per row
+
 HLL_P = 8                      # register index bits
 HLL_M = 1 << HLL_P             # 256 registers
 HLL_RHO_MAX = 32 - HLL_P + 1   # rho of w == 0 (all 24 payload bits zero)
@@ -37,6 +40,50 @@ _ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
 # this is a single IEEE product — embed repr() of it in oracle SQL to
 # guarantee the identical constant on both engines
 HLL_EST_NUM = _ALPHA * float(HLL_M) * float(HLL_M) * float(1 << HLL_RHO_MAX)
+
+
+def _cms_cell(item, row):
+    """Row-salted md5 cell index — the same md5-derived 32-bit integer
+    both engines parse identically (md5_h32 convention)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.concat_ws("#", item,
+                                             row.cast("string"))),
+                           1, 8), 16, 10).cast("long"),
+        F.lit(CMS_W))
+
+
+def cms_cells(df: DataFrame, keys: list[str], item_col: str) -> DataFrame:
+    """(keys..., item) -> (keys..., row, cell, cnt): the Count-Min
+    table (Cormode & Muthukrishnan, J.Alg'05).  ONE map-side-combining
+    groupBy collapses each partition to at most D x W cells per key
+    slice before the shuffle — shuffle volume O(#slices x 4096)
+    regardless of corpus size, where an exact term census shuffles
+    every distinct term.  Cell tables are mergeable by ADDITION
+    (union + re-sum == sketch of union), and every count is an exact
+    int64 sum — deterministic across engines and partitionings."""
+    rows = F.explode(F.array(*[F.lit(r) for r in range(CMS_D)]))
+    d = df.select(*keys, F.col(item_col).alias("_it")) \
+          .withColumn("row", rows)
+    return (d.select(*keys, "row",
+                     _cms_cell(F.col("_it"), F.col("row")).alias("cell"))
+            .groupBy(*keys, "row", "cell")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_lookup(cells: DataFrame, probes: DataFrame,
+               item_col: str) -> DataFrame:
+    """Probe a Count-Min table: (item) -> (item, cms_count) with
+    cms_count = min over the D rows of the item's counter (>= the true
+    count, never under).  A cell absent from `cells` counts 0."""
+    rows = F.explode(F.array(*[F.lit(r) for r in range(CMS_D)]))
+    pc = (probes.select(F.col(item_col).alias("_it"))
+          .withColumn("row", rows)
+          .select("_it", "row",
+                  _cms_cell(F.col("_it"), F.col("row")).alias("cell")))
+    return (pc.join(cells, ["row", "cell"], "left")
+            .groupBy("_it")
+            .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_count"))
+            .select(F.col("_it").alias(item_col), "cms_count"))
 
 
 def hll_registers(df: DataFrame, keys: list[str],

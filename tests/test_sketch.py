@@ -8,7 +8,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from distributed_lsh_spark.functions.sketch import (
-    HLL_EST_NUM, HLL_M, HLL_RHO_MAX, hll_registers, hll_summary,
+    CMS_D, CMS_W, HLL_EST_NUM, HLL_M, HLL_RHO_MAX, cms_cells,
+    cms_lookup, hll_registers, hll_summary,
 )
 
 
@@ -71,6 +72,50 @@ def test_register_merge_equals_union(spark, items_df):
     a = sorted(map(tuple, hll_summary(merged, ["slice"]).collect()))
     b = sorted(map(tuple, hll_summary(whole, ["slice"]).collect()))
     assert a == b
+
+
+def _py_cms(items, probes):
+    """Pure-Python replay of the count-min build + lookup."""
+    cells = {}
+    for it in items:
+        for r in range(CMS_D):
+            u = int(hashlib.md5(f"{it}#{r}".encode()).hexdigest()[:8], 16)
+            cells[(r, u % CMS_W)] = cells.get((r, u % CMS_W), 0) + 1
+    out = {}
+    for p in probes:
+        out[p] = min(
+            cells.get((r, int(hashlib.md5(f"{p}#{r}".encode())
+                              .hexdigest()[:8], 16) % CMS_W), 0)
+            for r in range(CMS_D))
+    return out
+
+
+def test_cms_matches_python_replay_and_never_undercounts(spark, items_df):
+    items = [r["item"] for r in items_df.collect()]
+    probes = ["item-0", "item-17", "tok-5", "absent-x"]
+    want = _py_cms(items, probes)
+    cells = cms_cells(items_df, [], "item")
+    got = {r["item"]: r["cms_count"]
+           for r in cms_lookup(
+               cells, spark.createDataFrame([(p,) for p in probes],
+                                            "item string"),
+               "item").collect()}
+    assert got == want
+    import collections
+    truth = collections.Counter(items)
+    for p in probes:
+        assert got[p] >= truth.get(p, 0)
+
+
+def test_cms_additive_merge_equals_union(spark, items_df):
+    h1 = items_df.where(F.crc32("item") % 2 == 0)
+    h2 = items_df.where(F.crc32("item") % 2 == 1)
+    merged = (cms_cells(h1, [], "item")
+              .unionByName(cms_cells(h2, [], "item"))
+              .groupBy("row", "cell").agg(F.sum("cnt").alias("cnt")))
+    whole = cms_cells(items_df, [], "item")
+    assert (merged.exceptAll(whole).count() == 0
+            and whole.exceptAll(merged).count() == 0)
 
 
 def test_partitioning_invariance(spark, items_df):
