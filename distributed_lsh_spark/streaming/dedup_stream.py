@@ -1064,3 +1064,81 @@ def streaming_hourly_counts(spark: SparkSession, input_dir: str,
                    F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"))
               .select(F.col("win.start").alias("hour_ts"), "event_type", "n",
                       "sum_value_cents"))
+
+
+def incremental_vocab_stream(spark: SparkSession, input_dir: str,
+                             state_dir: str, keys: tuple = ("source",),
+                             schema: str = ("doc_id long, text string, "
+                                            "source string"),
+                             available_now: bool = True,
+                             max_files_per_trigger: int = 16,
+                             compact_every: int | None = 64):
+    """Streaming twin of entry_queries.q_vocab_hll: a running per-slice
+    vocabulary-size HLL sketch maintained by register MERGE — the
+    mergeable-summary accumulation (`functions/sketch.py`: sketch union
+    == sketch of union) that lets a long-running ingest keep a
+    distinct-token census without ever re-reading history or shuffling
+    a growing token set.
+
+    Per batch: the batch's OWN register table (at most #slices x 256
+    rows, one map-side-combining groupBy over batch tokens) is written
+    as a `batch_id=` partition of `registers/`; the running summary is
+    re-derived by max-merging ALL standing register partitions — an
+    O(#slices x 256 x #partitions) metadata-bounded read, never
+    O(corpus) — and written as the batch's `vocab/` partition.
+
+    Determinism/replay: register rows are a pure function of the
+    batch's rows, the per-batch dynamic partition overwrite is
+    idempotent, and max-merge is idempotent AND duplicate-tolerant, so
+    a replayed batch (or the compaction crash window's duplicate rows
+    — see compact_batch_index) reproduces the identical summary.  The
+    summary after the final batch equals the batch query's estimate
+    over the union of ingested data EXACTLY (register algebra has no
+    order dependence), pinned by tests/test_streaming_vocab.py.
+
+    State layout under `state_dir`:
+      checkpoint/   Spark streaming checkpoint
+      registers/    per-batch HLL register tables (mergeable)
+      vocab/        per-batch running (keys..., hll_estimate, v_zero)
+    """
+    from distributed_lsh_spark.functions.sketch import (
+        hll_registers, hll_summary,
+    )
+
+    reg_dir = os.path.join(state_dir, "registers")
+    out_dir = os.path.join(state_dir, "vocab")
+    key_cols = list(keys)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", str(max_files_per_trigger))
+              .parquet(input_dir))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_batch_index(spark, reg_dir, batch_id)
+        toks = (batch_df.select(*key_cols,
+                                F.explode(F.split(F.regexp_replace(
+                                    F.lower("text"), "[^a-z0-9]+", " "),
+                                    " ")).alias("token"))
+                .where(F.col("token") != ""))
+        bregs = hll_registers(toks, key_cols, "token") \
+            .withColumn("batch_id", F.lit(batch_id))
+        (bregs.write.mode("overwrite").partitionBy("batch_id")
+         .option("partitionOverwriteMode", "dynamic").parquet(reg_dir))
+        merged = (spark.read.parquet(reg_dir)
+                  .groupBy(*key_cols, "reg")
+                  .agg(F.max("max_rho").alias("max_rho")))
+        summ = hll_summary(merged, key_cols) \
+            .withColumn("batch_id", F.lit(batch_id))
+        (summ.write.mode("overwrite").partitionBy("batch_id")
+         .option("partitionOverwriteMode", "dynamic").parquet(out_dir))
+
+    writer = (stream.writeStream
+              .foreachBatch(process_batch)
+              .option("checkpointLocation",
+                      os.path.join(state_dir, "checkpoint")))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
