@@ -93,6 +93,7 @@ def main() -> None:
         "vocab_hll",
         "source_overlap_hll",
         "cms_term_counts",
+        "length_quantiles",
     ]
 
     spark = get_spark(app_name="bench", cores=cores, shuffle_partitions=cores)

@@ -3720,6 +3720,115 @@ FROM est JOIN ex ON ex.term = est.term
 ORDER BY est.term"""
 
 
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source doc-length quantiles (p50/p90/p99 of n_tokens) read
+    from the deterministic mergeable log-histogram
+    (`functions/sketch.py:log_histogram`, HdrHistogram bucketing),
+    gated against the EXACT order statistics — the third leg of the
+    sketch family (HLL = distinct counts, CMS = frequencies, this =
+    quantiles).  At 100 TB the exact per-slice quantile sorts every
+    slice; the histogram shuffles O(#slices x #bins) int64 rows
+    (map-side combine) and MERGES by addition across runs/batches.
+    The sketch value is the bin upper bound (>= exact, relative error
+    <= 2^-4); `ratio` reports the realized error as one
+    exactly-rounded double division of engine-identical int64 operands,
+    so the approximate metric still value-hashes cross-engine (the
+    vocab_hll determinism argument).  The exact leg replays the
+    identical integer rank rule (rank = (q_pm*N + 999) div 1000) via a
+    per-source row_number — gate comparator only; at scale you keep
+    the sketch."""
+    from distributed_lsh_spark.functions.sketch import (
+        histogram_quantiles, log_histogram,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lens = df.select("doc_id", "source",
+                     _n_tokens_col().cast("long").alias("n_tokens"))
+    lens = lens.localCheckpoint(eager=False)   # feeds sketch AND exact
+    sk = (histogram_quantiles(
+              log_histogram(lens, ["source"], "n_tokens"), ["source"])
+          .withColumnRenamed("value", "sketch_value"))
+    totals = lens.groupBy("source").agg(F.count(F.lit(1)).alias("_n"))
+    ranked = lens.select(
+        "source", "n_tokens",
+        F.row_number().over(Window.partitionBy("source")
+                            .orderBy("n_tokens", "doc_id")).alias("_rn"))
+    exact = (ranked.join(totals, "source")
+             .crossJoin(F.broadcast(
+                 spark.createDataFrame([(500,), (900,), (990,)],
+                                       "q_pm int")))
+             .where(F.col("_rn") ==
+                    F.expr("CAST((q_pm * _n + 999) div 1000 AS BIGINT)"))
+             .select("source", "q_pm",
+                     F.col("n_tokens").alias("exact_value"),
+                     F.col("_n").alias("n_docs")))
+    return (sk.join(exact, ["source", "q_pm"])
+            .select("source", "q_pm", "n_docs", "exact_value",
+                    "sketch_value",
+                    F.round(F.col("sketch_value").cast("double") /
+                            F.col("exact_value").cast("double"), 6)
+                     .alias("ratio"))
+            .orderBy("source", "q_pm"))
+
+
+def _sql_length_quantiles() -> str:
+    from distributed_lsh_spark.functions.sketch import QSK_BASE, QSK_SUB_BITS
+
+    sb1 = QSK_SUB_BITS + 1
+    return f"""
+WITH lens AS (
+  SELECT doc_id, source,
+         CAST(len({_DUCK_TOKS}) AS BIGINT) AS v
+  FROM documents
+),
+binned AS (
+  SELECT source,
+         CASE WHEN v < {QSK_BASE} THEN v
+              ELSE (length(bin(v)) - {sb1}) * {QSK_BASE}
+                   + (v >> (length(bin(v)) - {sb1})) END AS bin_id,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lens GROUP BY 1, 2
+),
+cum AS (
+  SELECT source, bin_id, cnt,
+         sum(cnt) OVER (PARTITION BY source ORDER BY bin_id) AS c
+  FROM binned
+),
+totals AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM lens
+           GROUP BY source),
+qs AS (SELECT unnest([500, 900, 990]) AS q_pm),
+picked AS (
+  SELECT cum.source, qs.q_pm, min(cum.bin_id) AS b
+  FROM cum JOIN totals ON totals.source = cum.source, qs
+  WHERE cum.c >= (qs.q_pm * totals.n + 999) // 1000
+  GROUP BY 1, 2
+),
+sk AS (
+  SELECT source, q_pm,
+         CASE WHEN b < {QSK_BASE} THEN b
+              ELSE (((b % {QSK_BASE}) + {QSK_BASE + 1})
+                    << (b // {QSK_BASE} - 1)) - 1 END AS sketch_value
+  FROM picked
+),
+ranked AS (
+  SELECT source, v,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY v, doc_id) AS rn
+  FROM lens
+),
+exact AS (
+  SELECT r.source, qs.q_pm, r.v AS exact_value, t.n AS n_docs
+  FROM ranked r JOIN totals t ON t.source = r.source, qs
+  WHERE r.rn = (qs.q_pm * t.n + 999) // 1000
+)
+SELECT e.source, e.q_pm, e.n_docs, e.exact_value,
+       CAST(sk.sketch_value AS BIGINT) AS sketch_value,
+       round(CAST(sk.sketch_value AS DOUBLE)
+             / CAST(e.exact_value AS DOUBLE), 6) AS ratio
+FROM exact e JOIN sk ON sk.source = e.source AND sk.q_pm = e.q_pm
+ORDER BY e.source, e.q_pm"""
+
+
 def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tiered dedup funnel (the graft's "tier dedup" composition,
     operators/funnel.py): url-latest -> exact-hash -> quality gate ->
@@ -5260,6 +5369,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_hll": q_vocab_hll,
     "source_overlap_hll": q_source_overlap_hll,
     "cms_term_counts": q_cms_term_counts,
+    "length_quantiles": q_length_quantiles,
     "pack_sequences": q_pack_sequences,
     "doc_chunking": q_doc_chunking,
     "blocklist_filter": q_blocklist_filter,
@@ -5358,6 +5468,7 @@ ORACLE_SQL: dict[str, str] = {
     "vocab_hll": _sql_vocab_hll(),
     "source_overlap_hll": _sql_source_overlap_hll(),
     "cms_term_counts": _sql_cms_term_counts(),
+    "length_quantiles": _sql_length_quantiles(),
     "pack_sequences": _SQL_PACK_SEQUENCES,
     "doc_chunking": _SQL_DOC_CHUNKING,
     "blocklist_filter": _SQL_BLOCKLIST_FILTER,

@@ -26,11 +26,14 @@ corrections to the read path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 CMS_D = 4                      # count-min hash rows
 CMS_W = 1024                   # counters per row
+
+QSK_SUB_BITS = 4               # log-histogram sub-octave resolution bits
+QSK_BASE = 1 << QSK_SUB_BITS   # values below this are binned exactly
 
 HLL_P = 8                      # register index bits
 HLL_M = 1 << HLL_P             # 256 registers
@@ -84,6 +87,79 @@ def cms_lookup(cells: DataFrame, probes: DataFrame,
             .groupBy("_it")
             .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_count"))
             .select(F.col("_it").alias(item_col), "cms_count"))
+
+
+_QSK_BIN_SQL = (
+    f"CASE WHEN {{v}} < {QSK_BASE} THEN {{v}} "
+    f"ELSE (length(bin({{v}})) - {QSK_SUB_BITS + 1}) * {QSK_BASE} "
+    f"+ shiftright({{v}}, cast(length(bin({{v}})) - {QSK_SUB_BITS + 1} "
+    f"as int)) END"
+)
+_QSK_UPPER_SQL = (
+    f"CASE WHEN {{b}} < {QSK_BASE} THEN {{b}} "
+    f"ELSE shiftleft(({{b}} % {QSK_BASE}) + {QSK_BASE + 1}, "
+    f"cast({{b}} div {QSK_BASE} - 1 as int)) - 1 END"
+)
+
+
+def log_histogram(df: DataFrame, keys: list[str],
+                  value_col: str) -> DataFrame:
+    """(keys..., value) -> (keys..., bin_id, cnt): a deterministic
+    mergeable log-spaced histogram (the HdrHistogram bucketing scheme,
+    Tene, hdrhistogram.org) — the quantile summary a 100 TB pipeline
+    keeps per corpus slice (doc-length, token-count, score
+    distributions) where an exact per-slice quantile sorts the whole
+    slice.
+
+    Binning: values in [0, 16) are exact; above that, a value with
+    highest set bit e lands in one of 16 sub-bins of its octave
+    (`bin_id = (e - 4) * 16 + (v >> (e - 4))`), so any quantile read
+    from the histogram has relative error <= 2^-4 = 0.0625.  Pure
+    integer bit math — `length(bin(v)) - 1`
+    is the highest-bit index on Spark AND DuckDB — so bins are
+    bit-identical cross-engine and across partitionings.
+
+    Scale shape: ONE map-side-combining groupBy; each partition
+    collapses to at most ~16 * 60 bins per slice before the shuffle,
+    so shuffle volume is O(#slices x #bins) regardless of corpus size,
+    and histograms from different runs/batches merge by ADDING counts
+    (union + re-sum == histogram of union).  Values must be >= 0
+    (negative inputs would bin by their raw value and corrupt the
+    cumulative read)."""
+    d = df.select(*keys, F.col(value_col).cast("long").alias("_v"))
+    return (d.select(*keys,
+                     F.expr(_QSK_BIN_SQL.format(v="_v")).alias("bin_id"))
+            .groupBy(*keys, "bin_id")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def histogram_quantiles(hist: DataFrame, keys: list[str],
+                        qs_pm: tuple[int, ...] = (500, 900, 990)
+                        ) -> DataFrame:
+    """Log-histogram -> (keys..., q_pm, value): for each per-mille
+    quantile q, the UPPER BOUND of the bin containing the ceil(q*N/1000)-
+    th smallest value — an overestimate of the exact order statistic by
+    at most one bin width (relative error <= 2^-4 = 0.0625).
+
+    All arithmetic is integer (rank = (q_pm * N + 999) div 1000; bin
+    cumsum; bin -> upper-bound bit math), so the read is bit-identical
+    across engines.  The histogram side is O(#slices x #bins) rows —
+    the window sort here orders BINS, never corpus rows."""
+    spark = hist.sparkSession
+    totals = hist.groupBy(*keys).agg(F.sum("cnt").alias("_n"))
+    qs = spark.createDataFrame([(int(q),) for q in qs_pm], "q_pm int")
+    w = (Window.partitionBy(*keys).orderBy("bin_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = hist.select(*keys, "bin_id",
+                      F.sum("cnt").over(w).alias("_cum"))
+    j = (cum.join(totals, list(keys))
+         .crossJoin(F.broadcast(qs))
+         .where(F.col("_cum") >=
+                F.expr("CAST((q_pm * _n + 999) div 1000 AS BIGINT)")))
+    return (j.groupBy(*keys, "q_pm")
+            .agg(F.min("bin_id").alias("_b"))
+            .select(*keys, "q_pm",
+                    F.expr(_QSK_UPPER_SQL.format(b="_b")).alias("value")))
 
 
 def hll_registers(df: DataFrame, keys: list[str],

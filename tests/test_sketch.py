@@ -125,3 +125,94 @@ def test_partitioning_invariance(spark, items_df):
             hll_registers(items_df.repartition(n), ["slice"], "item"),
             ["slice"]).collect())))
     assert outs[0] == outs[1]
+
+
+# ---- log-histogram quantile sketch ----------------------------------------
+
+QSK_SUB_BITS, QSK_BASE = 4, 16
+
+
+def _py_bin(v: int) -> int:
+    if v < QSK_BASE:
+        return v
+    e = v.bit_length() - 1
+    return (e - QSK_SUB_BITS) * QSK_BASE + (v >> (e - QSK_SUB_BITS))
+
+
+def _py_upper(b: int) -> int:
+    if b < QSK_BASE:
+        return b
+    return (((b % QSK_BASE) + QSK_BASE + 1) << (b // QSK_BASE - 1)) - 1
+
+
+@pytest.fixture(scope="module")
+def values_df(spark):
+    # deterministic spread: exact region, octave boundaries, large values
+    vals = ([0, 1, 15, 16, 17, 31, 32, 33] +
+            [(i * 7919) % 1_000_003 for i in range(2000)])
+    return spark.createDataFrame(
+        [("s", v) for v in vals], "slice string, v long")
+
+
+def test_log_histogram_matches_python_replay(spark, values_df):
+    from distributed_lsh_spark.functions.sketch import log_histogram
+
+    vals = [r["v"] for r in values_df.collect()]
+    want = {}
+    for v in vals:
+        want[_py_bin(v)] = want.get(_py_bin(v), 0) + 1
+    got = {r["bin_id"]: r["cnt"]
+           for r in log_histogram(values_df, ["slice"], "v").collect()}
+    assert got == want
+
+
+def test_log_histogram_additive_merge_equals_union(spark, values_df):
+    from distributed_lsh_spark.functions.sketch import log_histogram
+
+    h1 = values_df.where(F.col("v") % 2 == 0)
+    h2 = values_df.where(F.col("v") % 2 == 1)
+    merged = (log_histogram(h1, ["slice"], "v")
+              .unionByName(log_histogram(h2, ["slice"], "v"))
+              .groupBy("slice", "bin_id").agg(F.sum("cnt").alias("cnt")))
+    whole = log_histogram(values_df, ["slice"], "v")
+    assert (merged.exceptAll(whole).count() == 0
+            and whole.exceptAll(merged).count() == 0)
+
+
+def test_histogram_quantiles_bound_exact_order_stat(spark, values_df):
+    from distributed_lsh_spark.functions.sketch import (
+        histogram_quantiles, log_histogram,
+    )
+
+    vals = sorted(r["v"] for r in values_df.collect())
+    n = len(vals)
+    got = {r["q_pm"]: r["value"]
+           for r in histogram_quantiles(
+               log_histogram(values_df, ["slice"], "v"),
+               ["slice"]).collect()}
+    for q_pm, sk in got.items():
+        exact = vals[(q_pm * n + 999) // 1000 - 1]
+        # pure-Python replay of the whole read: bin the values, pick the
+        # bin holding the rank, report its upper bound
+        assert sk == _py_upper(_py_bin(exact))
+        assert exact <= sk <= int(exact * (1 + 2 ** -QSK_SUB_BITS))
+
+
+def test_histogram_quantiles_exact_region_and_single_row(spark):
+    from distributed_lsh_spark.functions.sketch import (
+        histogram_quantiles, log_histogram,
+    )
+
+    # all values < 16 -> the sketch IS exact; one-row slice -> every
+    # quantile is that row's value
+    df = spark.createDataFrame(
+        [("a", v) for v in [0, 3, 3, 7, 15]] + [("b", 1_000_000)],
+        "slice string, v long")
+    got = {(r["slice"], r["q_pm"]): r["value"]
+           for r in histogram_quantiles(
+               log_histogram(df, ["slice"], "v"),
+               ["slice"]).collect()}
+    a = sorted([0, 3, 3, 7, 15])
+    for q_pm in (500, 900, 990):
+        assert got[("a", q_pm)] == a[(q_pm * 5 + 999) // 1000 - 1]
+        assert got[("b", q_pm)] == _py_upper(_py_bin(1_000_000))
