@@ -94,6 +94,7 @@ def main() -> None:
         "source_overlap_hll",
         "cms_term_counts",
         "length_quantiles",
+        "encoding_quality",
     ]
 
     spark = get_spark(app_name="bench", cores=cores, shuffle_partitions=cores)

@@ -1627,6 +1627,108 @@ SELECT doc_id,
 FROM n ORDER BY doc_id"""
 
 
+# mojibake planting: the UTF-8-as-Latin-1 image of a fixed unicode
+# phrase (the reversible damage class), and a decoder-give-up marker
+# (irreversible).  doc 0 matches both moduli; the CASE order (corrupt
+# first) defines it identically on both engines.
+_MOJI_CLEAN = " caf\u00e9 \u2014 na\u00efve\u2026"
+_MOJI_CORRUPT = _MOJI_CLEAN.encode("utf-8").decode("latin-1")
+_MOJI_FFFD = " lost\ufffdbyte"
+
+
+def _sql_chr_lit(s: str) -> str:
+    """DuckDB expression for a unicode string without embedding
+    non-ASCII in the SQL text (the nfc oracle's chr() technique)."""
+    parts, run = [], []
+    for ch in s:
+        if 32 <= ord(ch) < 127 and ch != "'":
+            run.append(ch)
+        else:
+            if run:
+                parts.append("'" + "".join(run) + "'")
+                run = []
+            parts.append(f"chr({ord(ch)})")
+    if run:
+        parts.append("'" + "".join(run) + "'")
+    return " || ".join(parts) if parts else "''"
+
+
+def q_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake detection + repair (`functions/encoding.py`) under the
+    hard gate — the ftfy-style encoding-damage pass a Common-Crawl
+    pipeline runs before any byte-keyed stage (wrong-charset decodes
+    corrupt exact-dedup md5s, shingle hashes, and language ID alike).
+
+    Planting: every doc_id % 43 == 0 doc gets the UTF-8-as-Latin-1
+    image of a fixed unicode phrase appended (the REVERSIBLE damage
+    class); every remaining doc_id % 59 == 0 doc gets a U+FFFD
+    decoder-give-up marker (IRREVERSIBLE — detected but passed
+    through).  Detection is one codegen regexp per signal (no UDF);
+    the verdict thresholds artifacts at >= 2 so single accented
+    letters in legitimate text cannot trip it.  Repair runs the real
+    Arrow UDF (Latin-1 re-encode -> UTF-8 decode, total + idempotent
+    via its failure path) only on flagged docs.
+
+    The DuckDB oracle replays detection with its own regexp engine
+    and STATES the expected repaired md5 from the clean construction
+    — it never runs a repair — so the gate value-checks the UDF's
+    byte-level output: a repair that is wrong in ANY byte of ANY doc
+    hash-mismatches.  Scale shape: map-only Arrow pass fused into the
+    scan; production applies it at ingest, before the funnel's exact
+    tier."""
+    from distributed_lsh_spark.functions.encoding import (
+        fix_mojibake_udf, mojibake_artifacts, replacement_chars,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = (F.when(F.col("doc_id") % 43 == 0,
+                F.concat("text", F.lit(_MOJI_CORRUPT)))
+         .when(F.col("doc_id") % 59 == 0,
+               F.concat("text", F.lit(_MOJI_FFFD)))
+         .otherwise(F.col("text")))
+    d = (df.select("doc_id", t.alias("t"))
+         .select("doc_id", "t",
+                 mojibake_artifacts("t").cast("long").alias("n_artifacts"),
+                 replacement_chars("t").cast("long").alias("n_repl")))
+    is_moji = (F.col("n_artifacts") >= 2) | (F.col("n_repl") >= 1)
+    repaired = F.when(is_moji, fix_mojibake_udf(F.col("t"))) \
+        .otherwise(F.col("t"))
+    return (d.select("doc_id", "n_artifacts", "n_repl",
+                     is_moji.alias("is_mojibake"),
+                     F.md5(repaired.cast("binary")).alias("repaired_md5"))
+            .orderBy("doc_id"))
+
+
+def _sql_encoding_quality() -> str:
+    from distributed_lsh_spark.functions.encoding import (
+        MOJIBAKE_PATTERN, REPLACEMENT_CHAR,
+    )
+
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 43 = 0 THEN {_sql_chr_lit(_MOJI_CORRUPT)}
+                      WHEN doc_id % 59 = 0 THEN {_sql_chr_lit(_MOJI_FFFD)}
+                      ELSE '' END AS t,
+         CASE WHEN doc_id % 43 = 0 THEN md5(text || {_sql_chr_lit(_MOJI_CLEAN)})
+              WHEN doc_id % 59 = 0 THEN md5(text || {_sql_chr_lit(_MOJI_FFFD)})
+              ELSE md5(text) END AS repaired_md5
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, {_sql_chr_lit(MOJIBAKE_PATTERN)}))
+              AS BIGINT) AS n_artifacts,
+         CAST(len(regexp_extract_all(t, {_sql_chr_lit(REPLACEMENT_CHAR)}))
+              AS BIGINT) AS n_repl,
+         repaired_md5
+  FROM d
+)
+SELECT doc_id, n_artifacts, n_repl,
+       (n_artifacts >= 2 OR n_repl >= 1) AS is_mojibake,
+       repaired_md5
+FROM sig ORDER BY doc_id"""
+
+
 def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-graph analysis — the other standard Common-Crawl derivative
     (WAT links / domain ranking): hrefs are EXTRACTED from planted html
@@ -5370,6 +5472,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_overlap_hll": q_source_overlap_hll,
     "cms_term_counts": q_cms_term_counts,
     "length_quantiles": q_length_quantiles,
+    "encoding_quality": q_encoding_quality,
     "pack_sequences": q_pack_sequences,
     "doc_chunking": q_doc_chunking,
     "blocklist_filter": q_blocklist_filter,
@@ -5469,6 +5572,7 @@ ORACLE_SQL: dict[str, str] = {
     "source_overlap_hll": _sql_source_overlap_hll(),
     "cms_term_counts": _sql_cms_term_counts(),
     "length_quantiles": _sql_length_quantiles(),
+    "encoding_quality": _sql_encoding_quality(),
     "pack_sequences": _SQL_PACK_SEQUENCES,
     "doc_chunking": _SQL_DOC_CHUNKING,
     "blocklist_filter": _SQL_BLOCKLIST_FILTER,
