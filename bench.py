@@ -95,6 +95,7 @@ def main() -> None:
         "cms_term_counts",
         "length_quantiles",
         "encoding_quality",
+        "noindex_filter",
     ]
 
     spark = get_spark(app_name="bench", cores=cores, shuffle_partitions=cores)

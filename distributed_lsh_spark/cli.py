@@ -255,6 +255,18 @@ def cmd_curate(args: argparse.Namespace) -> None:
     ts_col = next((c for c in ("warc_ts", "warc_epoch")
                    if c in pages.columns), None)
     url_col = "url" if ("url" in pages.columns and ts_col) else "__no_url__"
+    n_noindex_removed = None
+    if args.respect_noindex:
+        # robots-meta compliance pass FIRST (cheapest map-only scan;
+        # a page asking not to be indexed never enters any tier)
+        if "html" not in pages.columns:
+            raise SystemExit("--respect-noindex needs an html column "
+                             "on the input pages table")
+        from distributed_lsh_spark.functions.extract import robots_noindex
+
+        n_before_ni = pages.count()
+        pages = pages.where(~robots_noindex("html"))
+        n_noindex_removed = n_before_ni - pages.count()
     bl_entries: list[str] = []
     if args.blocked_hosts:
         if "url" not in pages.columns:
@@ -338,6 +350,8 @@ def cmd_curate(args: argparse.Namespace) -> None:
                                           # blocklist semantics are part
                                           # of the run config: a changed
                                           # list must rebuild, not resume
+                                          "respect_noindex":
+                                              bool(args.respect_noindex),
                                           "blocked_hosts": bl_entries,
                                           "blocked_url_regex":
                                               sorted(args.blocked_url_regex
@@ -526,6 +540,8 @@ def cmd_curate(args: argparse.Namespace) -> None:
            if n_span_tokens is not None else {}),
         **({"boilerplate_lines_removed": int(n_boiler_lines)}
            if n_boiler_lines is not None else {}),
+        **({"noindex_removed": int(n_noindex_removed)}
+           if n_noindex_removed is not None else {}),
     }))
 
 
@@ -720,6 +736,10 @@ def main(argv: list[str] | None = None) -> None:
                    help="add a fifth tier dropping docs contained in a "
                         "partner at --threshold containment (doc-in-doc "
                         "pairs the near-dup tier's Jaccard-LSH misses)")
+    c.add_argument("--respect-noindex", action="store_true",
+                   help="drop pages whose <meta name=robots> carries "
+                        "noindex/none (needs an html column); map-only "
+                        "pass before every tier; rides the config echo")
     c.add_argument("--blocked-hosts", default=None,
                    help="file of blocked registrable domains (one per "
                         "line, # comments) applied as a map-only "

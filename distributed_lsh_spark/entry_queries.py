@@ -1729,6 +1729,72 @@ SELECT doc_id, n_artifacts, n_repl,
 FROM sig ORDER BY doc_id"""
 
 
+# robots-meta planting variants: attribute order, quoting, case, the
+# `none` composite, a non-robots decoy mentioning "noindex", an explicit
+# allow, and no tag at all.  Verdicts per k = doc_id % 8 are STATED
+# arithmetically in the oracle (never parsed from html there), so a
+# wrong detector regexp cannot pass by matching its own mistake.
+_ROBOTS_VARIANTS = [
+    '<META NAME="ROBOTS" CONTENT="NOINDEX, NOFOLLOW">',   # 0: both
+    '<meta name=robots content=noindex>',                 # 1: unquoted
+    '<meta content="noindex" name="robots">',             # 2: reversed
+    '<meta name="robots" content="nofollow">',            # 3: nofollow only
+    '<meta name="description" content="noindex tips">',   # 4: decoy
+    '<meta name="robots" content="index,follow">',        # 5: explicit allow
+    '<meta name="robots" content="none">',                # 6: none = both
+    '',                                                   # 7: no tag
+]
+_ROBOTS_NOINDEX_KS = (0, 1, 2, 6)
+_ROBOTS_NOFOLLOW_KS = (0, 3, 6)
+
+
+def q_noindex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-meta compliance filter (`functions/extract.py:
+    robots_noindex/robots_nofollow`) under the hard gate — the pass
+    that drops pages whose <meta name="robots"> carries noindex (or
+    the `none` composite) before they enter a training corpus.
+
+    Each doc's html plants one of 8 meta variants (doc_id % 8):
+    attribute order both ways, unquoted values, uppercase, `none`, a
+    DECOY non-robots meta whose content merely mentions "noindex", an
+    explicit allow, and no tag — so the gate exercises the detector's
+    boundary conditions, not just the happy path.  Detection is one
+    codegen regexp per directive (no lookahead — the same pattern
+    source string runs on Java regex and RE2).  The oracle states
+    every verdict from doc_id ARITHMETIC and never parses html, so
+    the regexp is checked against independent truth.  Scale shape:
+    map-only scan fused pass; production wires it as
+    `curate --respect-noindex` before the funnel."""
+    from distributed_lsh_spark.functions.extract import (
+        robots_noindex, robots_nofollow,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = F.pmod(F.col("doc_id"), F.lit(8))
+    meta = F.element_at(
+        F.array(*[F.lit(v) for v in _ROBOTS_VARIANTS]), k.cast("int") + 1)
+    html = F.concat(F.lit("<html><head>"), meta,
+                    F.lit("</head><body><p>"), F.col("text"),
+                    F.lit("</p></body></html>"))
+    d = df.select("doc_id", html.alias("html"))
+    return (d.select("doc_id",
+                     robots_noindex("html").alias("noindex"),
+                     robots_nofollow("html").alias("nofollow"))
+            .withColumn("kept", ~F.col("noindex"))
+            .orderBy("doc_id"))
+
+
+def _sql_noindex_filter() -> str:
+    ni = ", ".join(str(v) for v in _ROBOTS_NOINDEX_KS)
+    nf = ", ".join(str(v) for v in _ROBOTS_NOFOLLOW_KS)
+    return f"""
+SELECT doc_id,
+       (doc_id % 8) IN ({ni}) AS noindex,
+       (doc_id % 8) IN ({nf}) AS nofollow,
+       NOT ((doc_id % 8) IN ({ni})) AS kept
+FROM documents ORDER BY doc_id"""
+
+
 def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-graph analysis — the other standard Common-Crawl derivative
     (WAT links / domain ranking): hrefs are EXTRACTED from planted html
@@ -5473,6 +5539,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_term_counts": q_cms_term_counts,
     "length_quantiles": q_length_quantiles,
     "encoding_quality": q_encoding_quality,
+    "noindex_filter": q_noindex_filter,
     "pack_sequences": q_pack_sequences,
     "doc_chunking": q_doc_chunking,
     "blocklist_filter": q_blocklist_filter,
@@ -5573,6 +5640,7 @@ ORACLE_SQL: dict[str, str] = {
     "cms_term_counts": _sql_cms_term_counts(),
     "length_quantiles": _sql_length_quantiles(),
     "encoding_quality": _sql_encoding_quality(),
+    "noindex_filter": _sql_noindex_filter(),
     "pack_sequences": _SQL_PACK_SEQUENCES,
     "doc_chunking": _SQL_DOC_CHUNKING,
     "blocklist_filter": _SQL_BLOCKLIST_FILTER,

@@ -140,3 +140,42 @@ def with_extracted_text(df, html_col: str = "html", out: str = "text"):
     the reference's vector parse, MapReduce-LSH/.../lsh/builder/
     HashReducer.java:162-184, grafted to text extraction per input_hint)."""
     return df.withColumn(out, extract_text_udf(F.col(html_col)))
+
+
+# ---- robots-meta directives -------------------------------------------------
+# The noindex compliance pass: a page whose <meta name="robots"> carries
+# `noindex` (or `none` = noindex + nofollow) asks not to be indexed or
+# reused; training-data pipelines drop such pages at ingest.  Detection
+# is ONE codegen regexp per directive over lower(html) — attribute order
+# is free (two alternates), quotes optional, and `\b` bounds keep
+# `robotsx`/`nonenclature` from matching; deliberately NO lookahead so
+# the same pattern source string runs on Java regex (Spark) and RE2
+# (DuckDB oracle).  A robots directive inside a non-robots meta tag
+# (e.g. a description that merely mentions "noindex") cannot match: both
+# alternates require name=robots inside the SAME tag ([^>]* never
+# crosses the closing '>').
+_ROBOTS_A = (r'<meta\b[^>]*\bname\s*=\s*["' "'" r']?robots\b[^>]*'
+             r'\bcontent\s*=\s*["' "'" r']?[^>]*\b{d}\b')
+_ROBOTS_B = (r'<meta\b[^>]*\bcontent\s*=\s*["' "'" r']?[^>]*\b{d}\b'
+             r'[^>]*\bname\s*=\s*["' "'" r']?robots\b')
+
+
+def _robots_pattern(directive: str) -> str:
+    return ("(?:" + _ROBOTS_A.format(d=directive) + "|"
+            + _ROBOTS_B.format(d=directive) + ")")
+
+
+ROBOTS_NOINDEX_PATTERN = _robots_pattern("(?:noindex|none)")
+ROBOTS_NOFOLLOW_PATTERN = _robots_pattern("(?:nofollow|none)")
+
+
+def robots_noindex(html_col) -> "F.Column":
+    """True iff the page's robots meta tag carries noindex (or none)."""
+    return F.regexp_count(F.lower(F.col(html_col).cast("string")),
+                          F.lit(ROBOTS_NOINDEX_PATTERN)) > 0
+
+
+def robots_nofollow(html_col) -> "F.Column":
+    """True iff the page's robots meta tag carries nofollow (or none)."""
+    return F.regexp_count(F.lower(F.col(html_col).cast("string")),
+                          F.lit(ROBOTS_NOFOLLOW_PATTERN)) > 0
