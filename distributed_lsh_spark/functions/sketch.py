@@ -74,19 +74,35 @@ def cms_cells(df: DataFrame, keys: list[str], item_col: str) -> DataFrame:
 
 
 def cms_lookup(cells: DataFrame, probes: DataFrame,
-               item_col: str) -> DataFrame:
-    """Probe a Count-Min table: (item) -> (item, cms_count) with
-    cms_count = min over the D rows of the item's counter (>= the true
-    count, never under).  A cell absent from `cells` counts 0."""
+               item_col: str, keys: list[str] | None = None) -> DataFrame:
+    """Probe a Count-Min table: (item) -> (keys..., item, cms_count)
+    with cms_count = min over the D rows of the item's counter (>= the
+    true count, never under).  A cell absent from `cells` counts 0.
+
+    `keys` MUST name the slice columns `cells` was built with
+    (cms_cells' `keys`): each probe is then answered once per slice.
+    Passing a keyed cell table without `keys` would silently join
+    counters across slices, so the column set is validated."""
+    keys = keys or []
+    extra = set(cells.columns) - {"row", "cell", "cnt", *keys}
+    if extra:
+        raise ValueError(
+            f"cells table has slice columns {sorted(extra)} — pass them "
+            f"as keys= so lookups do not mix slices")
     rows = F.explode(F.array(*[F.lit(r) for r in range(CMS_D)]))
     pc = (probes.select(F.col(item_col).alias("_it"))
           .withColumn("row", rows)
           .select("_it", "row",
                   _cms_cell(F.col("_it"), F.col("row")).alias("cell")))
-    return (pc.join(cells, ["row", "cell"], "left")
-            .groupBy("_it")
+    if keys:
+        # answer every probe against every slice: the probe side is the
+        # tiny one (|probes| x D rows), the cell table is O(#slices x
+        # 4096) — both sketch-sized, never corpus-sized
+        pc = pc.crossJoin(cells.select(*keys).distinct())
+    joined = pc.join(cells, [*keys, "row", "cell"], "left")
+    return (joined.groupBy(*keys, "_it")
             .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_count"))
-            .select(F.col("_it").alias(item_col), "cms_count"))
+            .select(*keys, F.col("_it").alias(item_col), "cms_count"))
 
 
 _QSK_BIN_SQL = (

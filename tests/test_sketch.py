@@ -216,3 +216,30 @@ def test_histogram_quantiles_exact_region_and_single_row(spark):
     for q_pm in (500, 900, 990):
         assert got[("a", q_pm)] == a[(q_pm * 5 + 999) // 1000 - 1]
         assert got[("b", q_pm)] == _py_upper(_py_bin(1_000_000))
+
+
+def test_cms_keyed_lookup_isolates_slices(spark, items_df):
+    """A keyed cell table answers each probe per slice; the unkeyed call
+    on a keyed table is rejected instead of silently mixing counters."""
+    from distributed_lsh_spark.functions.sketch import cms_cells, cms_lookup
+
+    cells = cms_cells(items_df, ["slice"], "item")
+    with pytest.raises(ValueError, match="slice columns"):
+        cms_lookup(cells, spark.createDataFrame([("item-0",)],
+                                                "item string"), "item")
+    probes = spark.createDataFrame(
+        [("item-0",), ("tok-5",)], "item string")
+    got = {(r["slice"], r["item"]): r["cms_count"]
+           for r in cms_lookup(cells, probes, "item",
+                               keys=["slice"]).collect()}
+    import collections
+    truth = collections.Counter(
+        (r["slice"], r["item"]) for r in items_df.collect())
+    # never undercounts within a slice, and absent-in-slice probes are
+    # answered from that slice's (possibly colliding) counters only
+    for k, v in got.items():
+        assert v >= truth.get(k, 0)
+    # item-0 exists only in the big slice: the small slice's answer must
+    # not leak the big slice's count
+    assert got[("small", "item-0")] <= got[("big", "item-0")]
+    assert got[("big", "item-0")] >= truth[("big", "item-0")] >= 1
