@@ -1142,3 +1142,150 @@ def incremental_vocab_stream(spark: SparkSession, input_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def additive_consistent_view(spark: SparkSession, d: str,
+                             exclude_batch: int | None = None):
+    """Crash-consistent read of an ADDITIVE streaming state dir.
+
+    Additive sketches (log-histograms, Count-Min cells) merge by SUM,
+    which is neither idempotent nor duplicate-tolerant — the
+    `compact_batch_index` crash window (merged partition written, stale
+    deletes unfinished) would double-count, and its full-row dedup
+    would WRONGLY collapse two batches that legitimately carry the same
+    (keys, bin, cnt) row.  So additive dirs use a coverage rule on the
+    partition ids instead: the merged partition's id `-b` asserts "this
+    covers every batch < b"; a reader takes the NEWEST merged partition
+    (largest covered b*) plus all non-negative partitions >= b*, and
+    ignores everything else — stale positives (< b*) and older merged
+    partitions are invisible even if their deletes never ran, so any
+    crash point yields the same totals.
+
+    Returns (df, stale) where df is the consistent view (None when the
+    dir is empty/absent) and stale the [(batch_id, path)] partitions
+    outside it (for the compactor to delete).  `exclude_batch` drops
+    that batch id from the view — the compactor folds only batches
+    committed BEFORE the current one."""
+    fs, parts = _batch_partitions(spark, d)
+    if exclude_batch is not None:
+        parts = [(b, p) for b, p in parts if b != exclude_batch]
+    if not parts:
+        return None, []
+    b_star = max((-b for b, _ in parts if b < 0), default=None)
+    if b_star is None:
+        sel = {b for b, _ in parts}
+    else:
+        sel = {-b_star} | {b for b, _ in parts if b >= b_star}
+    df = (spark.read.parquet(d)
+          .where(F.col("batch_id").isin([int(b) for b in sel])))
+    stale = [(b, p) for b, p in parts if b not in sel]
+    return df, stale
+
+
+def compact_additive_index(spark: SparkSession, d: str,
+                           current_batch_id: int, cnt_col: str = "cnt",
+                           target_files: int = 8) -> bool:
+    """Compaction for ADDITIVE state dirs: SUM the consistent view of
+    every batch committed before `current_batch_id` into one fresh
+    merged partition (id = -current_batch_id), then delete the folded
+    and stale partitions.  Crash anywhere leaves a readable consistent
+    view (see additive_consistent_view); a replayed compaction
+    recomputes the identical merged partition (integer sums are
+    order-free) and the overwrite is idempotent."""
+    df, stale = additive_consistent_view(spark, d,
+                                         exclude_batch=current_batch_id)
+    if df is None:
+        return False
+    fs, parts = _batch_partitions(spark, d)
+    # the view's own partitions, except a pre-existing merged partition
+    # for THIS compaction (replay: it is being overwritten, not deleted)
+    folded = [(b, p) for b, p in parts
+              if b != -current_batch_id and b < current_batch_id
+              and (b, p) not in stale]
+    if len(folded) < 2 and not stale:
+        return False   # nothing to merge and nothing stale to clean
+    group_cols = [c for c in df.columns if c not in ("batch_id", cnt_col)]
+    merged = (df.groupBy(*group_cols)
+              .agg(F.sum(cnt_col).alias(cnt_col))
+              .withColumn("batch_id", F.lit(-current_batch_id))
+              .repartition(target_files)
+              .localCheckpoint(eager=True))   # read fully before writing
+    (merged.write.mode("overwrite").partitionBy("batch_id")
+           .option("partitionOverwriteMode", "dynamic").parquet(d))
+    for b, p in folded + stale:
+        if b != -current_batch_id:
+            fs.delete(p)
+    return True
+
+
+def incremental_length_stream(spark: SparkSession, input_dir: str,
+                              state_dir: str, keys: tuple = ("source",),
+                              schema: str = ("doc_id long, text string, "
+                                             "source string"),
+                              qs_pm: tuple = (500, 900, 990),
+                              available_now: bool = True,
+                              max_files_per_trigger: int = 16,
+                              compact_every: int | None = 64):
+    """Streaming twin of entry_queries.q_length_quantiles: a running
+    per-slice doc-length quantile summary maintained by ADDING per-batch
+    log-histograms (`functions/sketch.py`) — the additive counterpart of
+    the vocab twin's max-merged registers, with the crash-window story
+    handled by additive_consistent_view's coverage rule instead of
+    merge idempotence.
+
+    Per batch: the batch's OWN histogram (at most #slices x #bins rows,
+    one map-side-combining groupBy) is written as a `batch_id=`
+    partition of `hist/`; the running quantiles are re-derived by
+    summing the consistent view — O(#slices x #bins x #partitions)
+    metadata-bounded rows, never O(corpus) — and written as the batch's
+    `quantiles/` partition.  Integer sums and the integer rank rule are
+    order-free, so the summary after the final batch equals the batch
+    query's histogram quantiles over the union of ingested data
+    EXACTLY; replay overwrites the same partitions with identical
+    bytes.  Pinned by tests/test_streaming_hist.py.
+
+    State layout under `state_dir`:
+      checkpoint/   Spark streaming checkpoint
+      hist/         per-batch log-histograms (additive)
+      quantiles/    per-batch running (keys..., q_pm, value)
+    """
+    from distributed_lsh_spark.functions.sketch import (
+        histogram_quantiles, log_histogram,
+    )
+    from distributed_lsh_spark.functions.text import normalized_tokens
+
+    hist_dir = os.path.join(state_dir, "hist")
+    out_dir = os.path.join(state_dir, "quantiles")
+    key_cols = list(keys)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", str(max_files_per_trigger))
+              .parquet(input_dir))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_additive_index(spark, hist_dir, batch_id)
+        lens = batch_df.select(
+            *key_cols,
+            F.size(normalized_tokens("text")).cast("long").alias("n_tok"))
+        bhist = log_histogram(lens, key_cols, "n_tok") \
+            .withColumn("batch_id", F.lit(batch_id))
+        (bhist.write.mode("overwrite").partitionBy("batch_id")
+         .option("partitionOverwriteMode", "dynamic").parquet(hist_dir))
+        view, _ = additive_consistent_view(spark, hist_dir)
+        merged = (view.groupBy(*key_cols, "bin_id")
+                  .agg(F.sum("cnt").alias("cnt")))
+        summ = histogram_quantiles(merged, key_cols, qs_pm) \
+            .withColumn("batch_id", F.lit(batch_id))
+        (summ.write.mode("overwrite").partitionBy("batch_id")
+         .option("partitionOverwriteMode", "dynamic").parquet(out_dir))
+
+    writer = (stream.writeStream
+              .foreachBatch(process_batch)
+              .option("checkpointLocation",
+                      os.path.join(state_dir, "checkpoint")))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
