@@ -1289,3 +1289,72 @@ def incremental_length_stream(spark: SparkSession, input_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def incremental_cms_stream(spark: SparkSession, input_dir: str,
+                           state_dir: str, probes: list[str],
+                           schema: str = "doc_id long, text string",
+                           available_now: bool = True,
+                           max_files_per_trigger: int = 16,
+                           compact_every: int | None = 64):
+    """Streaming twin of entry_queries.q_cms_term_counts: a running
+    Count-Min term census maintained by ADDING per-batch cell tables —
+    the third sketch twin (HLL registers max-merge, histograms and CMS
+    cells sum under additive_consistent_view's coverage rule).
+
+    Per batch: the batch's OWN D x W cell table (one map-side-combining
+    groupBy over batch tokens, at most 4096 rows) is written as a
+    `batch_id=` partition of `cells/`; the running probe answers are
+    re-derived by summing the consistent view and min-ing across the D
+    rows — O(4096 x #partitions) metadata-bounded rows, never
+    O(corpus) — and written as the batch's `counts/` partition.
+    Integer sums are order-free, so the summary after the final batch
+    equals the batch sketch over the union EXACTLY, and lookups never
+    undercount the true running term frequency.  Pinned by
+    tests/test_streaming_hist.py.
+
+    State layout under `state_dir`:
+      checkpoint/   Spark streaming checkpoint
+      cells/        per-batch Count-Min cell tables (additive)
+      counts/       per-batch running (term, cms_count)
+    """
+    from distributed_lsh_spark.functions.sketch import cms_cells, cms_lookup
+
+    cell_dir = os.path.join(state_dir, "cells")
+    out_dir = os.path.join(state_dir, "counts")
+    probe_df = spark.createDataFrame([(t,) for t in probes],
+                                     "token string").localCheckpoint()
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", str(max_files_per_trigger))
+              .parquet(input_dir))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_additive_index(spark, cell_dir, batch_id)
+        toks = (batch_df.select(F.explode(F.split(F.regexp_replace(
+                    F.lower("text"), "[^a-z0-9]+", " "), " "))
+                .alias("token"))
+                .where(F.col("token") != ""))
+        bcells = cms_cells(toks, [], "token") \
+            .withColumn("batch_id", F.lit(batch_id))
+        (bcells.write.mode("overwrite").partitionBy("batch_id")
+         .option("partitionOverwriteMode", "dynamic").parquet(cell_dir))
+        view, _ = additive_consistent_view(spark, cell_dir)
+        merged = (view.groupBy("row", "cell")
+                  .agg(F.sum("cnt").alias("cnt")))
+        counts = (cms_lookup(merged, probe_df, "token")
+                  .withColumnRenamed("token", "term")
+                  .withColumn("batch_id", F.lit(batch_id)))
+        (counts.write.mode("overwrite").partitionBy("batch_id")
+         .option("partitionOverwriteMode", "dynamic").parquet(out_dir))
+
+    writer = (stream.writeStream
+              .foreachBatch(process_batch)
+              .option("checkpointLocation",
+                      os.path.join(state_dir, "checkpoint")))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -144,3 +144,51 @@ def test_additive_crash_window_is_invisible(spark, tmp_path):
     assert view3.agg(F.sum("cnt")).collect()[0][0] == want
     parts = [n for n in os.listdir(d) if n.startswith("batch_id=")]
     assert parts == ["batch_id=-5"]
+
+
+def test_cms_stream_matches_batch_sketch_and_never_undercounts(
+        spark, tmp_path):
+    from distributed_lsh_spark.functions.sketch import cms_cells, cms_lookup
+    from distributed_lsh_spark.streaming.dedup_stream import (
+        incremental_cms_stream,
+    )
+
+    rows = [(i, " ".join(f"t{(i * 7 + j) % 23}" for j in range(12)))
+            for i in range(30)]
+    probes = ["t0", "t5", "t22", "absent"]
+    input_dir = str(tmp_path / "incoming")
+    state_dir = str(tmp_path / "state")
+    os.makedirs(input_dir)
+    for i in range(3):
+        spark.createDataFrame(rows[i * 10:(i + 1) * 10],
+                              "doc_id long, text string") \
+            .coalesce(1).write.parquet(os.path.join(input_dir, f"d{i}"))
+
+    q = incremental_cms_stream(spark, input_dir + "/*", state_dir, probes,
+                               available_now=True, max_files_per_trigger=1,
+                               compact_every=2)
+    q.awaitTermination(240)
+
+    out = spark.read.parquet(os.path.join(state_dir, "counts"))
+    last = out.agg(F.max("batch_id")).collect()[0][0]
+    got = {r["term"]: r["cms_count"]
+           for r in out.where(F.col("batch_id") == last).collect()}
+
+    # parity with the batch sketch over the union
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = (df.select(F.explode(F.split("text", " ")).alias("token"))
+            .where(F.col("token") != ""))
+    want = {r["token"]: r["cms_count"]
+            for r in cms_lookup(
+                cms_cells(toks, [], "token"),
+                spark.createDataFrame([(p,) for p in probes],
+                                      "token string"), "token").collect()}
+    assert got == want
+
+    # never undercounts the true running frequency
+    import collections
+    truth = collections.Counter(
+        t for _, text in rows for t in text.split())
+    for p in probes:
+        assert got[p] >= truth.get(p, 0)
+    assert got["absent"] >= 0
