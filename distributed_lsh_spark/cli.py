@@ -267,6 +267,22 @@ def cmd_curate(args: argparse.Namespace) -> None:
         n_before_ni = pages.count()
         pages = pages.where(~robots_noindex("html"))
         n_noindex_removed = n_before_ni - pages.count()
+    n_encoding_fixed = None
+    if args.fix_encoding:
+        # ftfy-style mojibake repair BEFORE any byte-keyed tier: wrong-
+        # charset decodes corrupt exact-dedup md5s, shingles, and lang
+        # ID alike.  Detection is codegen; the Arrow repair UDF runs
+        # only on flagged rows (>= 2 artifact sequences — the gated
+        # encoding_quality threshold); FFFD damage is irreversible and
+        # passes through via the UDF's failure path.
+        from distributed_lsh_spark.functions.encoding import (
+            fix_mojibake_udf, mojibake_artifacts)
+
+        flagged = mojibake_artifacts("text") >= 2
+        n_encoding_fixed = pages.where(flagged).count()
+        pages = pages.withColumn(
+            "text", F.when(flagged, fix_mojibake_udf(F.col("text")))
+                     .otherwise(F.col("text")))
     bl_entries: list[str] = []
     if args.blocked_hosts:
         if "url" not in pages.columns:
@@ -352,6 +368,8 @@ def cmd_curate(args: argparse.Namespace) -> None:
                                           # list must rebuild, not resume
                                           "respect_noindex":
                                               bool(args.respect_noindex),
+                                          "fix_encoding":
+                                              bool(args.fix_encoding),
                                           "blocked_hosts": bl_entries,
                                           "blocked_url_regex":
                                               sorted(args.blocked_url_regex
@@ -542,6 +560,8 @@ def cmd_curate(args: argparse.Namespace) -> None:
            if n_boiler_lines is not None else {}),
         **({"noindex_removed": int(n_noindex_removed)}
            if n_noindex_removed is not None else {}),
+        **({"encoding_fixed": int(n_encoding_fixed)}
+           if n_encoding_fixed is not None else {}),
     }))
 
 
@@ -736,6 +756,10 @@ def main(argv: list[str] | None = None) -> None:
                    help="add a fifth tier dropping docs contained in a "
                         "partner at --threshold containment (doc-in-doc "
                         "pairs the near-dup tier's Jaccard-LSH misses)")
+    c.add_argument("--fix-encoding", action="store_true",
+                   help="repair UTF-8-as-Latin-1 mojibake in page text "
+                        "(ftfy-style reversible class only) before any "
+                        "byte-keyed tier; repaired-doc count in metrics")
     c.add_argument("--respect-noindex", action="store_true",
                    help="drop pages whose <meta name=robots> carries "
                         "noindex/none (needs an html column); map-only "

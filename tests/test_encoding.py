@@ -93,3 +93,45 @@ def test_gate_planting_semantics(spark):
             assert not r["is_mojibake"]
             assert r["repaired_md5"] == md5(text)
     assert n_corrupt > 0 and n_fffd > 0
+
+
+def test_cli_curate_fix_encoding(spark, tmp_path, capsys):
+    """--fix-encoding repairs flagged docs before the exact tier, so a
+    mojibake'd byte-copy of a clean doc dedups against it; the repaired
+    count lands in the metrics JSON and rides the config echo."""
+    import json
+    import os
+
+    from distributed_lsh_spark.cli import main
+
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "cur")
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text")
+    # corrupt copies of every doc_id % 7 == 0 doc at +1M: after repair
+    # they are byte-identical to their originals -> exact tier removes
+    corrupt = (base.where(F.pmod("doc_id", F.lit(7)) == 0)
+               .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                       F.concat("text", F.lit(CORRUPT)).alias("text")))
+    clean_twin = (base.where(F.pmod("doc_id", F.lit(7)) == 0)
+                  .select((F.col("doc_id") + 2_000_000).alias("doc_id"),
+                          F.concat("text", F.lit(CLEAN)).alias("text")))
+    n_corrupt = corrupt.count()
+    (base.unionByName(corrupt).unionByName(clean_twin)
+     .withColumn("url", F.concat(F.lit("https://h.example.com/p/"),
+                                 F.col("doc_id").cast("string")))
+     .withColumn("warc_epoch", (F.col("doc_id") * 7).cast("long"))
+     .write.parquet(src))
+
+    main(["curate", "--input", src, "--output", out, "--run-id", "fx",
+          "--cores", "8", "--no-quality", "--fix-encoding"])
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["encoding_fixed"] == n_corrupt
+    exact = next(t for t in r["tiers"] if t["tier"] == "exact")
+    # every repaired copy collapses onto its clean twin (or vice versa)
+    assert exact["docs_removed"] >= n_corrupt
+    surv = spark.read.parquet(os.path.join(out, "fx", "funnel_near_dup",
+                                           "data"))
+    # no mojibake bytes survive anywhere
+    from distributed_lsh_spark.functions.encoding import mojibake_artifacts
+    assert surv.where(mojibake_artifacts("text") >= 2).count() == 0
