@@ -51,6 +51,15 @@ def asof_join(probe: DataFrame, build: DataFrame, key: str,
     overlap = set(b_payload) & set(p_payload)
     if overlap:
         raise ValueError(f"payload column collision: {sorted(overlap)}")
+    # the output is (key, probe_ts, matched_ts, p_payload..., b_payload...);
+    # any other name collision would emit ambiguous duplicate columns
+    taken = {key, probe_ts, matched_ts}
+    clash = (taken & set(b_payload)) | (taken & set(p_payload)) \
+        | ({probe_ts, matched_ts} & {key})
+    if matched_ts == probe_ts or clash:
+        raise ValueError(
+            f"output column collision: {sorted(clash or {matched_ts})} — "
+            f"rename via matched_ts= or pre-select the inputs")
 
     b = build.select(
         F.col(key).alias("_k"), F.col(build_ts).alias("_ts"),

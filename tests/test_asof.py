@@ -82,3 +82,18 @@ def test_asof_payload_collision_raises(spark):
     probe = _mk(spark, [(1, t, 2)], ["k", "pts", "v"])
     with pytest.raises(ValueError, match="collision"):
         asof_join(probe, build, key="k", probe_ts="pts", build_ts="ts")
+
+
+def test_asof_join_rejects_output_name_collisions(spark):
+    from distributed_lsh_spark.operators.asof import asof_join
+
+    probe = spark.createDataFrame([(1, 10, "x")], "k long, pts long, v string")
+    build = spark.createDataFrame([(1, 9, 7)], "k long, bts long, pts long")
+    # build payload column named like the probe ts -> ambiguous output
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="collision"):
+        asof_join(probe, build, "k", "pts", "bts")
+    # matched_ts colliding with a payload name -> rejected too
+    build2 = spark.createDataFrame([(1, 9, 7)], "k long, bts long, m long")
+    with _pytest.raises(ValueError, match="collision"):
+        asof_join(probe, build2, "k", "pts", "bts", matched_ts="m")
