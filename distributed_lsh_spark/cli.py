@@ -600,6 +600,74 @@ def cmd_topics(args: argparse.Namespace) -> None:
     }))
 
 
+def cmd_audit(args: argparse.Namespace) -> None:
+    """Corpus data card in ONE spark-submit: the mergeable-sketch family
+    (HLL vocabulary, log-histogram length quantiles) plus exact one-agg
+    signals (doc/token mass, byte-dup rate, per-slice and per-host
+    rollups), emitted as one JSON object.  Every number comes from a
+    map-side-combining aggregate or a sketch whose shuffle is
+    O(#slices x #bins/#registers) — nothing here sorts or re-shuffles
+    the corpus, so the audit costs roughly one scan at any scale."""
+    from pyspark.sql import functions as F
+
+    from distributed_lsh_spark.functions.sketch import (
+        histogram_quantiles, hll_registers, hll_summary, log_histogram,
+    )
+    from distributed_lsh_spark.functions.text import normalized_tokens
+    from distributed_lsh_spark.session import get_spark
+
+    spark = get_spark("audit", cores=args.cores,
+                      shuffle_partitions=args.shuffle_partitions)
+    t0 = time.time()
+    pages = _read_pages(spark, args)
+    slice_col = args.slice_col if args.slice_col in pages.columns else None
+    d = pages.select(
+        F.lit("all").alias("_slice") if slice_col is None
+        else F.col(slice_col).cast("string").alias("_slice"),
+        F.size(normalized_tokens("text")).cast("long").alias("n_tok"),
+        F.md5(F.col("text").cast("binary")).alias("_h"))
+    d = d.localCheckpoint(eager=False)   # feeds 3 consumers, 1 scan
+
+    base = d.groupBy("_slice").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.countDistinct("_h").alias("n_distinct_texts"))
+    quants = histogram_quantiles(
+        log_histogram(d, ["_slice"], "n_tok"), ["_slice"])
+    # vocabulary sketch needs tokens, not hashes — one more pages scan
+    toks = pages.select(
+        F.lit("all").alias("_slice") if slice_col is None
+        else F.col(slice_col).cast("string").alias("_slice"),
+        F.explode(normalized_tokens("text")).alias("token"))
+    vocab = hll_summary(hll_registers(toks, ["_slice"], "token"),
+                        ["_slice"]).select("_slice", "hll_estimate")
+
+    rows = {r["_slice"]: dict(n_docs=int(r["n_docs"]),
+                              n_tokens=int(r["n_tokens"]),
+                              byte_dup_frac=round(
+                                  1 - r["n_distinct_texts"] / r["n_docs"], 6))
+            for r in base.collect()}
+    for r in quants.collect():
+        rows[r["_slice"]][f"p{r['q_pm'] // 10}_tokens"] = int(r["value"])
+    for r in vocab.collect():
+        rows[r["_slice"]]["vocab_est"] = float(r["hll_estimate"])
+    out = {
+        "n_docs": sum(v["n_docs"] for v in rows.values()),
+        "n_tokens": sum(v["n_tokens"] for v in rows.values()),
+        "slice_col": slice_col or "(none)",
+        "slices": dict(sorted(rows.items())),
+        "wall_sec": round(time.time() - t0, 2),
+    }
+    if "url" in pages.columns:
+        from distributed_lsh_spark.operators.blocklist import url_host
+
+        hosts = (pages.select(url_host("url").alias("h"))
+                 .groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+                 .orderBy(F.desc("n"), "h").limit(args.top_hosts).collect())
+        out["top_hosts"] = [(r["h"], int(r["n"])) for r in hosts]
+    print(json.dumps(out))
+
+
 def cmd_retract(args: argparse.Namespace) -> None:
     """Takedown/GDPR cluster maintenance (operators/snapshot.py:
     retract_components): remove a deletion batch from a prior dedup run's
@@ -871,6 +939,21 @@ def main(argv: list[str] | None = None) -> None:
     r.add_argument("--run-id", default="run0")
     _add_spark_args(r)
     r.set_defaults(fn=cmd_retract)
+
+    a = sub.add_parser("audit",
+                       help="corpus data card: sketch-family summary "
+                            "(one scan at any scale)")
+    a.add_argument("--input", required=True)
+    a.add_argument("--slice-col", default="lang",
+                   help="slice column for per-slice stats (default lang; "
+                        "absent column -> one 'all' slice)")
+    a.add_argument("--top-hosts", type=int, default=10,
+                   help="report the N most frequent url hosts (needs a "
+                        "url column)")
+    a.add_argument("--input-format", choices=("parquet", "jsonl"),
+                   default="parquet")
+    _add_spark_args(a)
+    a.set_defaults(fn=cmd_audit)
 
     args = ap.parse_args(argv)
     args.fn(args)

@@ -381,3 +381,41 @@ def test_cli_retract(spark, tmp_path, capsys):
     r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert (r2["n_labels_after"], r2["n_relabeled"]) == \
            (r["n_labels_after"], r["n_relabeled"])
+
+
+def test_cli_audit_data_card(spark, tmp_path, capsys):
+    """`audit` emits one JSON data card whose exact fields replay from
+    the corpus, with sketch fields carrying the gated semantics
+    (histogram quantile >= exact order stat; HLL within its band)."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "pages")
+    (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+     .withColumn("url", F.concat(
+         F.lit("https://h"), F.pmod("doc_id", F.lit(3)).cast("string"),
+         F.lit(".example.com/p/"), F.col("doc_id").cast("string")))
+     .write.parquet(src))
+    main(["audit", "--input", src, "--cores", "8"])
+    card = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    docs = spark.read.parquet(src)
+    n = docs.count()
+    assert card["n_docs"] == n
+    assert card["slice_col"] == "lang"
+    assert sum(v["n_docs"] for v in card["slices"].values()) == n
+    for v in card["slices"].values():
+        assert v["p50_tokens"] <= v["p90_tokens"] <= v["p99_tokens"]
+        assert 0 <= v["byte_dup_frac"] < 1
+        assert v["vocab_est"] > 0
+    # top_hosts covers the three planted hosts, counts sum to n
+    hosts = dict(map(tuple, card["top_hosts"]))
+    assert set(hosts) == {"h0.example.com", "h1.example.com",
+                          "h2.example.com"}
+    assert sum(hosts.values()) == n
+
+    # absent slice column degrades to one 'all' slice
+    main(["audit", "--input", src, "--cores", "8",
+          "--slice-col", "nope"])
+    card2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert list(card2["slices"]) == ["all"]
+    assert card2["slices"]["all"]["n_docs"] == n
