@@ -96,6 +96,7 @@ def main() -> None:
         "length_quantiles",
         "encoding_quality",
         "noindex_filter",
+        "corpus_drift",
     ]
 
     spark = get_spark(app_name="bench", cores=cores, shuffle_partitions=cores)

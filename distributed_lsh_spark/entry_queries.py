@@ -3888,6 +3888,119 @@ FROM est JOIN ex ON ex.term = est.term
 ORDER BY est.term"""
 
 
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-over-snapshot distribution drift: Jensen-Shannon
+    divergence between two crawl snapshots' unigram distributions, with
+    the top drifting tokens — the mixture-shift alarm a continuously-
+    ingesting pipeline watches between crawls (a jump means the new
+    snapshot's content changed: new spam family, encoding regression,
+    source mix shift).
+
+    Snapshots are derived deterministically (A = even doc_id, B = odd);
+    planting appends a drift marker to every B doc with doc_id % 13 == 0
+    so the gate is value-dense with a KNOWN drifting token on top of the
+    corpus's natural sampling noise.  Laplace-smoothed over the union
+    vocabulary: p(w) = (c+1)/(N+V); per-token JSD contribution
+    0.5*(pA*ln(pA/m) + pB*ln(pB/m)), m = (pA+pB)/2.
+
+    Determinism (the bigram-LM micro-nat discipline): every input to
+    `ln` is an exact ratio of engine-identical int64s, the only
+    transcendental result is quantized to integer PICO-units
+    (round(x*1e12) as bigint) per TOKEN before any aggregation, and the
+    total is an exact integer sum — so the gate value-hashes despite
+    the metric being float-derived.  Scale shape: ONE map-side-combining
+    groupBy(token) with conditional sums (shuffle = distinct tokens,
+    8-byte-ish rows), two scalar aggregates broadcast back; the top-k
+    window orders |vocab| rows, never corpus rows.  jsd_total_micro
+    rides every row as a constant column so the gate checks the full
+    sum, not just the displayed top tokens."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = F.when((F.col("doc_id") % 2 == 1) &
+                     (F.col("doc_id") % 13 == 0),
+                     F.concat("text", F.lit(" drifttok drifttok drifttok")))\
+        .otherwise(F.col("text"))
+    toks = (df.select(F.pmod("doc_id", F.lit(2)).alias("side"),
+                      F.explode(F.split(F.regexp_replace(
+                          F.lower(planted), "[^a-z0-9]+", " "), " "))
+                      .alias("token"))
+            .where(F.col("token") != ""))
+    counts = (toks.groupBy("token")
+              .agg(F.sum(F.when(F.col("side") == 0, 1).otherwise(0))
+                    .cast("bigint").alias("c_a"),
+                   F.sum(F.when(F.col("side") == 1, 1).otherwise(0))
+                    .cast("bigint").alias("c_b"))
+              .localCheckpoint(eager=False))   # feeds totals AND scoring
+    tot = counts.agg(F.sum("c_a").alias("na"), F.sum("c_b").alias("nb"),
+                     F.count(F.lit(1)).alias("v"))
+    pa = (F.col("c_a") + 1) / (F.col("na") + F.col("v"))
+    pb = (F.col("c_b") + 1) / (F.col("nb") + F.col("v"))
+    m = (pa + pb) / 2
+    contrib = F.round((pa * F.log(pa / m) + pb * F.log(pb / m))
+                      * F.lit(0.5e12)).cast("bigint")
+    scored = (counts.crossJoin(F.broadcast(tot))
+              .select("token", "c_a", "c_b",
+                      contrib.alias("contrib_micro")))
+    total = scored.agg(F.sum("contrib_micro").alias("jsd_total_micro"))
+    top = (scored.withColumn(
+               "_rn", F.row_number().over(
+                   Window.orderBy(F.desc("contrib_micro"), "token")))
+           .where(F.col("_rn") <= 20).drop("_rn"))
+    return (top.crossJoin(F.broadcast(total))
+            .select("token", "c_a", "c_b", "contrib_micro",
+                    "jsd_total_micro")
+            .orderBy(F.desc("contrib_micro"), "token"))
+
+
+def _sql_corpus_drift() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 1 AND doc_id % 13 = 0
+              THEN text || ' drifttok drifttok drifttok'
+              ELSE text END AS t
+  FROM documents
+),
+toks AS (
+  SELECT doc_id % 2 AS side,
+         unnest(list_filter(string_split(regexp_replace(lower(t),
+             '[^a-z0-9]+', ' ', 'g'), ' '), x -> x != '')) AS token
+  FROM d
+),
+counts AS (
+  SELECT token,
+         CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+         CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+  FROM toks GROUP BY token
+),
+tot AS (SELECT CAST(sum(c_a) AS BIGINT) AS na,
+               CAST(sum(c_b) AS BIGINT) AS nb,
+               CAST(count(*) AS BIGINT) AS v FROM counts),
+scored AS (
+  SELECT token, c_a, c_b,
+         CAST(round((
+             ((c_a + 1) / CAST(na + v AS DOUBLE))
+               * ln(((c_a + 1) / CAST(na + v AS DOUBLE))
+                    / ((((c_a + 1) / CAST(na + v AS DOUBLE))
+                        + ((c_b + 1) / CAST(nb + v AS DOUBLE))) / 2))
+             + ((c_b + 1) / CAST(nb + v AS DOUBLE))
+               * ln(((c_b + 1) / CAST(nb + v AS DOUBLE))
+                    / ((((c_a + 1) / CAST(na + v AS DOUBLE))
+                        + ((c_b + 1) / CAST(nb + v AS DOUBLE))) / 2))
+           ) * 0.5e12) AS BIGINT) AS contrib_micro
+  FROM counts, tot
+),
+total AS (SELECT CAST(sum(contrib_micro) AS BIGINT) AS jsd_total_micro
+          FROM scored),
+top AS (
+  SELECT token, c_a, c_b, contrib_micro,
+         row_number() OVER (ORDER BY contrib_micro DESC, token) AS rn
+  FROM scored
+)
+SELECT t.token, t.c_a, t.c_b, t.contrib_micro, total.jsd_total_micro
+FROM top t, total WHERE t.rn <= 20
+ORDER BY t.contrib_micro DESC, t.token"""
+
+
 def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source doc-length quantiles (p50/p90/p99 of n_tokens) read
     from the deterministic mergeable log-histogram
@@ -5538,6 +5651,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_overlap_hll": q_source_overlap_hll,
     "cms_term_counts": q_cms_term_counts,
     "length_quantiles": q_length_quantiles,
+    "corpus_drift": q_corpus_drift,
     "encoding_quality": q_encoding_quality,
     "noindex_filter": q_noindex_filter,
     "pack_sequences": q_pack_sequences,
@@ -5639,6 +5753,7 @@ ORACLE_SQL: dict[str, str] = {
     "source_overlap_hll": _sql_source_overlap_hll(),
     "cms_term_counts": _sql_cms_term_counts(),
     "length_quantiles": _sql_length_quantiles(),
+    "corpus_drift": _sql_corpus_drift(),
     "encoding_quality": _sql_encoding_quality(),
     "noindex_filter": _sql_noindex_filter(),
     "pack_sequences": _SQL_PACK_SEQUENCES,
