@@ -1358,3 +1358,105 @@ def incremental_cms_stream(spark: SparkSession, input_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def incremental_drift_stream(spark: SparkSession, input_dir: str,
+                             state_dir: str,
+                             schema: str = "doc_id long, text string",
+                             available_now: bool = True,
+                             max_files_per_trigger: int = 16,
+                             compact_every: int | None = 64):
+    """Streaming twin of entry_queries.q_corpus_drift: per-batch
+    distribution-drift alarm — each arriving batch's unigram
+    distribution is scored by Jensen-Shannon divergence against the
+    ARCHIVE distribution (everything ingested before it), so a batch
+    whose content mix shifts (new spam family, encoding regression,
+    source change) spikes immediately.
+
+    State is the archive's token count table under the additive
+    coverage-rule machinery (`additive_consistent_view` /
+    `compact_additive_index`): per batch one O(batch-vocab) partition
+    write and one summed read of metadata-bounded partitions, never
+    O(corpus) rows beyond the vocabulary.  The score row is emitted
+    exactly once per batch (batch_id partition overwrite) and is
+    replay-deterministic: the archive side always EXCLUDES the current
+    batch id, so a replayed batch scores against the identical
+    history whether or not its own partition already landed.
+    Determinism follows q_corpus_drift's micro-nat discipline (ln
+    inputs are exact int64 ratios; per-token pico-unit quantization
+    before the exact integer sum).
+
+    State layout under `state_dir`:
+      checkpoint/   Spark streaming checkpoint
+      counts/       per-batch (token, cnt) tables (additive)
+      drift/        per-batch (jsd_micro, top_token, ...) score rows
+    """
+    cnt_dir = os.path.join(state_dir, "counts")
+    out_dir = os.path.join(state_dir, "drift")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", str(max_files_per_trigger))
+              .parquet(input_dir))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_additive_index(spark, cnt_dir, batch_id)
+        toks = (batch_df.select(F.explode(F.split(F.regexp_replace(
+                    F.lower("text"), "[^a-z0-9]+", " "), " "))
+                .alias("token"))
+                .where(F.col("token") != ""))
+        bc = (toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+              .withColumn("batch_id", F.lit(batch_id)))
+        (bc.write.mode("overwrite").partitionBy("batch_id")
+           .option("partitionOverwriteMode", "dynamic").parquet(cnt_dir))
+        view, _ = additive_consistent_view(spark, cnt_dir,
+                                           exclude_batch=batch_id)
+        archive = (view.groupBy("token").agg(F.sum("cnt").alias("c_arc"))
+                   if view is not None else None)
+        if archive is None or archive.limit(1).count() == 0:
+            row = spark.createDataFrame(
+                [(None, None, None)],
+                "jsd_micro long, top_token string, top_contrib_micro long")
+        else:
+            batch_counts = (spark.read.parquet(cnt_dir)
+                            .where(F.col("batch_id") == batch_id)
+                            .groupBy("token")
+                            .agg(F.sum("cnt").alias("c_bat")))
+            joined = (batch_counts.join(archive, "token", "full")
+                      .select("token",
+                              F.coalesce("c_bat", F.lit(0)).alias("c_bat"),
+                              F.coalesce("c_arc", F.lit(0)).alias("c_arc"))
+                      .localCheckpoint(eager=False))
+            tot = joined.agg(F.sum("c_bat").alias("nb"),
+                             F.sum("c_arc").alias("na"),
+                             F.count(F.lit(1)).alias("v"))
+            pb_ = (F.col("c_bat") + 1) / (F.col("nb") + F.col("v"))
+            pa_ = (F.col("c_arc") + 1) / (F.col("na") + F.col("v"))
+            m_ = (pa_ + pb_) / 2
+            contrib = F.round((pa_ * F.log(pa_ / m_) +
+                               pb_ * F.log(pb_ / m_))
+                              * F.lit(0.5e12)).cast("bigint")
+            scored = (joined.crossJoin(F.broadcast(tot))
+                      .select("token", contrib.alias("c")))
+            # ties on contribution break to the lexicographically LAST
+            # token (struct max) — deterministic across partitionings
+            row = (scored.agg(
+                       F.sum("c").alias("jsd_micro"),
+                       F.max(F.struct(F.col("c"), F.col("token")))
+                        .alias("_m"))
+                   .select("jsd_micro",
+                           F.col("_m.token").alias("top_token"),
+                           F.col("_m.c").alias("top_contrib_micro")))
+        (row.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite").partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic").parquet(out_dir))
+
+    writer = (stream.writeStream
+              .foreachBatch(process_batch)
+              .option("checkpointLocation",
+                      os.path.join(state_dir, "checkpoint")))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
