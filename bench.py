@@ -78,6 +78,7 @@ def main() -> None:
         "temperature_mixture",
         "bigram_lm_quality",
         "quality_classifier",
+        "dsir_weights",
         "substring_removal",
         "mirror_hosts",
         "reservoir_sample",

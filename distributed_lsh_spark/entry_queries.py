@@ -5076,6 +5076,66 @@ SELECT doc_id, n_tokens, z_micro, score, score >= 0.5 AS keep
 FROM sc ORDER BY doc_id"""
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling weights (Xie et al. NeurIPS'23,
+    operators/dsir.py): hashed unigram+bigram multinomials for a TARGET
+    slice vs the raw corpus; per-doc log-weight as an exact integer
+    micro-nat sum; key_micro = logw + deterministic md5 Gumbel draw, so
+    top-k by key_micro IS the without-replacement resample ~ w.  The
+    target is the doc_id % 7 == 3 slice — the sandbox stand-in for a
+    fixed curated corpus (contamination_check's modulo precedent);
+    production passes any target DataFrame.  The oracle retrains both
+    multinomials and replays the scoring + Gumbel chain from scratch."""
+    from distributed_lsh_spark.operators.dsir import dsir_weights
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    target = df.where(F.pmod(F.col("doc_id"), F.lit(7)) == 3)
+    return dsir_weights(df, target).orderBy("doc_id")
+
+
+_SQL_DSIR_WEIGHTS = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+gr AS (
+  SELECT doc_id, unnest(list_concat(t,
+         CASE WHEN len(t) < 2 THEN []
+              ELSE [t[i] || ' ' || t[i + 1] for i in range(1, len(t))]
+         END)) AS g
+  FROM toks
+),
+docf AS (SELECT doc_id,
+                ('0x' || substr(md5(g), 1, 15))::BIGINT % 8192 AS fid,
+                count(*) AS m
+         FROM gr GROUP BY ALL),
+rawc AS (SELECT fid, sum(m) AS cr FROM docf GROUP BY fid),
+tgtc AS (SELECT fid, sum(m) AS ct FROM docf
+         WHERE doc_id % 7 = 3 GROUP BY fid),
+grid AS (SELECT i AS fid FROM range(8192) r(i)),
+fullg AS (SELECT grid.fid, coalesce(cr, 0) AS cr, coalesce(ct, 0) AS ct
+          FROM grid LEFT JOIN rawc USING (fid) LEFT JOIN tgtc USING (fid)),
+tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM fullg),
+lr AS (SELECT fid,
+              CAST(round((ln((ct + 1) / CAST(nt + 8192 AS DOUBLE))
+                        - ln((cr + 1) / CAST(nr + 8192 AS DOUBLE))) * 1e6)
+                   AS BIGINT) AS lr_micro
+       FROM fullg CROSS JOIN tot),
+per AS (SELECT doc_id, sum(m) AS n_grams, sum(m * lr_micro) AS logw_micro
+        FROM docf JOIN lr USING (fid) GROUP BY doc_id),
+keyed AS (
+  SELECT d.doc_id,
+         CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+         CAST(coalesce(logw_micro, 0) AS BIGINT) AS logw_micro
+  FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+)
+SELECT doc_id, n_grams, logw_micro,
+       round(logw_micro / (greatest(n_grams, 1) * 1e6), 6) AS avg_logw,
+       logw_micro + CAST(round(-ln(-ln(
+           ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             % 2147483648) + 0.5) / 2147483648.0)) * 1e6) AS BIGINT)
+         AS key_micro
+FROM keyed ORDER BY doc_id"""
+
+
 def q_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring REMOVAL (Lee et al. ACL'22 remediation): every
     >=20-token span shared verbatim with a lower-doc_id candidate partner
@@ -5662,6 +5722,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temperature_mixture": q_temperature_mixture,
     "bigram_lm_quality": q_bigram_lm_quality,
     "quality_classifier": q_quality_classifier,
+    "dsir_weights": q_dsir_weights,
     "substring_removal": q_substring_removal,
     "mirror_hosts": q_mirror_hosts,
     "reservoir_sample": q_reservoir_sample,
@@ -5764,6 +5825,7 @@ ORACLE_SQL: dict[str, str] = {
     "temperature_mixture": _SQL_TEMPERATURE_MIXTURE,
     "bigram_lm_quality": _SQL_BIGRAM_LM_QUALITY,
     "quality_classifier": _SQL_QUALITY_CLASSIFIER,
+    "dsir_weights": _SQL_DSIR_WEIGHTS,
     "substring_removal": _sql_substring_removal(),
     "mirror_hosts": _SQL_MIRROR_HOSTS,
     "reservoir_sample": _SQL_RESERVOIR_SAMPLE,

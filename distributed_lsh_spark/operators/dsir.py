@@ -1,0 +1,139 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al.,
+NeurIPS'23) over hashed n-gram features.
+
+The production pattern: given a small TARGET corpus (Wikipedia, curated
+text) and the raw crawl, estimate per-document importance weights
+
+    log w(x) = sum over n-gram occurrences g of x of
+                   ln p_target(h(g)) - ln p_raw(h(g))
+
+under hashed bag-of-n-grams (unigram + bigram) multinomials with add-one
+smoothing, then resample docs with probability proportional to w via
+Gumbel top-k (keys = log w + Gumbel noise; the top-k key set IS a
+without-replacement sample ~ w).  Docs that look like the target get
+positive log-weights; generic crawl soup scores ~0; anti-target junk
+goes negative.
+
+Spark-native shape (10^12-doc corpus):
+* feature extraction is the bigram-LM scan (posexplode + lead(), no
+  interpreted higher-order functions) with the classifier's md5-fold
+  feature hash — per-doc (fid, m) multiplicities pre-aggregate with
+  map-side combine BEFORE any join, so zipfian repeats collapse per map
+  task and the join moves distinct-feature rows, not occurrences.
+* the learned table is DIM rows (one per hash bucket) and BROADCASTS;
+  scoring is one broadcast join + one map-side-combining groupBy(doc)
+  — a single doc_id-keyed shuffle over the whole corpus.
+* the target side is corpus-scale-independent: its gram counts reduce
+  to <= DIM rows before they ever meet the raw side.
+
+Cross-engine determinism (the gate hashes values): counts are exact
+int64; p_t and p_r are IEEE double divisions of exact ints; the log
+ratio is quantized to integer micro-nats per BUCKET (round((ln p_t -
+ln p_r) * 1e6)) before any per-doc aggregation, so document scores are
+exact integer sums with no float-summation order dependence (the
+bigram-LM / corpus_drift micro-nat discipline).  The Gumbel key draws
+u from the md5 fold of the doc id — deterministic, engine-identical —
+and is itself micro-quantized before the integer addition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from distributed_lsh_spark.functions.text import normalized_tokens
+from distributed_lsh_spark.operators.classifier import feature_hash
+
+DSIR_DIM = 8192
+
+
+def _doc_features(df: DataFrame, dim: int, id_col: str,
+                  text_col: str) -> DataFrame:
+    """(doc_id, fid, m): per-doc hashed unigram+bigram multiplicities,
+    map-side combined (one row per distinct feature per doc)."""
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     normalized_tokens(text_col).alias("t"))
+    ex = base.select("doc_id", F.posexplode("t").alias("pos", "w"))
+    wspec = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (ex.select("doc_id",
+                    F.concat_ws(" ", "w", F.lead("w").over(wspec))
+                     .alias("g"),
+                    F.lead("w").over(wspec).alias("w2"))
+            .where(F.col("w2").isNotNull())
+            .select("doc_id", "g"))
+    grams = ex.select("doc_id", F.col("w").alias("g")).unionByName(bg)
+    return (grams.select("doc_id", feature_hash(F.col("g"), dim)
+                         .alias("fid"))
+            .groupBy("doc_id", "fid")
+            .agg(F.count(F.lit(1)).alias("m")))
+
+
+def dsir_log_ratios(raw: DataFrame, target: DataFrame,
+                    dim: int = DSIR_DIM, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Learn the DSIR table: (fid, lr_micro) for every hash bucket in
+    [0, dim) — lr_micro = round((ln p_t(fid) - ln p_r(fid)) * 1e6) under
+    add-one-smoothed hashed-n-gram multinomials.  DIM rows; broadcast it.
+    """
+    spark = raw.sparkSession
+    rawc = (_doc_features(raw, dim, id_col, text_col)
+            .groupBy("fid").agg(F.sum("m").alias("cr")))
+    tgtc = (_doc_features(target, dim, id_col, text_col)
+            .groupBy("fid").agg(F.sum("m").alias("ct")))
+    grid = spark.range(dim).select(F.col("id").alias("fid"))
+    full = (grid.join(rawc, "fid", "left").join(tgtc, "fid", "left")
+            .select("fid",
+                    F.coalesce("cr", F.lit(0)).alias("cr"),
+                    F.coalesce("ct", F.lit(0)).alias("ct")))
+    tot = full.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
+    p_t = (F.col("ct") + 1).cast("double") / \
+        (F.col("nt") + F.lit(dim)).cast("double")
+    p_r = (F.col("cr") + 1).cast("double") / \
+        (F.col("nr") + F.lit(dim)).cast("double")
+    lr = F.round((F.log(p_t) - F.log(p_r)) * F.lit(1e6)).cast("bigint")
+    return (full.crossJoin(F.broadcast(tot))
+            .select("fid", lr.alias("lr_micro")))
+
+
+def gumbel_key_micro(id_col) -> F.Column:
+    """Deterministic micro-nat Gumbel draw per doc id: u from the md5
+    fold of the id string (31-bit, never 0 or 1 thanks to the +0.5
+    offset), g = -ln(-ln(u)), quantized to integer micro units."""
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+               16, 10).cast("bigint")
+    u = (F.pmod(h, F.lit(2147483648)).cast("double") + F.lit(0.5)) / \
+        F.lit(2147483648.0)
+    return F.round(-F.log(-F.log(u)) * F.lit(1e6)).cast("bigint")
+
+
+def dsir_weights(raw: DataFrame, target: DataFrame, dim: int = DSIR_DIM,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(doc_id, n_grams, logw_micro, avg_logw, key_micro) for every raw
+    doc.  logw_micro is the exact-integer hashed-n-gram importance
+    log-weight; key_micro = logw_micro + Gumbel noise — selecting the
+    top-k docs by key_micro IS DSIR's importance resampling (without
+    replacement, proportional to w).  Docs with no grams carry
+    logw_micro = 0 (weight 1) and still draw a key.
+    """
+    lrs = dsir_log_ratios(raw, target, dim, id_col, text_col)
+    feats = _doc_features(raw, dim, id_col, text_col)
+    perdoc = (feats.join(F.broadcast(lrs), "fid")
+              .groupBy("doc_id")
+              .agg(F.sum("m").alias("n_grams"),
+                   F.sum(F.col("m") * F.col("lr_micro"))
+                    .alias("logw_micro")))
+    ids = raw.select(F.col(id_col).alias("doc_id"))
+    out = (ids.join(perdoc, "doc_id", "left")
+           .select("doc_id",
+                   F.coalesce("n_grams", F.lit(0)).cast("bigint")
+                    .alias("n_grams"),
+                   F.coalesce("logw_micro", F.lit(0)).cast("bigint")
+                    .alias("logw_micro")))
+    return out.select(
+        "doc_id", "n_grams", "logw_micro",
+        F.round(F.col("logw_micro") /
+                (F.greatest(F.col("n_grams"), F.lit(1)) * F.lit(1e6)),
+                6).alias("avg_logw"),
+        (F.col("logw_micro") + gumbel_key_micro("doc_id"))
+        .alias("key_micro"))
