@@ -79,6 +79,7 @@ def main() -> None:
         "bigram_lm_quality",
         "quality_classifier",
         "dsir_weights",
+        "dsir_select",
         "substring_removal",
         "mirror_hosts",
         "reservoir_sample",

@@ -346,6 +346,24 @@ def cmd_curate(args: argparse.Namespace) -> None:
                       if ln.strip()]
         if not eval_texts:
             raise SystemExit("--decontaminate file has no eval texts")
+    dsir_texts: list[str] = []
+    dsir_md5 = None
+    if args.dsir_keep and not args.dsir_target:
+        raise SystemExit("--dsir-keep needs --dsir-target TARGET_FILE")
+    if args.dsir_target:
+        # target corpus read driver-side (one text per line, fixed MBs
+        # at any corpus scale); content hashes into the config echo
+        import hashlib
+
+        if not args.dsir_keep:
+            raise SystemExit("--dsir-target needs --dsir-keep N")
+        with open(args.dsir_target, "rb") as fh:
+            raw = fh.read()
+        dsir_md5 = hashlib.md5(raw).hexdigest()
+        dsir_texts = [ln for ln in raw.decode("utf-8").splitlines()
+                      if ln.strip()]
+        if not dsir_texts:
+            raise SystemExit("--dsir-target file has no target texts")
     if args.canonical_urls and url_col == "url":
         # fold url spellings together BEFORE keep-latest-per-url, so
         # HTTP://Ex.COM:80/a#f and http://ex.com/a dedup as one page
@@ -388,7 +406,9 @@ def cmd_curate(args: argparse.Namespace) -> None:
                                           "decontaminate": eval_md5,
                                           "contam_ngram": args.contam_ngram,
                                           "contam_threshold":
-                                              args.contam_threshold})
+                                              args.contam_threshold,
+                                          "dsir_target": dsir_md5,
+                                          "dsir_keep": args.dsir_keep})
     t0 = time.time()
     res = curation_funnel(
         pages, cfg, url_col=url_col, ts_col=ts_col or "warc_epoch",
@@ -441,6 +461,28 @@ def cmd_curate(args: argparse.Namespace) -> None:
 
         survivors = ckpt.stage("host_cap", _cap)
         n_after_hostcap = survivors.count()
+    n_after_dsir = None
+    if args.dsir_keep:
+        # DSIR selection tier (operators/dsir.py): keep the N survivors
+        # whose hashed-n-gram importance keys against the target corpus
+        # are largest — a without-replacement resample ~ w.  Runs after
+        # the cap tiers and BEFORE the rewrite tiers, so rewrites never
+        # touch docs the resample drops.
+        from distributed_lsh_spark.operators.dsir import dsir_select
+
+        dsir_surv = survivors
+        tgt_df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(dsir_texts)],
+            "doc_id long, text string")
+
+        def _dsir():
+            sel = dsir_select(dsir_surv.select("doc_id", "text"), tgt_df,
+                              n=args.dsir_keep)
+            return dsir_surv.join(
+                sel.select("doc_id", "logw_micro", "key_micro"), "doc_id")
+
+        survivors = ckpt.stage("dsir_select", _dsir)
+        n_after_dsir = survivors.count()
     n_boiler_lines = None
     if args.strip_boilerplate:
         # post-funnel rewrite tier: cut host-scoped chrome lines (the
@@ -518,7 +560,8 @@ def cmd_curate(args: argparse.Namespace) -> None:
     dt = time.time() - t0
     n_in = metrics[0]["docs_out"]
     n_survivors = next(
-        (n for n in (n_after_hostcap, n_after_decontam) if n is not None),
+        (n for n in (n_after_dsir, n_after_hostcap, n_after_decontam)
+         if n is not None),
         metrics[-1]["docs_out"])
     # pre-funnel removal attribution: n_raw -> [host/url blocklist] ->
     # n_after_host -> [word blocklist] -> n_in (the funnel input count)
@@ -540,11 +583,17 @@ def cmd_curate(args: argparse.Namespace) -> None:
         "docs_per_sec": round(n_in / dt, 1) if dt else None,
         "survivors_stage": ("span_clean" if args.remove_spans
                             else "boiler_clean" if args.strip_boilerplate
+                            else "dsir_select" if args.dsir_keep
                             else "host_cap" if args.max_docs_per_host
                             else "decontam" if args.decontaminate
                             else f"funnel_{metrics[-1]['tier']}"),
         **({"decontam_removed": metrics[-1]["docs_out"] - n_after_decontam}
            if n_after_decontam is not None else {}),
+        **({"dsir_removed":
+            next(n for n in (n_after_hostcap, n_after_decontam,
+                             metrics[-1]["docs_out"])
+                 if n is not None) - n_after_dsir}
+           if n_after_dsir is not None else {}),
         **({"host_cap_removed":
             (n_after_decontam if n_after_decontam is not None
              else metrics[-1]["docs_out"]) - n_after_hostcap}
@@ -862,6 +911,15 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("--contam-threshold", type=float, default=0.0,
                    help="drop when shared-ngram fraction EXCEEDS this "
                         "(default 0.0 = any overlap drops the doc)")
+    c.add_argument("--dsir-target", default=None, metavar="TARGET_FILE",
+                   help="DSIR importance resampling: target corpus (one "
+                        "text per line) the kept survivors should "
+                        "resemble; file content rides the checkpoint "
+                        "config echo; needs --dsir-keep")
+    c.add_argument("--dsir-keep", type=int, default=None, metavar="N",
+                   help="keep the N survivors with the largest DSIR "
+                        "importance keys (without-replacement resample "
+                        "proportional to the importance weight)")
     c.add_argument("--wet-output", default=None,
                    help="also export survivors as WET-style .warc.gz "
                         "conversion records under this dir")

@@ -5094,8 +5094,25 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weights(df, target).orderBy("doc_id")
 
 
-_SQL_DSIR_WEIGHTS = f"""
-WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR resample (operators/dsir.top_n_by_key): the 25 docs with
+    the largest logw + Gumbel keys — a without-replacement sample ~ w.
+    The engine's bucket-histogram prefilter is LOSSLESS (every top-n key
+    lies in a bucket the threshold keeps), so the oracle is the pure
+    row_number-over-key formulation and the gate value-checks that the
+    scale-safe plan and the naive global sort select the identical set."""
+    from distributed_lsh_spark.operators.dsir import dsir_select
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    target = df.where(F.pmod(F.col("doc_id"), F.lit(7)) == 3)
+    return (dsir_select(df, target, n=25)
+            .select("sel_rank", "doc_id", "n_grams", "logw_micro",
+                    "avg_logw", "key_micro")
+            .orderBy("sel_rank"))
+
+
+_DSIR_CHAIN = f"""toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
 gr AS (
   SELECT doc_id, unnest(list_concat(t,
          CASE WHEN len(t) < 2 THEN []
@@ -5126,14 +5143,32 @@ keyed AS (
          CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
          CAST(coalesce(logw_micro, 0) AS BIGINT) AS logw_micro
   FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+),
+scored AS (
+  SELECT doc_id, n_grams, logw_micro,
+         round(logw_micro / (greatest(n_grams, 1) * 1e6), 6) AS avg_logw,
+         logw_micro + CAST(round(-ln(-ln(
+             ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 2147483648) + 0.5) / 2147483648.0)) * 1e6) AS BIGINT)
+           AS key_micro
+  FROM keyed
+)"""
+
+_SQL_DSIR_WEIGHTS = f"""
+WITH {_DSIR_CHAIN}
+SELECT doc_id, n_grams, logw_micro, avg_logw, key_micro
+FROM scored ORDER BY doc_id"""
+
+_SQL_DSIR_SELECT = f"""
+WITH {_DSIR_CHAIN},
+ranked AS (
+  SELECT row_number() OVER (ORDER BY key_micro DESC, doc_id) AS sel_rank,
+         doc_id, n_grams, logw_micro, avg_logw, key_micro
+  FROM scored
 )
-SELECT doc_id, n_grams, logw_micro,
-       round(logw_micro / (greatest(n_grams, 1) * 1e6), 6) AS avg_logw,
-       logw_micro + CAST(round(-ln(-ln(
-           ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-             % 2147483648) + 0.5) / 2147483648.0)) * 1e6) AS BIGINT)
-         AS key_micro
-FROM keyed ORDER BY doc_id"""
+SELECT CAST(sel_rank AS INT) AS sel_rank, doc_id, n_grams, logw_micro,
+       avg_logw, key_micro
+FROM ranked WHERE sel_rank <= 25 ORDER BY sel_rank"""
 
 
 def q_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5723,6 +5758,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_lm_quality": q_bigram_lm_quality,
     "quality_classifier": q_quality_classifier,
     "dsir_weights": q_dsir_weights,
+    "dsir_select": q_dsir_select,
     "substring_removal": q_substring_removal,
     "mirror_hosts": q_mirror_hosts,
     "reservoir_sample": q_reservoir_sample,
@@ -5826,6 +5862,7 @@ ORACLE_SQL: dict[str, str] = {
     "bigram_lm_quality": _SQL_BIGRAM_LM_QUALITY,
     "quality_classifier": _SQL_QUALITY_CLASSIFIER,
     "dsir_weights": _SQL_DSIR_WEIGHTS,
+    "dsir_select": _SQL_DSIR_SELECT,
     "substring_removal": _sql_substring_removal(),
     "mirror_hosts": _SQL_MIRROR_HOSTS,
     "reservoir_sample": _SQL_RESERVOIR_SAMPLE,

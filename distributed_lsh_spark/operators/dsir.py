@@ -106,6 +106,50 @@ def gumbel_key_micro(id_col) -> F.Column:
     return F.round(-F.log(-F.log(u)) * F.lit(1e6)).cast("bigint")
 
 
+def top_n_by_key(df: DataFrame, key_col: str, n: int,
+                 id_col: str = "doc_id",
+                 quant: int = 1_000_000) -> DataFrame:
+    """Global top-n rows by (key DESC, id ASC) without a corpus-scale
+    sort — the selection step of importance resampling.
+
+    A bare `row_number() OVER (ORDER BY key DESC)` sorts the WHOLE
+    corpus on one task.  Here a bucket histogram (one map-side-combining
+    groupBy on floor(key/quant); O(key-range/quant) rows, collected to
+    the driver) locates the highest bucket `t` whose strictly-better
+    buckets hold fewer than n rows; every top-n row provably lies in a
+    bucket >= t, so the prefilter is LOSSLESS and the window sorts only
+    the surviving rows (~n plus the threshold bucket's population —
+    bounded in practice because the Gumbel noise spreads keys across
+    buckets).  Semantics are therefore exactly "top-n by (key DESC,
+    id)", which is what the SQL oracle replays."""
+    bucket = F.floor(F.col(key_col) / F.lit(quant))
+    hist = (df.groupBy(bucket.alias("_b"))
+              .agg(F.count(F.lit(1)).alias("_c")))
+    rows = sorted(hist.collect(), key=lambda r: -r["_b"])
+    if not rows:
+        return (df.withColumn("sel_rank", F.lit(1)).limit(0))
+    cum, thresh = 0, rows[0]["_b"]
+    for r in rows:
+        thresh = r["_b"]
+        cum += r["_c"]
+        if cum >= n:
+            break
+    pre = df.where(F.floor(F.col(key_col) / F.lit(quant)) >= thresh)
+    w = Window.orderBy(F.col(key_col).desc(), F.col(id_col))
+    return (pre.withColumn("sel_rank", F.row_number().over(w))
+               .where(F.col("sel_rank") <= n))
+
+
+def dsir_select(raw: DataFrame, target: DataFrame, n: int,
+                dim: int = DSIR_DIM, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """The DSIR resample itself: the n docs with the largest
+    logw + Gumbel keys — a without-replacement sample of the raw corpus
+    with inclusion probability proportional to the importance weight."""
+    return top_n_by_key(dsir_weights(raw, target, dim, id_col, text_col),
+                        "key_micro", n, id_col="doc_id")
+
+
 def dsir_weights(raw: DataFrame, target: DataFrame, dim: int = DSIR_DIM,
                  id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:

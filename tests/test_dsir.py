@@ -105,8 +105,89 @@ def test_dsir_single_token_doc_scores_via_unigram(spark):
     assert got[5].key_micro == got[5].logw_micro + _python_gumbel_micro(5)
 
 
+def test_top_n_by_key_equals_naive_sort(spark):
+    from distributed_lsh_spark.operators.dsir import top_n_by_key
+
+    # adversarial keys: negatives, cross-bucket spread, same-bucket ties,
+    # and EQUAL keys (tie broken by doc_id)
+    rows = [(i, k) for i, k in enumerate(
+        [-2_500_000, -999_999, 0, 1, 999_999, 1_000_000, 1_000_001,
+         3_141_592, 3_141_592, -3_141_592, 7_000_000, 6_999_999])]
+    df = spark.createDataFrame(rows, "doc_id long, key_micro long")
+    for n in (1, 3, 5, 12, 50):
+        got = [(r.sel_rank, r.doc_id)
+               for r in top_n_by_key(df, "key_micro", n)
+               .orderBy("sel_rank").collect()]
+        want = sorted(rows, key=lambda t: (-t[1], t[0]))[:n]
+        assert got == [(i + 1, d) for i, (d, _) in enumerate(want)], n
+
+
+def test_top_n_by_key_empty_input(spark):
+    from distributed_lsh_spark.operators.dsir import top_n_by_key
+
+    df = spark.createDataFrame([], "doc_id long, key_micro long")
+    assert top_n_by_key(df, "key_micro", 5).count() == 0
+
+
 def test_dsir_keys_deterministic_across_runs(spark):
     a = _spark_rows(spark)
     b = _spark_rows(spark)
     assert {d: r.key_micro for d, r in a.items()} == \
         {d: r.key_micro for d, r in b.items()}
+
+
+def test_cli_curate_dsir_select(spark, tmp_path, capsys):
+    """curate --dsir-target/--dsir-keep: checkpointed selection tier,
+    removal attribution, resume identity, and flag validation."""
+    import json
+    import os
+
+    import pytest
+
+    from distributed_lsh_spark.cli import main
+
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "cur")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    docs.write.parquet(src)
+    target = str(tmp_path / "target.txt")
+    with open(target, "w") as fh:
+        for r in docs.where("doc_id % 7 = 3").collect():
+            fh.write(r.text + "\n")
+
+    args = ["curate", "--input", src, "--output", out, "--run-id", "d1",
+            "--cores", "8", "--no-quality",
+            "--dsir-target", target, "--dsir-keep", "10"]
+    main(args)
+    r1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r1["n_survivors"] == 10
+    assert r1["survivors_stage"] == "dsir_select"
+    pre_dsir = r1["tiers"][-1]["docs_out"]
+    assert r1["dsir_removed"] == pre_dsir - 10
+    surv = spark.read.parquet(os.path.join(out, "d1", "dsir_select", "data"))
+    assert surv.count() == 10
+    assert {"logw_micro", "key_micro"} <= set(surv.columns)
+    kept1 = sorted(r.doc_id for r in surv.select("doc_id").collect())
+
+    # resume: same args -> identical kept set from the manifest
+    main(args)
+    r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r2["n_survivors"] == 10
+    surv2 = spark.read.parquet(os.path.join(out, "d1", "dsir_select",
+                                            "data"))
+    assert sorted(r.doc_id for r in surv2.select("doc_id").collect()) \
+        == kept1
+
+    # config-echo invalidation: a different keep-N rebuilds
+    main(args[:-1] + ["5"])
+    r3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r3["n_survivors"] == 5
+
+    # flag pairing is validated
+    with pytest.raises(SystemExit):
+        main(["curate", "--input", src, "--output", out, "--run-id", "dx",
+              "--cores", "8", "--dsir-keep", "10"])
+    with pytest.raises(SystemExit):
+        main(["curate", "--input", src, "--output", out, "--run-id", "dy",
+              "--cores", "8", "--dsir-target", target])
