@@ -68,18 +68,13 @@ def _doc_features(df: DataFrame, dim: int, id_col: str,
             .agg(F.count(F.lit(1)).alias("m")))
 
 
-def dsir_log_ratios(raw: DataFrame, target: DataFrame,
-                    dim: int = DSIR_DIM, id_col: str = "doc_id",
-                    text_col: str = "text") -> DataFrame:
-    """Learn the DSIR table: (fid, lr_micro) for every hash bucket in
-    [0, dim) — lr_micro = round((ln p_t(fid) - ln p_r(fid)) * 1e6) under
-    add-one-smoothed hashed-n-gram multinomials.  DIM rows; broadcast it.
-    """
-    spark = raw.sparkSession
-    rawc = (_doc_features(raw, dim, id_col, text_col)
-            .groupBy("fid").agg(F.sum("m").alias("cr")))
-    tgtc = (_doc_features(target, dim, id_col, text_col)
-            .groupBy("fid").agg(F.sum("m").alias("ct")))
+def log_ratios_from_counts(rawc: DataFrame, tgtc: DataFrame,
+                           dim: int = DSIR_DIM) -> DataFrame:
+    """(fid, lr_micro) over the full [0, dim) grid from two bucket-count
+    tables (`rawc` = (fid, cr), `tgtc` = (fid, ct)) — the learning step
+    factored over pre-reduced counts so incremental/streaming callers
+    can feed running count tables."""
+    spark = rawc.sparkSession
     grid = spark.range(dim).select(F.col("id").alias("fid"))
     full = (grid.join(rawc, "fid", "left").join(tgtc, "fid", "left")
             .select("fid",
@@ -93,6 +88,46 @@ def dsir_log_ratios(raw: DataFrame, target: DataFrame,
     lr = F.round((F.log(p_t) - F.log(p_r)) * F.lit(1e6)).cast("bigint")
     return (full.crossJoin(F.broadcast(tot))
             .select("fid", lr.alias("lr_micro")))
+
+
+def dsir_log_ratios(raw: DataFrame, target: DataFrame,
+                    dim: int = DSIR_DIM, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Learn the DSIR table: (fid, lr_micro) for every hash bucket in
+    [0, dim) — lr_micro = round((ln p_t(fid) - ln p_r(fid)) * 1e6) under
+    add-one-smoothed hashed-n-gram multinomials.  DIM rows; broadcast it.
+    """
+    rawc = (_doc_features(raw, dim, id_col, text_col)
+            .groupBy("fid").agg(F.sum("m").alias("cr")))
+    tgtc = (_doc_features(target, dim, id_col, text_col)
+            .groupBy("fid").agg(F.sum("m").alias("ct")))
+    return log_ratios_from_counts(rawc, tgtc, dim)
+
+
+def score_features(feats: DataFrame, lrs: DataFrame,
+                   ids: DataFrame) -> DataFrame:
+    """(doc_id, n_grams, logw_micro, avg_logw, key_micro) from per-doc
+    feature multiplicities (`feats` = (doc_id, fid, m)) and a learned
+    ratio table (`lrs` = (fid, lr_micro), broadcast); `ids` supplies the
+    full doc_id frame so gram-free docs still score (weight 1)."""
+    perdoc = (feats.join(F.broadcast(lrs), "fid")
+              .groupBy("doc_id")
+              .agg(F.sum("m").alias("n_grams"),
+                   F.sum(F.col("m") * F.col("lr_micro"))
+                    .alias("logw_micro")))
+    out = (ids.join(perdoc, "doc_id", "left")
+           .select("doc_id",
+                   F.coalesce("n_grams", F.lit(0)).cast("bigint")
+                    .alias("n_grams"),
+                   F.coalesce("logw_micro", F.lit(0)).cast("bigint")
+                    .alias("logw_micro")))
+    return out.select(
+        "doc_id", "n_grams", "logw_micro",
+        F.round(F.col("logw_micro") /
+                (F.greatest(F.col("n_grams"), F.lit(1)) * F.lit(1e6)),
+                6).alias("avg_logw"),
+        (F.col("logw_micro") + gumbel_key_micro("doc_id"))
+        .alias("key_micro"))
 
 
 def gumbel_key_micro(id_col) -> F.Column:
@@ -162,22 +197,5 @@ def dsir_weights(raw: DataFrame, target: DataFrame, dim: int = DSIR_DIM,
     """
     lrs = dsir_log_ratios(raw, target, dim, id_col, text_col)
     feats = _doc_features(raw, dim, id_col, text_col)
-    perdoc = (feats.join(F.broadcast(lrs), "fid")
-              .groupBy("doc_id")
-              .agg(F.sum("m").alias("n_grams"),
-                   F.sum(F.col("m") * F.col("lr_micro"))
-                    .alias("logw_micro")))
-    ids = raw.select(F.col(id_col).alias("doc_id"))
-    out = (ids.join(perdoc, "doc_id", "left")
-           .select("doc_id",
-                   F.coalesce("n_grams", F.lit(0)).cast("bigint")
-                    .alias("n_grams"),
-                   F.coalesce("logw_micro", F.lit(0)).cast("bigint")
-                    .alias("logw_micro")))
-    return out.select(
-        "doc_id", "n_grams", "logw_micro",
-        F.round(F.col("logw_micro") /
-                (F.greatest(F.col("n_grams"), F.lit(1)) * F.lit(1e6)),
-                6).alias("avg_logw"),
-        (F.col("logw_micro") + gumbel_key_micro("doc_id"))
-        .alias("key_micro"))
+    return score_features(feats, lrs,
+                          raw.select(F.col(id_col).alias("doc_id")))

@@ -1460,3 +1460,87 @@ def incremental_drift_stream(spark: SparkSession, input_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def incremental_dsir_stream(spark: SparkSession, input_dir: str,
+                            state_dir: str, target: DataFrame,
+                            dim: int | None = None,
+                            schema: str = "doc_id long, text string",
+                            available_now: bool = True,
+                            max_files_per_trigger: int = 16,
+                            compact_every: int | None = 64):
+    """Streaming twin of operators/dsir.dsir_weights: PREFIX-scored DSIR
+    importance weights — each arriving doc is scored the moment it
+    lands, against the fixed target multinomial and the raw multinomial
+    of everything ingested UP TO AND INCLUDING its own batch.
+
+    A batch job sees the whole raw corpus before scoring; a stream
+    cannot, so (like the drift twin, and unlike the doc-local decontam
+    twin) the emitted scores are prefix scores, not a replay of the
+    batch query: they converge to the batch scores as the ingested
+    prefix approaches the corpus, and the FINAL batch's docs score
+    bit-identically to the batch operator run on the full union (its
+    prefix IS the corpus) — pinned in tests/test_streaming_dsir.py.
+
+    State: the raw side is the per-bucket gram-count table — at most
+    `dim` rows per batch partition under the additive coverage-rule
+    machinery (additive_consistent_view / compact_additive_index), so
+    per-batch cost is one fused gram scan of the batch plus
+    O(dim x #partitions) metadata-bounded count rows, never O(corpus).
+    The target inventory is computed once and persisted.  Replay
+    determinism: the batch's count partition is written (idempotent
+    overwrite) BEFORE the view is read, so a replayed batch reads the
+    identical prefix whether or not its first attempt's partition
+    landed; score rows are exactly-once by batch_id partition.
+
+    State layout under `state_dir`:
+      checkpoint/   Spark streaming checkpoint
+      counts/       per-batch (fid, cnt) raw bucket counts (additive)
+      scores/       per-batch (doc_id, n_grams, logw_micro, avg_logw,
+                    key_micro) rows
+    """
+    from distributed_lsh_spark.operators.dsir import (
+        DSIR_DIM, _doc_features, log_ratios_from_counts, score_features,
+    )
+
+    if dim is None:
+        dim = DSIR_DIM
+    cnt_dir = os.path.join(state_dir, "counts")
+    out_dir = os.path.join(state_dir, "scores")
+    tgtc = (_doc_features(target, dim, "doc_id", "text")
+            .groupBy("fid").agg(F.sum("m").alias("ct")).persist())
+    tgtc.count()  # materialize once, before the first batch
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", str(max_files_per_trigger))
+              .parquet(input_dir))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_additive_index(spark, cnt_dir, batch_id)
+        feats = (_doc_features(batch_df.select("doc_id", "text"), dim,
+                               "doc_id", "text")
+                 .localCheckpoint(eager=True))  # reused by count + score
+        bc = (feats.groupBy("fid").agg(F.sum("m").alias("cnt"))
+              .withColumn("batch_id", F.lit(batch_id)))
+        (bc.write.mode("overwrite").partitionBy("batch_id")
+           .option("partitionOverwriteMode", "dynamic").parquet(cnt_dir))
+        view, _ = additive_consistent_view(spark, cnt_dir)
+        rawc = view.groupBy("fid").agg(F.sum("cnt").alias("cr"))
+        lrs = log_ratios_from_counts(rawc, tgtc, dim)
+        scores = (score_features(
+                      feats, lrs,
+                      batch_df.select("doc_id").distinct())
+                  .withColumn("batch_id", F.lit(batch_id)))
+        (scores.write.mode("overwrite").partitionBy("batch_id")
+         .option("partitionOverwriteMode", "dynamic").parquet(out_dir))
+
+    writer = (stream.writeStream
+              .foreachBatch(process_batch)
+              .option("checkpointLocation",
+                      os.path.join(state_dir, "checkpoint")))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
