@@ -468,16 +468,24 @@ def cmd_curate(args: argparse.Namespace) -> None:
         # are largest — a without-replacement resample ~ w.  Runs after
         # the cap tiers and BEFORE the rewrite tiers, so rewrites never
         # touch docs the resample drops.
-        from distributed_lsh_spark.operators.dsir import dsir_select
+        from distributed_lsh_spark.operators.dsir import (dsir_select,
+                                                          dsir_weights)
 
         dsir_surv = survivors
         tgt_df = spark.createDataFrame(
             [(i, t) for i, t in enumerate(dsir_texts)],
             "doc_id long, text string")
 
+        def _weights():
+            return dsir_weights(dsir_surv.select("doc_id", "text"), tgt_df)
+
+        # stage the weights table (five narrow columns) so the selection's
+        # two passes (histogram + threshold filter) scan a materialized
+        # frame instead of re-running the scoring lineage twice
+        wdf = ckpt.stage("dsir_weights", _weights)
+
         def _dsir():
-            sel = dsir_select(dsir_surv.select("doc_id", "text"), tgt_df,
-                              n=args.dsir_keep)
+            sel = dsir_select(weights=wdf, n=args.dsir_keep)
             return dsir_surv.join(
                 sel.select("doc_id", "logw_micro", "key_micro"), "doc_id")
 

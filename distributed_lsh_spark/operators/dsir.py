@@ -175,14 +175,24 @@ def top_n_by_key(df: DataFrame, key_col: str, n: int,
                .where(F.col("sel_rank") <= n))
 
 
-def dsir_select(raw: DataFrame, target: DataFrame, n: int,
+def dsir_select(raw: DataFrame | None = None,
+                target: DataFrame | None = None, n: int = 0,
                 dim: int = DSIR_DIM, id_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
+                text_col: str = "text",
+                weights: DataFrame | None = None) -> DataFrame:
     """The DSIR resample itself: the n docs with the largest
     logw + Gumbel keys — a without-replacement sample of the raw corpus
-    with inclusion probability proportional to the importance weight."""
-    return top_n_by_key(dsir_weights(raw, target, dim, id_col, text_col),
-                        "key_micro", n, id_col="doc_id")
+    with inclusion probability proportional to the importance weight.
+
+    top_n_by_key consumes its input twice (the histogram action and the
+    threshold filter), so with raw/target the scoring lineage runs
+    twice — fine at fixture scale, wasteful on a 10^12-doc corpus.
+    Production callers pass `weights=` (a MATERIALIZED dsir_weights
+    table, e.g. a checkpoint stage — the curate CLI stages it), and both
+    passes become cheap scans of the five narrow columns."""
+    if weights is None:
+        weights = dsir_weights(raw, target, dim, id_col, text_col)
+    return top_n_by_key(weights, "key_micro", n, id_col="doc_id")
 
 
 def dsir_weights(raw: DataFrame, target: DataFrame, dim: int = DSIR_DIM,
