@@ -1544,3 +1544,99 @@ def incremental_dsir_stream(spark: SparkSession, input_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def current_sample(spark: SparkSession, state_dir: str):
+    """Read the running per-stratum sample maintained by
+    incremental_reservoir_stream: the NEWEST snapshot partition (older
+    retained/stale partitions are replay fuel, not data)."""
+    d = os.path.join(state_dir, "sample")
+    _, parts = _batch_partitions(spark, d)
+    if not parts:
+        return None
+    newest = max(b for b, _ in parts)
+    return (spark.read.parquet(d)
+            .where(F.col("batch_id") == newest).drop("batch_id"))
+
+
+def incremental_reservoir_stream(spark: SparkSession, input_dir: str,
+                                 state_dir: str, n: int,
+                                 stratum_col: str = "lang",
+                                 id_col: str = "doc_id",
+                                 schema: str = ("doc_id long, text string, "
+                                                "lang string"),
+                                 available_now: bool = True,
+                                 max_files_per_trigger: int = 16):
+    """Streaming twin of operators/sampling.reservoir_sample: maintain,
+    per stratum, the n rows with the smallest md5 ranks seen so far —
+    true reservoir semantics over an unbounded stream, reproducible
+    because rank is a pure function of the row id.
+
+    The selection is a semilattice fold (top-n(A ∪ B) ==
+    top-n(top-n(A) ∪ B)), so the running state IS the exact sample of
+    the ingested union: per batch, the previous snapshot (<= n rows per
+    stratum) unions with the batch's ranked rows and one bounded window
+    re-selects — O(#strata x n + batch) rows, never O(history).  No
+    hash-threshold prefilter is needed (the union frame is already
+    bounded), so the stream tracks the TRUE per-stratum top-n, i.e. the
+    batch operator's semantics minus its astronomically-unlikely
+    prefilter-undershoot corner.
+
+    Snapshot/replay protocol: each batch writes a full snapshot
+    partition (batch_id = b) and then deletes every partition OLDER
+    than its immediate predecessor — so at most two snapshots (plus
+    crash leftovers) ever exist, a replayed batch b still finds its
+    predecessor to fold over, and readers (current_sample) take the
+    newest partition regardless of crash point.
+
+    State layout under `state_dir`:
+      checkpoint/   Spark streaming checkpoint
+      sample/       snapshot partitions (stratum, id, _rk, sample_rank)
+    """
+    from pyspark.sql import Window
+
+    from distributed_lsh_spark.operators.sampling import md5_rank
+
+    smp_dir = os.path.join(state_dir, "sample")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", str(max_files_per_trigger))
+              .parquet(input_dir))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        fs, parts = _batch_partitions(spark, smp_dir)
+        older = [b for b, _ in parts if b < batch_id]
+        cand = batch_df.select(F.col(stratum_col).alias("stratum"),
+                               F.col(id_col).alias("id"),
+                               md5_rank(F.col(id_col)).alias("_rk"))
+        if older:
+            prev_id = max(older)
+            prev = (spark.read.parquet(smp_dir)
+                    .where(F.col("batch_id") == prev_id)
+                    .select("stratum", "id", "_rk"))
+            cand = prev.unionByName(cand)
+        # a re-ingested id must not occupy two sample slots; the dedup
+        # runs on the bounded union frame, never on history
+        cand = cand.dropDuplicates(["stratum", "id"])
+        w = Window.partitionBy("stratum").orderBy("_rk", "id")
+        win = (cand.withColumn("sample_rank", F.row_number().over(w))
+               .where(F.col("sample_rank") <= n)
+               .withColumn("batch_id", F.lit(batch_id)))
+        (win.write.mode("overwrite").partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic").parquet(smp_dir))
+        # retain only the immediate predecessor (replay fuel); anything
+        # older is unreachable by any replay of batch_id or later
+        keep = {batch_id} | ({max(older)} if older else set())
+        for b, p in parts:
+            if b not in keep:
+                fs.delete(p)
+
+    writer = (stream.writeStream
+              .foreachBatch(process_batch)
+              .option("checkpointLocation",
+                      os.path.join(state_dir, "checkpoint")))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
