@@ -50,18 +50,22 @@ DSIR_DIM = 8192
 def _doc_features(df: DataFrame, dim: int, id_col: str,
                   text_col: str) -> DataFrame:
     """(doc_id, fid, m): per-doc hashed unigram+bigram multiplicities,
-    map-side combined (one row per distinct feature per doc)."""
+    map-side combined (one row per distinct feature per doc).
+
+    One token explode + one doc-partitioned lead() window + one fused
+    gram explode: each token emits its unigram, and — when a successor
+    exists — its bigram, from the SAME exploded row, so the corpus's
+    token stream is materialized once per call (a union of separate
+    unigram/bigram branches would re-run the explode per branch)."""
     base = df.select(F.col(id_col).alias("doc_id"),
                      normalized_tokens(text_col).alias("t"))
     ex = base.select("doc_id", F.posexplode("t").alias("pos", "w"))
     wspec = Window.partitionBy("doc_id").orderBy("pos")
-    bg = (ex.select("doc_id",
-                    F.concat_ws(" ", "w", F.lead("w").over(wspec))
-                     .alias("g"),
-                    F.lead("w").over(wspec).alias("w2"))
-            .where(F.col("w2").isNotNull())
-            .select("doc_id", "g"))
-    grams = ex.select("doc_id", F.col("w").alias("g")).unionByName(bg)
+    pair = ex.select("doc_id", "w", F.lead("w").over(wspec).alias("w2"))
+    g = F.explode(F.when(F.col("w2").isNull(), F.array("w"))
+                  .otherwise(F.array(F.col("w"),
+                                     F.concat_ws(" ", "w", "w2"))))
+    grams = pair.select("doc_id", g.alias("g"))
     return (grams.select("doc_id", feature_hash(F.col("g"), dim)
                          .alias("fid"))
             .groupBy("doc_id", "fid")
@@ -205,7 +209,15 @@ def dsir_weights(raw: DataFrame, target: DataFrame, dim: int = DSIR_DIM,
     replacement, proportional to w).  Docs with no grams carry
     logw_micro = 0 (weight 1) and still draw a key.
     """
-    lrs = dsir_log_ratios(raw, target, dim, id_col, text_col)
-    feats = _doc_features(raw, dim, id_col, text_col)
+    # the raw feature frame feeds BOTH the count table and the scoring
+    # join; the lazy localCheckpoint is the reuse barrier (without it
+    # each consumer re-runs the token explode + bigram window — measured
+    # ~2x the whole job's wall time at 800k docs)
+    feats = _doc_features(raw, dim, id_col, text_col) \
+        .localCheckpoint(eager=False)
+    rawc = feats.groupBy("fid").agg(F.sum("m").alias("cr"))
+    tgtc = (_doc_features(target, dim, id_col, text_col)
+            .groupBy("fid").agg(F.sum("m").alias("ct")))
+    lrs = log_ratios_from_counts(rawc, tgtc, dim)
     return score_features(feats, lrs,
                           raw.select(F.col(id_col).alias("doc_id")))
