@@ -210,11 +210,17 @@ def dsir_weights(raw: DataFrame, target: DataFrame, dim: int = DSIR_DIM,
     logw_micro = 0 (weight 1) and still draw a key.
     """
     # the raw feature frame feeds BOTH the count table and the scoring
-    # join; the lazy localCheckpoint is the reuse barrier (without it
-    # each consumer re-runs the token explode + bigram window — measured
-    # ~2x the whole job's wall time at 800k docs)
+    # join; the DISK_ONLY persist is the reuse barrier (without it each
+    # consumer re-runs the token explode + bigram window — measured ~2x
+    # the whole job's wall time at 800k docs).  DISK_ONLY, not
+    # localCheckpoint: the frame is ~#distinct-grams-per-doc x corpus
+    # rows, and holding it deserialized in executor heaps OOMs at 800k
+    # docs on a 48 GB heap; serialized-to-disk it is a few GB and the
+    # re-read still beats re-sorting the bigram window.  Stays cached
+    # for the session (the pipeline persist precedent).
+    from pyspark import StorageLevel
     feats = _doc_features(raw, dim, id_col, text_col) \
-        .localCheckpoint(eager=False)
+        .persist(StorageLevel.DISK_ONLY)
     rawc = feats.groupBy("fid").agg(F.sum("m").alias("cr"))
     tgtc = (_doc_features(target, dim, id_col, text_col)
             .groupBy("fid").agg(F.sum("m").alias("ct")))
