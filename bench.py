@@ -56,6 +56,7 @@ def main() -> None:
         "url_latest_dedup",
         "dedup_funnel",
         "dedup_funnel_contained",
+        "dedup_funnel_dsir",
         "token_rarity",
         "domain_stats",
         "semantic_dedup",

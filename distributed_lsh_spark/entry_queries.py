@@ -4227,38 +4227,14 @@ def q_dedup_funnel_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.metrics.orderBy("tier_no")
 
 
-def _sql_dedup_funnel(contained: bool = False) -> str:
+def _funnel_core_ctes(prefix_plant: str = "") -> str:
+    """The funnel oracle's shared spine: planted base -> crawl columns ->
+    tier 1 (url-latest) -> tier 2 (exact) -> tier 3 (quality) -> shingle
+    CTEs over t3 -> transitive near-dup clusters.  Callers append their
+    own survivor/selection CTEs (t4 variants, containment, DSIR)."""
     q = _SQL_QUALITY_CTE.format(toks=_DUCK_TOKS, sw=repr(_STOPWORDS["en"]),
                                 src="t2")
-    prefix_plant = """
-  UNION ALL
-  SELECT doc_id + 2500000, substr(text, 1, (length(text)*3) // 5)
-  FROM documents WHERE doc_id % 67 = 0 AND length(text) >= 200""" \
-        if contained else ""
-    # tier 5 reuses the shd/sizes CTEs computed over t3: tier-4 survivors
-    # keep their t3 text, so restricting both join sides to t4 yields
-    # exactly the engine's shingle sets over the survivor frame
-    tier5_ctes = f""",
-cont_inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-  FROM shd a JOIN shd b ON a.g = b.g AND a.doc_id < b.doc_id
-  JOIN t4 ta ON ta.doc_id = a.doc_id
-  JOIN t4 tb ON tb.doc_id = b.doc_id
-  GROUP BY 1, 2
-),
-contained AS (
-  SELECT DISTINCT CASE WHEN sa.n <= sb.n THEN id_a ELSE id_b END AS doc_id
-  FROM cont_inter
-  JOIN sizes sa ON sa.doc_id = id_a
-  JOIN sizes sb ON sb.doc_id = id_b
-  WHERE c * 1.0 / least(sa.n, sb.n) >= {CFG.jaccard_threshold}
-),
-t5 AS (SELECT doc_id FROM t4
-       WHERE doc_id NOT IN (SELECT doc_id FROM contained))""" \
-        if contained else ""
-    tier5_count = ("\n  UNION ALL SELECT 5, 'containment', "
-                   "(SELECT count(*) FROM t5)" if contained else "")
-    return f"""WITH RECURSIVE base AS (
+    return f"""base AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 3000000, text || ' urlcopy' FROM documents
@@ -4296,7 +4272,39 @@ reach(a, b) AS (
   SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
 ),
 clusters AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-             FROM reach GROUP BY a),
+             FROM reach GROUP BY a)"""
+
+
+def _sql_dedup_funnel(contained: bool = False) -> str:
+    prefix_plant = """
+  UNION ALL
+  SELECT doc_id + 2500000, substr(text, 1, (length(text)*3) // 5)
+  FROM documents WHERE doc_id % 67 = 0 AND length(text) >= 200""" \
+        if contained else ""
+    # tier 5 reuses the shd/sizes CTEs computed over t3: tier-4 survivors
+    # keep their t3 text, so restricting both join sides to t4 yields
+    # exactly the engine's shingle sets over the survivor frame
+    tier5_ctes = f""",
+cont_inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM shd a JOIN shd b ON a.g = b.g AND a.doc_id < b.doc_id
+  JOIN t4 ta ON ta.doc_id = a.doc_id
+  JOIN t4 tb ON tb.doc_id = b.doc_id
+  GROUP BY 1, 2
+),
+contained AS (
+  SELECT DISTINCT CASE WHEN sa.n <= sb.n THEN id_a ELSE id_b END AS doc_id
+  FROM cont_inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE c * 1.0 / least(sa.n, sb.n) >= {CFG.jaccard_threshold}
+),
+t5 AS (SELECT doc_id FROM t4
+       WHERE doc_id NOT IN (SELECT doc_id FROM contained))""" \
+        if contained else ""
+    tier5_count = ("\n  UNION ALL SELECT 5, 'containment', "
+                   "(SELECT count(*) FROM t5)" if contained else "")
+    return f"""WITH RECURSIVE {_funnel_core_ctes(prefix_plant)},
 t4 AS (SELECT doc_id FROM t3
        WHERE doc_id NOT IN (SELECT doc_id FROM clusters
                             WHERE doc_id != cluster_id)){tier5_ctes},
@@ -4315,6 +4323,61 @@ SELECT CAST(tier_no AS INT) AS tier_no, tier,
        CAST(coalesce(lag(docs_out) OVER (ORDER BY tier_no), docs_out)
             - docs_out AS BIGINT) AS docs_removed
 FROM counts ORDER BY tier_no"""
+
+
+def q_dedup_funnel_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full tier-dedup -> data-selection composition in one gate
+    row: q_dedup_funnel's 4-tier funnel (same plantings, same derived
+    crawl columns), then the DSIR resample over the SURVIVORS — the 25
+    survivors with the largest importance keys against the doc_id % 7
+    == 3 target slice.  Value-checks that the checkpointable production
+    composition (`curate --dsir-target/--dsir-keep`) equals the naive
+    formulation end to end: the oracle replays all four tiers, retrains
+    both multinomials over the surviving frame, and sorts by key."""
+    from distributed_lsh_spark.operators.dsir import dsir_select
+    from distributed_lsh_spark.operators.funnel import curation_funnel
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    url_copies = (df.where(F.pmod(F.col("doc_id"), F.lit(89)) == 0)
+                    .select((F.col("doc_id") + 3_000_000).alias("doc_id"),
+                            F.concat(F.col("text"),
+                                     F.lit(" urlcopy")).alias("text")))
+    exact_copies = (df.where(F.pmod(F.col("doc_id"), F.lit(97)) == 0)
+                      .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                              "text"))
+    base = df.unionByName(url_copies).unionByName(exact_copies)
+    path = F.pmod(F.col("doc_id"), F.lit(3_000_000))
+    pages = (base
+             .withColumn("url", F.concat(F.lit("https://example.com/p/"),
+                                         path.cast("string")))
+             .withColumn("warc_epoch",
+                         (F.lit(1735689600)
+                          + F.pmod(F.col("doc_id") * 7919,
+                                   F.lit(1_000_000))).cast("long")))
+    surv = (curation_funnel(pages, CFG, quality_keep=quality_keep_expr())
+            .survivors.select("doc_id", "text"))
+    target = surv.where(F.pmod(F.col("doc_id"), F.lit(7)) == 3)
+    return (dsir_select(surv, target, n=25)
+            .select("sel_rank", "doc_id", "n_grams", "logw_micro",
+                    "avg_logw", "key_micro")
+            .orderBy("sel_rank"))
+
+
+def _sql_dedup_funnel_dsir() -> str:
+    return f"""WITH RECURSIVE {_funnel_core_ctes()},
+t4s AS (SELECT doc_id, text FROM t3
+        WHERE doc_id NOT IN (SELECT doc_id FROM clusters
+                             WHERE doc_id != cluster_id)),
+{_dsir_chain(src="t4s")},
+ranked AS (
+  SELECT row_number() OVER (ORDER BY key_micro DESC, doc_id) AS sel_rank,
+         doc_id, n_grams, logw_micro, avg_logw, key_micro
+  FROM scored
+)
+SELECT CAST(sel_rank AS INT) AS sel_rank, doc_id, n_grams, logw_micro,
+       avg_logw, key_micro
+FROM ranked WHERE sel_rank <= 25 ORDER BY sel_rank"""
 
 
 def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5128,13 +5191,14 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("sel_rank"))
 
 
-_DSIR_CHAIN = f"""toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+def _dsir_chain(src: str = "documents") -> str:
+    return f"""dtoks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM {src}),
 gr AS (
   SELECT doc_id, unnest(list_concat(t,
          CASE WHEN len(t) < 2 THEN []
               ELSE [t[i] || ' ' || t[i + 1] for i in range(1, len(t))]
          END)) AS g
-  FROM toks
+  FROM dtoks
 ),
 docf AS (SELECT doc_id,
                 ('0x' || substr(md5(g), 1, 15))::BIGINT % 8192 AS fid,
@@ -5158,7 +5222,7 @@ keyed AS (
   SELECT d.doc_id,
          CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
          CAST(coalesce(logw_micro, 0) AS BIGINT) AS logw_micro
-  FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+  FROM {src} d LEFT JOIN per ON per.doc_id = d.doc_id
 ),
 scored AS (
   SELECT doc_id, n_grams, logw_micro,
@@ -5171,12 +5235,12 @@ scored AS (
 )"""
 
 _SQL_DSIR_WEIGHTS = f"""
-WITH {_DSIR_CHAIN}
+WITH {_dsir_chain()}
 SELECT doc_id, n_grams, logw_micro, avg_logw, key_micro
 FROM scored ORDER BY doc_id"""
 
 _SQL_DSIR_SELECT = f"""
-WITH {_DSIR_CHAIN},
+WITH {_dsir_chain()},
 ranked AS (
   SELECT row_number() OVER (ORDER BY key_micro DESC, doc_id) AS sel_rank,
          doc_id, n_grams, logw_micro, avg_logw, key_micro
@@ -5776,6 +5840,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classifier": q_quality_classifier,
     "dsir_weights": q_dsir_weights,
     "dsir_select": q_dsir_select,
+    "dedup_funnel_dsir": q_dedup_funnel_dsir,
     "substring_removal": q_substring_removal,
     "mirror_hosts": q_mirror_hosts,
     "reservoir_sample": q_reservoir_sample,
@@ -5883,6 +5948,7 @@ ORACLE_SQL: dict[str, str] = {
     "quality_classifier": _SQL_QUALITY_CLASSIFIER,
     "dsir_weights": _SQL_DSIR_WEIGHTS,
     "dsir_select": _SQL_DSIR_SELECT,
+    "dedup_funnel_dsir": _sql_dedup_funnel_dsir(),
     "substring_removal": _sql_substring_removal(),
     "mirror_hosts": _SQL_MIRROR_HOSTS,
     "reservoir_sample": _SQL_RESERVOIR_SAMPLE,
