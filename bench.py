@@ -46,6 +46,7 @@ def main() -> None:
         "tokenizer_fertility",
         "line_dedup",
         "line_dedup_keep_first",
+        "bloom_line_dedup",
         "c4_line_filter",
         "bpe_merge_learn",
         "bpe_encode",

@@ -2758,6 +2758,120 @@ SELECT doc_id,
 FROM fl GROUP BY doc_id ORDER BY doc_id"""
 
 
+def q_bloom_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma-style Bloom-filter line dedup: the probabilistic-membership
+    verdict IS the removal decision (operators/bloom_dedup.py) — an
+    occurrence is removed iff, replaying a Bloom filter over occurrences
+    in (doc_id, pos) order, all k of its bit positions were already set.
+    Exact duplicates are flagged by construction; the remainder are the
+    false positives the (m, k) sizing controls, and the gate
+    VALUE-CHECKS them: n_fp per doc and the cleaned-text md5 both depend
+    on every bit of the md5 double-hash arithmetic, so a single wrong
+    bit position reds the row.  Contrast q_line_dedup (exact global C4
+    rule) and q_line_dedup_keep_first (exact Dolma keep-first rule):
+    this row trades exactness for O(m bits) membership state — the form
+    that dedups an unbounded stream in fixed memory.
+
+    Planting: identical union to q_line_dedup (doc_id % 61 partial
+    copies at +2_000_000) so exact duplicates are dense; the gate
+    constants m=65536, k=2 are sized to make the corpus's natural false
+    positives non-zero at both gate scales (sf0.001: 10, sf0.01: 15).
+    GATE SCAFFOLDING ONLY: the packed rank doc_id*2^20+pos assumes the
+    sf corpora's dense non-negative ids; a production stream ranks by
+    arrival order with the same plan.
+
+    Scale shape (100 TB): occurrences explode into k=2 16-byte
+    (rk, bpos) rows; bit-fill order resolves as ONE map-side-combining
+    min(rk) per position (never a bit-array in memory, never a window);
+    the verdict join and the per-doc reconstruction shuffle narrow keys
+    only.  No driver collects, no per-row Python."""
+    from distributed_lsh_spark.operators.bloom_dedup import (
+        BLOOM_K, BLOOM_M, RANK_POS_SPACE, bloom_flag_occurrences,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    norm = F.expr(_TOK_STREAM.format(col="text"))
+    docs = df.select("doc_id", norm.alias("norm"))
+    prefix24 = F.regexp_extract(F.col("norm"), "[^ ]+( [^ ]+){0,23}", 0)
+    planted = (docs.where(F.pmod(F.col("doc_id"), F.lit(61)) == 0)
+               .select((F.col("doc_id") + 2_000_000).alias("doc_id"),
+                       F.concat(prefix24, F.lit(" planteddup")).alias("norm")))
+    lines = (_doc_lines(docs.unionByName(planted), text_col="norm")
+             .withColumn("rk", F.col("doc_id") * F.lit(RANK_POS_SPACE)
+                         + F.col("pos")))
+    flags = bloom_flag_occurrences(lines, BLOOM_M, BLOOM_K,
+                                   key_col="line", rank_col="rk")
+    # exact first-occurrence per line key (8-byte lk shuffle, min
+    # map-side combinable) classifies flags into true dups vs FPs
+    firsts = lines.groupBy("lk").agg(F.min("rk").alias("first_rk"))
+    fl = (lines.join(flags, "rk").join(firsts, "lk")
+          .select("doc_id", "pos", "flagged",
+                  (F.col("rk") > F.col("first_rk")).alias("is_exact"),
+                  F.when(~F.col("flagged"), F.col("line")).alias("line")))
+    kept = F.array_sort(F.collect_list(
+        F.when(~F.col("flagged"), F.struct("pos", "line"))))
+    return (fl.groupBy("doc_id")
+            .agg(F.count("*").alias("n_lines"),
+                 F.sum(F.col("flagged").cast("bigint")).alias("n_flagged"),
+                 F.sum(F.col("is_exact").cast("bigint")).alias("n_exact_dup"),
+                 F.sum((F.col("flagged") & ~F.col("is_exact")).cast("bigint"))
+                  .alias("n_fp"),
+                 F.md5(F.concat_ws("\n", kept["line"]).cast("binary"))
+                  .alias("clean_md5"))
+            .select("doc_id", "n_lines", "n_flagged", "n_exact_dup", "n_fp",
+                    "clean_md5")
+            .orderBy("doc_id"))
+
+
+def _sql_bloom_line_dedup() -> str:
+    from distributed_lsh_spark.operators.bloom_dedup import (
+        BLOOM_K, BLOOM_M, RANK_POS_SPACE,
+    )
+    m, k, rs = BLOOM_M, BLOOM_K, RANK_POS_SPACE
+    return f"""WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         array_to_string(({_DUCK_TOKS})[1:24], ' ') || ' planteddup' AS text
+  FROM documents WHERE doc_id % 61 = 0
+),
+tk AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM base),
+lnl AS (
+  SELECT doc_id,
+         [{{'pos': i, 'line': array_to_string(t[(i-1)*8+1:(i-1)*8+8], ' ')}}
+          for i in range(1, CAST(ceil(len(t)/8.0) AS INT) + 1)] AS ls
+  FROM tk
+),
+ln AS (SELECT doc_id, unnest(ls, recursive := true) FROM lnl),
+hh AS (SELECT doc_id, pos, line, doc_id * {rs} + pos AS rk,
+              ('0x' || substr(md5(line), 1, 15))::BIGINT % {m} AS h1,
+              ('0x' || substr(md5(line), 17, 15))::BIGINT % {m - 1} + 1 AS h2
+       FROM ln),
+posn AS (SELECT rk, (h1 + i * h2) % {m} AS bpos
+         FROM hh, range({k}) r(i)),
+setter AS (SELECT bpos, min(rk) AS first_set FROM posn GROUP BY bpos),
+occflag AS (
+  SELECT p.rk, max(s.first_set) < p.rk AS flagged
+  FROM posn p JOIN setter s USING (bpos) GROUP BY p.rk
+),
+firstocc AS (SELECT line, min(rk) AS f FROM hh GROUP BY line),
+cls AS (
+  SELECT h.doc_id, h.pos, h.line, o.flagged, h.rk > fo.f AS is_exact
+  FROM hh h JOIN occflag o USING (rk) JOIN firstocc fo USING (line)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       CAST(sum(CASE WHEN is_exact THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact_dup,
+       CAST(sum(CASE WHEN flagged AND NOT is_exact THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_fp,
+       md5(coalesce(string_agg(CASE WHEN NOT flagged THEN line END, chr(10)
+                               ORDER BY pos), '')) AS clean_md5
+FROM cls GROUP BY doc_id ORDER BY doc_id"""
+
+
 def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line+page heuristic filter (Raffel et al. 2020 §2.2), the
     canonical web-corpus cleaning pass that precedes every dedup tier:
@@ -5798,6 +5912,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_semi_anti": q_part_supplier_semi_anti,
     "line_dedup": q_line_dedup,
     "line_dedup_keep_first": q_line_dedup_keep_first,
+    "bloom_line_dedup": q_bloom_line_dedup,
     "c4_line_filter": q_c4_line_filter,
     "bpe_merge_learn": q_bpe_merge_learn,
     "bpe_encode": q_bpe_encode,
@@ -5904,6 +6019,7 @@ ORACLE_SQL: dict[str, str] = {
     "part_semi_anti": _SQL_PART_SEMI_ANTI,
     "line_dedup": _sql_line_dedup(),
     "line_dedup_keep_first": _sql_line_dedup_keep_first(),
+    "bloom_line_dedup": _sql_bloom_line_dedup(),
     "c4_line_filter": _sql_c4_line_filter(),
     "bpe_merge_learn": _sql_bpe_merge_learn(),
     "bpe_encode": _sql_bpe_encode(),

@@ -644,6 +644,105 @@ def incremental_line_dedup_keep_first_stream(
     return writer.start()
 
 
+def incremental_bloom_line_stream(spark: SparkSession, input_dir: str,
+                                  state_dir: str, m: int | None = None,
+                                  k: int | None = None,
+                                  schema: str = "doc_id long, text string",
+                                  available_now: bool = True,
+                                  max_files_per_trigger: int = 16,
+                                  compact_every: int | None = 64):
+    """Streaming twin of entry_queries.q_bloom_line_dedup (Dolma-style
+    Bloom line dedup): each arriving occurrence is flagged iff all k of
+    its bit positions were set by an earlier occurrence — earlier batch,
+    or smaller (doc_id, pos) within the same batch.  Bloom membership is
+    MONOTONE (bits only accumulate), so a verdict is final on arrival:
+    every occurrence emits exactly once in its own batch, no
+    retractions, no retroactive rows.  Under monotone ingest (doc_ids
+    non-decreasing across batches) the cumulative flag set equals
+    q_bloom_line_dedup's global (doc_id, pos)-ordered replay exactly;
+    under arbitrary interleaving it is the first-ARRIVAL Bloom (both
+    pinned in tests).
+
+    This twin is WHY pipelines dedup streams with Bloom filters: state
+    is the set of set bit positions — AT MOST m rows (8-byte bpos keys)
+    no matter how many documents ever arrive, strictly smaller than
+    every exact twin's unbounded line index (the bound is pinned in
+    tests).  Per-batch cost: O(batch lines x k) explode + one probe
+    join against the <= m-row history.
+
+    State layout under `state_dir`:
+      checkpoint/   Spark streaming checkpoint
+      positions/    distinct set bit positions (bpos), <= m rows total
+      flags/        per-occurrence verdicts, with batch_id lineage
+
+    Compaction crash windows leave duplicate bpos rows — harmless (set
+    semantics: the probe is a left join on distinct history, and the
+    next compaction's dropDuplicates self-heals)."""
+    from distributed_lsh_spark.functions.text import doc_lines
+    from distributed_lsh_spark.operators.bloom_dedup import (
+        BLOOM_K, BLOOM_M, RANK_POS_SPACE, occurrence_positions,
+    )
+
+    if m is None:
+        m = BLOOM_M
+    if k is None:
+        k = BLOOM_K
+    pos_dir = os.path.join(state_dir, "positions")
+    fl_dir = os.path.join(state_dir, "flags")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", str(max_files_per_trigger))
+              .parquet(input_dir))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_batch_index(spark, pos_dir, batch_id)
+        lines = (doc_lines(batch_df.select("doc_id", "text"))
+                 .withColumn("rk", F.col("doc_id") * F.lit(RANK_POS_SPACE)
+                             + F.col("pos")))
+        lines.persist()
+        posn = occurrence_positions(lines, m, k, key_col="line",
+                                    rank_col="rk")
+        posn.persist()
+        try:
+            if has_band_history(spark, pos_dir):
+                hist = (spark.read.parquet(pos_dir)
+                        .where(F.col("batch_id") < batch_id)
+                        .select("bpos").dropDuplicates())
+            else:
+                hist = spark.createDataFrame([], "bpos long")
+            setters = posn.groupBy("bpos").agg(F.min("rk").alias("first_set"))
+            early = (posn.join(hist.withColumn("_h", F.lit(1)), "bpos", "left")
+                     .join(setters, "bpos")
+                     .select("rk", (F.col("_h").isNotNull() |
+                                    (F.col("first_set") < F.col("rk")))
+                             .cast("int").alias("_e")))
+            flags = (early.groupBy("rk")
+                     .agg((F.min("_e") == 1).alias("flagged")))
+            out = (lines.join(flags, "rk")
+                   .select("doc_id", "pos", "flagged")
+                   .withColumn("batch_id", F.lit(batch_id)))
+            new_pos = (posn.select("bpos").dropDuplicates()
+                       .join(hist, "bpos", "left_anti")
+                       .withColumn("batch_id", F.lit(batch_id)))
+            for df, d in ((out, fl_dir), (new_pos, pos_dir)):
+                (df.write.mode("overwrite").partitionBy("batch_id")
+                   .option("partitionOverwriteMode", "dynamic").parquet(d))
+        finally:
+            lines.unpersist()
+            posn.unpersist()
+
+    writer = (stream.writeStream
+              .foreachBatch(process_batch)
+              .option("checkpointLocation",
+                      os.path.join(state_dir, "checkpoint")))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def incremental_novelty_stream(spark: SparkSession, input_dir: str,
                                state_dir: str, n: int = 5,
                                schema: str = "doc_id long, text string",
