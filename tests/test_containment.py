@@ -90,3 +90,57 @@ def test_equal_size_mutual_containment_labels_lower_id(spark):
     rows = containment_pairs(with_signatures(df, CFG), tau=0.9).collect()
     assert len(rows) == 1
     assert rows[0]["contained_id"] == 1 and rows[0]["containment"] == 1.0
+
+
+def test_ensemble_r_tuning_monotone_and_sane():
+    """r(p,q) decreases as the qualifying pair's worst Jaccard shrinks,
+    and every choice meets the recall floor it was tuned for."""
+    from distributed_lsh_spark.operators.containment import _ensemble_r
+
+    picks = [_ensemble_r(j, 128, 0.98)
+             for j in (0.8, 0.4, 0.2, 0.1, 0.05)]
+    assert picks == sorted(picks, reverse=True)
+    assert picks[0] > 1 and picks[-1] >= 1
+    for j, r in zip((0.8, 0.4, 0.2, 0.1, 0.05), picks):
+        b = 128 // r
+        assert 1 - (1 - j ** r) ** b >= 0.98
+
+
+def test_lsh_ensemble_candidates_match_exact_index(spark):
+    """The size-partitioned LSH candidate path feeds verification the
+    same final pair set as the exhaustive df-capped inverted index on a
+    corpus of planted asymmetric (prefix-copy) and symmetric near-dup
+    pairs — the Jaccard-missed class the ensemble exists for."""
+    rng = random.Random(11)
+    vocab = [f"w{i:04d}" for i in range(4000)]
+    docs_py = {d: " ".join(rng.choice(vocab) for _ in range(120))
+               for d in range(30)}
+    # ~40% prefix copies (the gate's planting shape): containment ~1,
+    # Jaccard ~0.4 -- below the 0.8 LSH threshold, 1-slice size gap
+    for d in range(0, 30, 7):
+        toks = docs_py[d].split()
+        docs_py[1000 + d] = " ".join(toks[:48]) + " planted marker"
+    df = spark.createDataFrame(list(docs_py.items()),
+                               "doc_id long, text string")
+    sigs = with_signatures(df, CFG).localCheckpoint(eager=False)
+
+    from distributed_lsh_spark.operators.containment import (
+        lsh_ensemble_candidates,
+    )
+
+    exact = {(r["id_a"], r["id_b"]): (r["containment"], r["contained_id"])
+             for r in containment_pairs(sigs, tau=0.8).collect()}
+    assert any(a % 7 == 0 and b == 1000 + a for a, b in exact), \
+        "fixture must plant contained pairs"
+
+    cands = lsh_ensemble_candidates(sigs, tau=0.8, num_perm=CFG.num_perm)
+    got = {(r["id_a"], r["id_b"]): (r["containment"], r["contained_id"])
+           for r in containment_pairs(sigs, tau=0.8,
+                                      candidates=cands).collect()}
+    assert got == exact
+
+    # pruning actually happened: the band family proposes close to the
+    # true pair count, nowhere near the all-pairs quadratic
+    n_docs = len(docs_py)
+    n_cands = cands.count()
+    assert len(exact) <= n_cands < n_docs * (n_docs - 1) // 4
