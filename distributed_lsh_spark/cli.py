@@ -400,6 +400,11 @@ def cmd_curate(args: argparse.Namespace) -> None:
                                               bool(args.fuzzy_exact),
                                           "strip_boilerplate":
                                               bool(args.strip_boilerplate),
+                                          # dedup-decision semantics are
+                                          # run config: a mode change
+                                          # must rebuild, not resume
+                                          "line_dedup": args.line_dedup,
+                                          "bloom_bits": args.bloom_bits,
                                           "blocked_words": wd_words,
                                           "max_docs_per_host":
                                               args.max_docs_per_host,
@@ -523,6 +528,35 @@ def cmd_curate(args: argparse.Namespace) -> None:
         n_boiler_lines = (survivors.agg(F.sum("_n_chrome")).collect()[0][0]
                           or 0)
         survivors = survivors.drop("_n_chrome")
+    n_dup_lines = None
+    if args.line_dedup:
+        # post-funnel rewrite tier: GLOBAL line dedup (the gated
+        # line_dedup / line_dedup_keep_first / bloom_line_dedup
+        # semantics, operators/line_dedup.py).  Runs AFTER the
+        # host-scoped chrome pass (targeted within-site removal first,
+        # the global rule then handles cross-site repeats) and BEFORE
+        # span removal, so verbatim-span detection sees line-deduped
+        # text.  Output text is the cleaned NORMALIZED stream (the
+        # family's contract).
+        from distributed_lsh_spark.operators.line_dedup import \
+            remove_duplicate_lines
+
+        ld_surv = survivors
+
+        def _line_clean():
+            kw = {"bloom_m": args.bloom_bits} if args.bloom_bits else {}
+            cleaned = remove_duplicate_lines(
+                ld_surv.select("doc_id", "text"),
+                mode=args.line_dedup.replace("-", "_"), **kw)
+            return (ld_surv.drop("text")
+                    .join(cleaned.select(
+                        "doc_id", F.col("n_removed").alias("_n_dup"),
+                        F.col("clean_text").alias("text")), "doc_id"))
+
+        survivors = ckpt.stage("line_clean", _line_clean)
+        n_dup_lines = (survivors.agg(F.sum("_n_dup")).collect()[0][0]
+                       or 0)
+        survivors = survivors.drop("_n_dup")
     n_span_tokens = None
     if args.remove_spans:
         # post-funnel rewrite tier (Lee et al. remediation): the funnel
@@ -590,6 +624,7 @@ def cmd_curate(args: argparse.Namespace) -> None:
         "wall_sec": round(dt, 2),
         "docs_per_sec": round(n_in / dt, 1) if dt else None,
         "survivors_stage": ("span_clean" if args.remove_spans
+                            else "line_clean" if args.line_dedup
                             else "boiler_clean" if args.strip_boilerplate
                             else "dsir_select" if args.dsir_keep
                             else "host_cap" if args.max_docs_per_host
@@ -615,6 +650,8 @@ def cmd_curate(args: argparse.Namespace) -> None:
            if n_span_tokens is not None else {}),
         **({"boilerplate_lines_removed": int(n_boiler_lines)}
            if n_boiler_lines is not None else {}),
+        **({"dup_lines_removed": int(n_dup_lines)}
+           if n_dup_lines is not None else {}),
         **({"noindex_removed": int(n_noindex_removed)}
            if n_noindex_removed is not None else {}),
         **({"encoding_fixed": int(n_encoding_fixed)}
@@ -873,6 +910,18 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("--canonical-urls", action="store_true",
                    help="canonicalize urls (RFC 3986 + tracking-param "
                         "strip) before the keep-latest-per-url tier")
+    c.add_argument("--line-dedup", default=None,
+                   choices=("c4", "keep-first", "bloom"),
+                   help="post-funnel GLOBAL line-dedup rewrite tier: "
+                        "c4 removes every occurrence of a repeated "
+                        "8-token line, keep-first keeps the earliest "
+                        "occurrence, bloom is keep-first decided by a "
+                        "sequential Bloom filter (fixed-memory state; "
+                        "false positives are a tunable loss)")
+    c.add_argument("--bloom-bits", type=int, default=None,
+                   help="Bloom filter size in bits for --line-dedup "
+                        "bloom (default 2^30; size via "
+                        "functions/bloom.bloom_parameters)")
     c.add_argument("--strip-boilerplate", action="store_true",
                    help="post-funnel rewrite: cut host-scoped chrome "
                         "lines (>= 30% of a host's docs) from survivor "
