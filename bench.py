@@ -100,6 +100,7 @@ def main() -> None:
         "length_quantiles",
         "encoding_quality",
         "noindex_filter",
+        "robots_filter",
         "corpus_drift",
     ]
 

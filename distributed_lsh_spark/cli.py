@@ -267,6 +267,35 @@ def cmd_curate(args: argparse.Namespace) -> None:
         n_before_ni = pages.count()
         pages = pages.where(~robots_noindex("html"))
         n_noindex_removed = n_before_ni - pages.count()
+    n_robots_removed = None
+    if args.robots_table:
+        # RFC 9309 robots.txt compliance — the other crawl-legality
+        # pass: rules are O(#hosts) rows parsed host-side (never per
+        # page), the page side is one host join + one rlike + one
+        # map-side-combinable argmax, then a left_anti on the (small)
+        # disallowed id set
+        if "url" not in pages.columns:
+            raise SystemExit("--robots-table needs a url column "
+                             "on the input pages table")
+        from distributed_lsh_spark.operators.blocklist import url_host
+        from distributed_lsh_spark.operators.robots import (
+            robots_rules, robots_verdicts)
+
+        robots = spark.read.parquet(args.robots_table)
+        rules = robots_rules(robots, user_agent=args.robots_agent)
+        # RFC matching runs against path + query (the Google matcher's
+        # convention); no path at all matches as "/"
+        tail = F.regexp_extract(
+            F.col("url"),
+            r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([/?].*)?$", 1)
+        probe = pages.select(
+            "doc_id", url_host(F.col("url")).alias("host"),
+            F.when(tail == "", F.lit("/")).otherwise(tail).alias("path"))
+        blocked = (robots_verdicts(probe, rules)
+                   .where(~F.col("allowed")).select("doc_id"))
+        n_before_rb = pages.count()
+        pages = pages.join(blocked, "doc_id", "left_anti")
+        n_robots_removed = n_before_rb - pages.count()
     n_encoding_fixed = None
     if args.fix_encoding:
         # ftfy-style mojibake repair BEFORE any byte-keyed tier: wrong-
@@ -386,6 +415,13 @@ def cmd_curate(args: argparse.Namespace) -> None:
                                           # list must rebuild, not resume
                                           "respect_noindex":
                                               bool(args.respect_noindex),
+                                          # robots semantics: the table
+                                          # is input DATA (not hashed,
+                                          # like the pages input); the
+                                          # agent + table path are config
+                                          "robots_table": args.robots_table,
+                                          "robots_agent": args.robots_agent
+                                          if args.robots_table else None,
                                           "fix_encoding":
                                               bool(args.fix_encoding),
                                           "blocked_hosts": bl_entries,
@@ -654,6 +690,8 @@ def cmd_curate(args: argparse.Namespace) -> None:
            if n_dup_lines is not None else {}),
         **({"noindex_removed": int(n_noindex_removed)}
            if n_noindex_removed is not None else {}),
+        **({"robots_removed": int(n_robots_removed)}
+           if n_robots_removed is not None else {}),
         **({"encoding_fixed": int(n_encoding_fixed)}
            if n_encoding_fixed is not None else {}),
     }))
@@ -938,6 +976,16 @@ def main(argv: list[str] | None = None) -> None:
                    help="drop pages whose <meta name=robots> carries "
                         "noindex/none (needs an html column); map-only "
                         "pass before every tier; rides the config echo")
+    c.add_argument("--robots-table", default=None,
+                   help="parquet table of (host, robots_txt) bodies; "
+                        "drop pages the host's robots.txt disallows for "
+                        "--robots-agent under RFC 9309 longest-match "
+                        "precedence (operators/robots.py); needs a url "
+                        "column; runs with the crawl-legality passes "
+                        "before every tier")
+    c.add_argument("--robots-agent", default="*",
+                   help="user-agent token evaluated against --robots-"
+                        "table group selection (default: *)")
     c.add_argument("--blocked-hosts", default=None,
                    help="file of blocked registrable domains (one per "
                         "line, # comments) applied as a map-only "

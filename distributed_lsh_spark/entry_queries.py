@@ -1811,6 +1811,99 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id"""
 
 
+# robots.txt planting: ONE synthetic per-host robots.txt whose trainbot
+# group exercises every RFC 9309 precedence rule, plus a DECOY `*`
+# group that would block the k=0 class if agent-group selection ever
+# leaked it in.  Verdicts per k = doc_id % 8 are STATED arithmetically
+# in the oracle (never parsed), so parser + matcher + precedence are
+# checked against independent truth.
+_ROBOTS_TXT = """\
+# synthetic robots.txt (every host serves the same body in the gate)
+User-agent: *
+Disallow: /public/
+
+User-agent: trainbot
+Disallow: /private/
+Allow: /private/pub/
+Disallow: /tmp/*.html$
+Disallow: /dup/
+Allow: /dup/
+Allow: /b
+Disallow: /b/
+Disallow: /c/
+Allow: /c/*/ok$
+"""
+# k -> (path prefix, path suffix, blocked?, matched pattern)
+_ROBOTS_CASES = [
+    ("/public/", "", False, ""),              # no trainbot rule; decoy ignored
+    ("/private/", "", True, "/private/"),     # plain disallow
+    ("/private/pub/", "", False, "/private/pub/"),  # longer allow wins
+    ("/tmp/", ".html", True, "/tmp/*.html$"),  # wildcard + $ anchor hits
+    ("/tmp/", ".htm", False, ""),              # $ anchor correctly misses
+    ("/dup/", "", False, "/dup/"),             # equal length: allow wins tie
+    ("/b/", "", True, "/b/"),                  # longer disallow beats allow
+    ("/c/", "/ok", False, "/c/*/ok$"),         # wildcard-middle allow wins
+]
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt compliance (RFC 9309, `operators/robots.py`) under the
+    hard gate — the crawl-legality pass that drops pages a host's
+    robots.txt disallows for the harvesting agent.
+
+    Seven synthetic hosts each serve the SAME robots.txt body through
+    the production plain-Python parser (`parse_robots_txt`, run as
+    `robots_rules`' Arrow batch over the 7-row host frame — O(#hosts),
+    never O(pages)); each doc's path (doc_id % 8) exercises one
+    precedence case: no-rule default allow, plain disallow, longer
+    allow overriding, `*`-wildcard + `$`-anchor hit AND miss,
+    equal-length tie (allow wins), longer disallow overriding, and a
+    wildcard-in-the-middle allow.  The `*` agent group is a decoy that
+    would flip the k=0 verdict if group selection leaked it in.  The
+    oracle states every verdict from doc_id ARITHMETIC and never
+    parses robots.txt or paths.
+
+    Scale shape: rules broadcast (O(#hosts) rows), pages scanned once,
+    match = one JVM rlike per candidate rule, precedence = one
+    map-side-combinable max(struct) groupBy — no Python on the page
+    side."""
+    from distributed_lsh_spark.operators.robots import (
+        robots_rules, robots_verdicts,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    k = F.pmod(F.col("doc_id"), F.lit(8)).cast("int")
+    host = F.concat(F.lit("h"),
+                    F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+                    F.lit(".example.com"))
+    prefix = F.element_at(
+        F.array(*[F.lit(c[0]) for c in _ROBOTS_CASES]), k + 1)
+    suffix = F.element_at(
+        F.array(*[F.lit(c[1]) for c in _ROBOTS_CASES]), k + 1)
+    path = F.concat(prefix, F.col("doc_id").cast("string"), suffix)
+    pages = df.select("doc_id", host.alias("host"), path.alias("path"))
+
+    robots = spark.range(7).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"),
+                 F.lit(".example.com")).alias("host"),
+        F.lit(_ROBOTS_TXT).alias("robots_txt"))
+    rules = robots_rules(robots, user_agent="trainbot")
+    return robots_verdicts(pages, rules).orderBy("doc_id")
+
+
+def _sql_robots_filter() -> str:
+    blocked = ", ".join(str(i) for i, c in enumerate(_ROBOTS_CASES) if c[2])
+    arms = "\n".join(
+        f"         WHEN {i} THEN '{c[3]}'" for i, c in enumerate(_ROBOTS_CASES))
+    return f"""
+SELECT doc_id,
+       (doc_id % 8) NOT IN ({blocked}) AS allowed,
+       CASE doc_id % 8
+{arms}
+       END AS matched_pattern
+FROM documents ORDER BY doc_id"""
+
+
 def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-graph analysis — the other standard Common-Crawl derivative
     (WAT links / domain ranking): hrefs are EXTRACTED from planted html
@@ -5945,6 +6038,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_drift": q_corpus_drift,
     "encoding_quality": q_encoding_quality,
     "noindex_filter": q_noindex_filter,
+    "robots_filter": q_robots_filter,
     "pack_sequences": q_pack_sequences,
     "doc_chunking": q_doc_chunking,
     "blocklist_filter": q_blocklist_filter,
@@ -6054,6 +6148,7 @@ ORACLE_SQL: dict[str, str] = {
     "corpus_drift": _sql_corpus_drift(),
     "encoding_quality": _sql_encoding_quality(),
     "noindex_filter": _sql_noindex_filter(),
+    "robots_filter": _sql_robots_filter(),
     "pack_sequences": _SQL_PACK_SEQUENCES,
     "doc_chunking": _SQL_DOC_CHUNKING,
     "blocklist_filter": _SQL_BLOCKLIST_FILTER,
