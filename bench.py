@@ -101,6 +101,7 @@ def main() -> None:
         "encoding_quality",
         "noindex_filter",
         "robots_filter",
+        "main_content_extract",
         "corpus_drift",
     ]
 

@@ -1904,6 +1904,113 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id"""
 
 
+# main-content planting: four extra blocks pin both classification
+# thresholds from both sides (19 chars = one under min_chars; 20 = at
+# it; link per-mille 904 = far over; 333 = exactly at the boundary,
+# kept).  All four are constants, so the oracle states their features
+# and kept-text contributions from doc_id arithmetic alone.
+_MC_NAV = ('<div class="nav"><a href="/h">Home</a> '
+           '<a href="/a">About</a></div>')
+_MC_E41 = "<p>nineteen charsxxxxx</p>"                      # 19 -> boiler
+_MC_E43 = '<p><a href="/y">long anchor textzz</a> ok</p>'  # pm 904 -> boiler
+_MC_E47 = "<p>exactly twenty chars</p>"                    # 20 -> good
+_MC_E53 = '<p><a href="/z">ninechars</a> exactly twenty chars</p>'  # pm 333
+
+
+def q_main_content_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jusText-core main-content extraction
+    (`functions/extract.py:extract_main_content`) under the hard gate —
+    the within-PAGE boilerplate pass (navigation chrome, footers, link
+    farms) that complements `host_boilerplate`'s cross-doc rule.
+
+    Each doc's html plants: a nav div of pure anchors (link density
+    1000 pm), the doc text as two content paragraphs (split at the
+    midpoint), a short copyright line, and — on their own moduli — four
+    constant blocks sitting exactly ON and one step OFF both thresholds
+    (19/20 chars; 904/333 pm, where the 333 block is GOOD because the
+    rule is strict-greater).  The oracle replays every feature and the
+    kept-text md5 from doc_id/text ARITHMETIC over the clean
+    construction — it never parses html — so tag stripping, subtractive
+    anchor measurement, integer per-mille, classification, and ordered
+    reconstruction are all value-checked against independent truth.
+
+    Scale shape: codegen split + posexplode (O(blocks) rows), three
+    regexp passes per block, one map-side-combinable groupBy(doc_id);
+    no Python anywhere."""
+    from distributed_lsh_spark.functions.extract import extract_main_content
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = F.col("doc_id").cast("string")
+
+    def _extra(mod: int, block: str) -> Column:
+        return F.when(F.pmod("doc_id", F.lit(mod)) == 0,
+                      F.lit(block)).otherwise(F.lit(""))
+
+    html = F.concat(
+        F.lit("<html><body>" + _MC_NAV + "<p>"),
+        F.expr("substring(text, 1, length(text) div 2)"),
+        F.lit("</p><p>(c) "), ids, F.lit("</p>"),
+        _extra(41, _MC_E41), _extra(43, _MC_E43),
+        _extra(47, _MC_E47), _extra(53, _MC_E53),
+        F.lit('<p><a href="/x">ref '), ids, F.lit("</a> "),
+        F.expr("substring(text, length(text) div 2 + 1)"),
+        F.lit("</p></body></html>"))
+    out = extract_main_content(df.select("doc_id", html.alias("html")))
+    return (out.select("doc_id", "n_blocks", "n_boiler", "kept_chars",
+                       F.md5(F.col("content").cast("binary"))
+                        .alias("content_md5"))
+            .orderBy("doc_id"))
+
+
+def _sql_main_content_extract() -> str:
+    return """
+WITH d AS (
+  SELECT doc_id,
+         length(CAST(doc_id AS VARCHAR)) AS idlen,
+         trim(substr(text, 1, length(text) // 2)) AS c1,
+         trim(substr(text, length(text) // 2 + 1)) AS c2,
+         (doc_id % 41 = 0) AS e41, (doc_id % 43 = 0) AS e43,
+         (doc_id % 47 = 0) AS e47, (doc_id % 53 = 0) AS e53
+  FROM documents
+), f AS (
+  SELECT doc_id, idlen, c1, c2, e41, e43, e47, e53,
+         length(c1) AS l1, length(c2) AS l2,
+         CASE WHEN length(c2) = 0 THEN 'ref ' || CAST(doc_id AS VARCHAR)
+              ELSE 'ref ' || CAST(doc_id AS VARCHAR) || ' ' || c2
+         END AS mtxt,
+         CASE WHEN length(c2) = 0 THEN idlen + 4
+              ELSE idlen + 5 + length(c2) END AS mtot,
+         CASE WHEN length(c2) = 0 THEN idlen + 4
+              ELSE idlen + 5 END AS manc
+  FROM d
+), v AS (
+  SELECT *,
+         (l1 >= 20) AS c1_good,
+         ((1000 * manc) // mtot <= 333 AND mtot >= 20) AS m_good
+  FROM f
+)
+SELECT doc_id,
+       CAST(3 + (CASE WHEN l1 > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN e41 THEN 1 ELSE 0 END)
+              + (CASE WHEN e43 THEN 1 ELSE 0 END)
+              + (CASE WHEN e47 THEN 1 ELSE 0 END)
+              + (CASE WHEN e53 THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks,
+       CAST(2 + (CASE WHEN l1 > 0 AND NOT c1_good THEN 1 ELSE 0 END)
+              + (CASE WHEN NOT m_good THEN 1 ELSE 0 END)
+              + (CASE WHEN e41 THEN 1 ELSE 0 END)
+              + (CASE WHEN e43 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       CAST((CASE WHEN c1_good THEN l1 ELSE 0 END)
+          + (CASE WHEN m_good THEN mtot ELSE 0 END)
+          + (CASE WHEN e47 THEN 20 ELSE 0 END)
+          + (CASE WHEN e53 THEN 30 ELSE 0 END) AS BIGINT) AS kept_chars,
+       md5(concat_ws(' ',
+           CASE WHEN c1_good THEN c1 END,
+           CASE WHEN e47 THEN 'exactly twenty chars' END,
+           CASE WHEN e53 THEN 'ninechars exactly twenty chars' END,
+           CASE WHEN m_good THEN mtxt END)) AS content_md5
+FROM v ORDER BY doc_id"""
+
+
 def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-graph analysis — the other standard Common-Crawl derivative
     (WAT links / domain ranking): hrefs are EXTRACTED from planted html
@@ -6039,6 +6146,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "encoding_quality": q_encoding_quality,
     "noindex_filter": q_noindex_filter,
     "robots_filter": q_robots_filter,
+    "main_content_extract": q_main_content_extract,
     "pack_sequences": q_pack_sequences,
     "doc_chunking": q_doc_chunking,
     "blocklist_filter": q_blocklist_filter,
@@ -6149,6 +6257,7 @@ ORACLE_SQL: dict[str, str] = {
     "encoding_quality": _sql_encoding_quality(),
     "noindex_filter": _sql_noindex_filter(),
     "robots_filter": _sql_robots_filter(),
+    "main_content_extract": _sql_main_content_extract(),
     "pack_sequences": _SQL_PACK_SEQUENCES,
     "doc_chunking": _SQL_DOC_CHUNKING,
     "blocklist_filter": _SQL_BLOCKLIST_FILTER,

@@ -179,3 +179,79 @@ def robots_nofollow(html_col) -> "F.Column":
     """True iff the page's robots meta tag carries nofollow (or none)."""
     return F.regexp_count(F.lower(F.col(html_col).cast("string")),
                           F.lit(ROBOTS_NOFOLLOW_PATTERN)) > 0
+
+
+# ---------------------------------------------------------------------------
+# Main-content extraction (jusText-core, context-free block classification)
+# ---------------------------------------------------------------------------
+# Public heuristics: jusText (Pomikálek, "Removing boilerplate and
+# duplicate content from web corpora", PhD thesis 2011) classifies
+# block-level segments by link density + length (+ stopword density and a
+# context pass); Readability/trafilatura use the same two core signals.
+# This is the context-free core: a block is boilerplate when its anchor-
+# text share exceeds `max_link_pm` per-mille or its text is shorter than
+# `min_chars`.  Everything is codegen regexp — no Python on the page side.
+
+# block boundary = the closing tag of a block-level element
+BLOCK_END_PATTERN = r"(?i)</(?:p|div|nav|li|td|tr|table|ul|ol|section|article|aside|header|footer|h[1-6])>"
+# one anchor element including its text (no newlines survive in html here,
+# but (?s) keeps the pattern total on raw multi-line documents)
+ANCHOR_ELEM_PATTERN = r"(?is)<a[^A-Za-z0-9_>][^>]*>.*?</a>|(?is)<a>.*?</a>"
+
+
+def block_plain_text(col: "F.Column") -> "F.Column":
+    """Visible text of one html block: tags become spaces, space runs
+    collapse, edges trim — the block-local analogue of extract_text's
+    pass 3+5 (single-block, so line structure is irrelevant)."""
+    return F.trim(F.regexp_replace(
+        F.regexp_replace(col, r"<[^>]*>", " "), " +", " "))
+
+
+def main_content_blocks(df, html_col: str = "html", id_col: str = "doc_id",
+                        *, min_chars: int = 20, max_link_pm: int = 333):
+    """Per non-empty block: (id, pos, btxt, n_chars, anchor_chars,
+    link_pm, boiler).  anchor_chars is measured subtractively — visible
+    length minus visible length with anchor elements blanked — so the
+    whitespace an anchor contributes counts as anchor mass.
+
+    Scale shape: one posexplode over the codegen split (O(blocks) rows
+    carrying only block text), three regexp passes per block, integer
+    per-mille arithmetic; the only shuffle is whatever the caller
+    aggregates afterwards."""
+    b = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(html_col), BLOCK_END_PATTERN))
+         .alias("pos", "block"))
+    txt = block_plain_text(F.col("block"))
+    noanchor = block_plain_text(
+        F.regexp_replace(F.col("block"), ANCHOR_ELEM_PATTERN, " "))
+    d = (b.select(id_col, "pos", txt.alias("btxt"),
+                  F.length(txt).cast("long").alias("n_chars"),
+                  (F.length(txt) - F.length(noanchor)).cast("long")
+                  .alias("anchor_chars"))
+          .where(F.col("n_chars") > 0))
+    d = d.withColumn("link_pm",
+                     F.expr("(1000 * anchor_chars) div n_chars"))
+    return d.withColumn(
+        "boiler", (F.col("link_pm") > max_link_pm) |
+                  (F.col("n_chars") < min_chars))
+
+
+def extract_main_content(df, html_col: str = "html",
+                         id_col: str = "doc_id", *, min_chars: int = 20,
+                         max_link_pm: int = 333):
+    """Per doc: (id, n_blocks, n_boiler, kept_chars, content) where
+    content is the space-joined text of the good blocks in document
+    order.  Docs whose html yields zero non-empty blocks produce no
+    row.  One map-side-combinable groupBy on the id."""
+    blocks = main_content_blocks(df, html_col, id_col,
+                                 min_chars=min_chars,
+                                 max_link_pm=max_link_pm)
+    kept = F.array_sort(F.collect_list(
+        F.when(~F.col("boiler"), F.struct(F.col("pos"), F.col("btxt")))))
+    return (blocks.groupBy(id_col).agg(
+        F.count("*").alias("n_blocks"),
+        F.sum(F.col("boiler").cast("long")).alias("n_boiler"),
+        F.sum(F.when(~F.col("boiler"), F.col("n_chars"))
+               .otherwise(F.lit(0))).alias("kept_chars"),
+        F.concat_ws(" ", kept["btxt"]).alias("content")))
