@@ -102,6 +102,7 @@ def main() -> None:
         "noindex_filter",
         "robots_filter",
         "main_content_extract",
+        "url_change_stats",
         "corpus_drift",
     ]
 

@@ -1904,6 +1904,88 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id"""
 
 
+def q_url_change_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-URL revisit/content-change statistics — the crawl-scheduling
+    signal (how often a page ACTUALLY changes between snapshots) that
+    complements `url_latest_dedup`'s keep-latest rule and
+    `corpus_drift`'s corpus-level alarm.
+
+    url + warc epoch derive exactly as in `url_latest_dedup` (path =
+    doc_id %% 97, pseudo-shuffled epoch); page CONTENT is versioned
+    arithmetically ('page p vV' with V = (doc_id*13) %% 4), so the same
+    url genuinely alternates between identical and changed revisits and
+    every statistic is value-dense: crawl count, distinct versions,
+    consecutive-crawl changes (lag over crawl order), first/last crawl
+    epochs, the latest snapshot's content md5, and the epoch of the
+    last crawl whose content differed from its predecessor (first crawl
+    when none did).
+
+    Scale shape: ONE url-partitioned shuffle — the lag/row_number
+    window and the groupBy(url) share the partitioning, so the groupBy
+    adds no exchange; rows carry (url, epoch, 16-B content key) only."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    p = F.pmod(F.col("doc_id"), F.lit(97))
+    url = F.concat(F.lit("https://h"), F.pmod(p, F.lit(7)).cast("string"),
+                   F.lit(".example.com/p/"), p.cast("string"))
+    epoch = (F.lit(1735689600)
+             + F.pmod(F.col("doc_id") * 7919, F.lit(1_000_000)))
+    ckey = F.concat(F.lit("page "), p.cast("string"), F.lit(" v"),
+                    F.pmod(F.col("doc_id") * 13, F.lit(4)).cast("string"))
+    crawl = df.select("doc_id", url.alias("url"),
+                      epoch.cast("long").alias("warc_epoch"),
+                      ckey.alias("ckey"))
+    wu = Window.partitionBy("url")
+    asc = wu.orderBy("warc_epoch", "doc_id")
+    desc = wu.orderBy(F.col("warc_epoch").desc(), F.col("doc_id").desc())
+    seq = (crawl
+           .withColumn("prev", F.lag("ckey").over(asc))
+           .withColumn("rn_desc", F.row_number().over(desc)))
+    changed = F.col("prev").isNotNull() & (F.col("ckey") != F.col("prev"))
+    return (seq.groupBy("url").agg(
+                F.count("*").alias("n_crawls"),
+                F.countDistinct("ckey").alias("n_versions"),
+                F.sum(changed.cast("long")).alias("n_changes"),
+                F.min("warc_epoch").alias("first_epoch"),
+                F.max("warc_epoch").alias("last_epoch"),
+                F.max(F.when(F.col("rn_desc") == 1,
+                             F.md5(F.col("ckey").cast("binary"))))
+                 .alias("latest_md5"),
+                F.coalesce(
+                    F.max(F.when(changed, F.col("warc_epoch"))),
+                    F.min("warc_epoch")).alias("last_change_epoch"))
+            .orderBy("url"))
+
+
+_SQL_URL_CHANGE_STATS = """
+WITH crawl AS (
+  SELECT doc_id,
+         'https://h' || ((doc_id % 97) % 7) || '.example.com/p/'
+           || (doc_id % 97) AS url,
+         1735689600 + (doc_id * 7919) % 1000000 AS warc_epoch,
+         'page ' || (doc_id % 97) || ' v' || ((doc_id * 13) % 4) AS ckey
+  FROM documents
+), seq AS (
+  SELECT *,
+         lag(ckey) OVER (PARTITION BY url
+                         ORDER BY warc_epoch, doc_id) AS prev,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY warc_epoch DESC, doc_id DESC) AS rn_desc
+  FROM crawl
+)
+SELECT url,
+       CAST(count(*) AS BIGINT) AS n_crawls,
+       CAST(count(DISTINCT ckey) AS BIGINT) AS n_versions,
+       CAST(coalesce(sum(CASE WHEN prev IS NOT NULL AND ckey != prev
+                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_changes,
+       CAST(min(warc_epoch) AS BIGINT) AS first_epoch,
+       CAST(max(warc_epoch) AS BIGINT) AS last_epoch,
+       max(CASE WHEN rn_desc = 1 THEN md5(ckey) END) AS latest_md5,
+       CAST(coalesce(max(CASE WHEN prev IS NOT NULL AND ckey != prev
+                              THEN warc_epoch END),
+                     min(warc_epoch)) AS BIGINT) AS last_change_epoch
+FROM seq GROUP BY url ORDER BY url"""
+
+
 # main-content planting: four extra blocks pin both classification
 # thresholds from both sides (19 chars = one under min_chars; 20 = at
 # it; link per-mille 904 = far over; 333 = exactly at the boundary,
@@ -6147,6 +6229,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "noindex_filter": q_noindex_filter,
     "robots_filter": q_robots_filter,
     "main_content_extract": q_main_content_extract,
+    "url_change_stats": q_url_change_stats,
     "pack_sequences": q_pack_sequences,
     "doc_chunking": q_doc_chunking,
     "blocklist_filter": q_blocklist_filter,
@@ -6258,6 +6341,7 @@ ORACLE_SQL: dict[str, str] = {
     "noindex_filter": _sql_noindex_filter(),
     "robots_filter": _sql_robots_filter(),
     "main_content_extract": _sql_main_content_extract(),
+    "url_change_stats": _SQL_URL_CHANGE_STATS,
     "pack_sequences": _SQL_PACK_SEQUENCES,
     "doc_chunking": _SQL_DOC_CHUNKING,
     "blocklist_filter": _SQL_BLOCKLIST_FILTER,

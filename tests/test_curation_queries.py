@@ -23,7 +23,8 @@ NAMES = ["line_dedup", "gopher_repetition", "url_latest_dedup",
          "corpus_profile", "pair_similarity_histogram", "export_shards",
          "c4_line_filter", "bpe_merge_learn", "bpe_encode", "doc_chunking",
          "anchor_texts", "kmeans_topics", "incremental_clusters",
-         "pair_diagnostics", "filter_agreement", "tokenizer_fertility"]
+         "pair_diagnostics", "filter_agreement", "tokenizer_fertility",
+         "robots_filter", "main_content_extract", "url_change_stats"]
 
 
 @pytest.fixture(scope="module")
@@ -375,3 +376,35 @@ def test_pair_diagnostics_signal_invariants(results):
     near = sp[sp.jaccard >= 0.999]
     if len(near):
         assert (near.hamming <= 3).all()
+
+
+def test_url_change_stats_matches_pure_python(results):
+    """Replay the revisit/change statistics with plain Python over the
+    arithmetic construction (independent of BOTH engines' window
+    machinery)."""
+    import hashlib
+
+    sp, _ = results["url_change_stats"]
+    ids = duckdb.sql(
+        f"SELECT doc_id FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).df()["doc_id"].tolist()
+    crawls: dict[str, list] = {}
+    for i in ids:
+        p = i % 97
+        url = f"https://h{p % 7}.example.com/p/{p}"
+        crawls.setdefault(url, []).append(
+            (1735689600 + (i * 7919) % 1_000_000, i, f"page {p} v{(i*13) % 4}"))
+    for url, rows in crawls.items():
+        rows.sort()
+        got = sp[sp["url"] == url].iloc[0]
+        assert got["n_crawls"] == len(rows)
+        assert got["n_versions"] == len({c for _, _, c in rows})
+        changes = [(e, c) for (e, _, c), (pe, _, pc) in
+                   zip(rows[1:], rows[:-1]) if c != pc]
+        assert got["n_changes"] == len(changes)
+        assert got["first_epoch"] == rows[0][0]
+        assert got["last_epoch"] == rows[-1][0]
+        assert got["latest_md5"] == hashlib.md5(
+            rows[-1][2].encode()).hexdigest()
+        assert got["last_change_epoch"] == (
+            max(e for e, _ in changes) if changes else rows[0][0])
