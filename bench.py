@@ -103,6 +103,7 @@ def main() -> None:
         "robots_filter",
         "main_content_extract",
         "url_change_stats",
+        "tfidf_terms",
         "corpus_drift",
     ]
 

@@ -3935,6 +3935,70 @@ FROM dt JOIN tf USING (tok)
 GROUP BY doc_id ORDER BY doc_id"""
 
 
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 TF-IDF keyword extraction — the classic corpus-
+    statistics "what is this page about" signal (topic tagging, index
+    pruning, near-dup triage by salient terms).
+
+    Keeps the catalog's exact-arithmetic discipline: tf and doc
+    frequency are integer tables; the one transcendental, idf =
+    ln(n_docs/df), takes an EXACTLY-ROUNDED int64/int64 double ratio as
+    input and is quantized to integer micro-nats BEFORE the tf multiply
+    (the `bigram_lm_quality` rule), so ranking and every output value
+    are integer arithmetic with no float-summation order dependence.
+    Ties (equal score) break on the lexicographically smaller term,
+    making the top-3 deterministic across engines and partitionings.
+
+    Scale shape: occurrences pre-aggregate to (doc_id, token) with
+    map-side combine (the token_rarity frame, computed once and
+    persisted); the doc-frequency table derives from the same frame;
+    the per-doc window sorts at most doc-vocabulary rows per doc.  The
+    corpus text is scanned exactly once; no Python on any row path."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dt = (df.select("doc_id",
+                    F.explode(normalized_tokens("text")).alias("tok"))
+            .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+            .persist())
+    dfreq = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    total = df.select(F.count(F.lit(1)).alias("n_docs"))
+    idf_micro = F.round(
+        F.log(F.col("n_docs").cast("double") / F.col("df").cast("double"))
+        * F.lit(1e6)).cast("bigint")
+    scored = (dt.join(dfreq, "tok").crossJoin(F.broadcast(total))
+                .withColumn("idf_micro", idf_micro)
+                .withColumn("score_micro", F.col("c") * F.col("idf_micro")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("tok").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select("doc_id", F.col("rank").cast("long").alias("rank"),
+                    F.col("tok").alias("term"),
+                    F.col("c").alias("tf"), "df", "score_micro")
+            .orderBy("doc_id", "rank"))
+
+
+_SQL_TFIDF_TERMS = f"""
+WITH t AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents),
+dt AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+dfreq AS (SELECT tok, count(*) AS df FROM dt GROUP BY tok),
+total AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tok, c, df,
+         CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) * 1e6)
+              AS BIGINT) AS idf_micro
+  FROM dt JOIN dfreq USING (tok) CROSS JOIN total
+), ranked AS (
+  SELECT doc_id, tok, c, df, c * idf_micro AS score_micro,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY c * idf_micro DESC, tok ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok AS term,
+       CAST(c AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(score_micro AS BIGINT) AS score_micro
+FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank"""
+
+
 def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain reputation rollup (the host-level table CC curation
     keeps: crawl volume, dedup pressure, quality yield per domain).
@@ -6230,6 +6294,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_filter": q_robots_filter,
     "main_content_extract": q_main_content_extract,
     "url_change_stats": q_url_change_stats,
+    "tfidf_terms": q_tfidf_terms,
     "pack_sequences": q_pack_sequences,
     "doc_chunking": q_doc_chunking,
     "blocklist_filter": q_blocklist_filter,
@@ -6342,6 +6407,7 @@ ORACLE_SQL: dict[str, str] = {
     "robots_filter": _sql_robots_filter(),
     "main_content_extract": _sql_main_content_extract(),
     "url_change_stats": _SQL_URL_CHANGE_STATS,
+    "tfidf_terms": _SQL_TFIDF_TERMS,
     "pack_sequences": _SQL_PACK_SEQUENCES,
     "doc_chunking": _SQL_DOC_CHUNKING,
     "blocklist_filter": _SQL_BLOCKLIST_FILTER,

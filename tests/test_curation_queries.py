@@ -24,7 +24,8 @@ NAMES = ["line_dedup", "gopher_repetition", "url_latest_dedup",
          "c4_line_filter", "bpe_merge_learn", "bpe_encode", "doc_chunking",
          "anchor_texts", "kmeans_topics", "incremental_clusters",
          "pair_diagnostics", "filter_agreement", "tokenizer_fertility",
-         "robots_filter", "main_content_extract", "url_change_stats"]
+         "robots_filter", "main_content_extract", "url_change_stats",
+         "tfidf_terms"]
 
 
 @pytest.fixture(scope="module")
@@ -408,3 +409,31 @@ def test_url_change_stats_matches_pure_python(results):
             rows[-1][2].encode()).hexdigest()
         assert got["last_change_epoch"] == (
             max(e for e, _ in changes) if changes else rows[0][0])
+
+
+def test_tfidf_terms_matches_pure_python(results, duck):
+    """Replay the whole TF-IDF chain (tokenize, tf, df, micro-nat idf,
+    tie-broken top-3) in plain Python — independent of both engines."""
+    import collections
+    import math
+    import re
+
+    sp, _ = results["tfidf_terms"]
+    rows = duck.sql("SELECT doc_id, text FROM documents").fetchall()
+    per_doc = {}
+    dfreq = collections.Counter()
+    for i, t in rows:
+        toks = collections.Counter(
+            x for x in re.split(r"[^a-z0-9]+", t.lower()) if x)
+        per_doc[i] = toks
+        dfreq.update(toks.keys())
+    n_docs = len(rows)
+    for i, toks in per_doc.items():
+        scored = sorted(
+            ((-c * round(math.log(n_docs / dfreq[w]) * 1e6), w, c)
+             for w, c in toks.items()))
+        exp = [(w, c, dfreq[w], -s) for s, w, c in scored[:3]]
+        got = sp[sp.doc_id == i].sort_values("rank")
+        assert [tuple(r) for r in
+                got[["term", "tf", "df", "score_micro"]].itertuples(
+                    index=False)] == exp, i
