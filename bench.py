@@ -104,6 +104,7 @@ def main() -> None:
         "main_content_extract",
         "url_change_stats",
         "tfidf_terms",
+        "line_lang_segments",
         "corpus_drift",
     ]
 

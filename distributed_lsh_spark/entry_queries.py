@@ -3935,6 +3935,119 @@ FROM dt JOIN tf USING (tok)
 GROUP BY doc_id ORDER BY doc_id"""
 
 
+# 17 tokens each: whatever the original length mod 8, the tail always
+# yields at least ONE full 8-token line of pure foreign stopwords, so
+# every planted doc provably gains a foreign-voting line
+_LL_FR_TAIL = (" le la les et est une des dans que pour"
+               " le la les et est une des")
+_LL_DE_TAIL = (" der die das und ist nicht ein mit zu den"
+               " der die das und ist nicht ein")
+
+
+def q_line_lang_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level language segmentation — the CCNet move (Wenzek et al.
+    LREC'20 run language-ID per PARAGRAPH, not per page) that catches
+    mixed-language documents a page-level verdict mislabels: per
+    corpus-standard 8-token line, the gated stopword-vote rule; per doc,
+    the per-language line counts, the line-majority language (same
+    fixed-priority argmax as `lang_id`, 'und' when no line votes), and a
+    mixed flag when lines vote for >= 2 distinct real languages.
+
+    Planting: doc_id %% 31 docs gain a trailing French stopword
+    sentence, %% 37 a German one (both on doc 0-class ids: a doc can
+    gain both) — genuinely mixed documents whose appended tokens also
+    SHIFT the final line boundary, so the oracle's replay of the
+    chunker is exercised on non-aligned tails, not just clean 8-token
+    multiples.
+
+    Scale shape: one explode over the codegen chunker (the line-dedup
+    family's `doc_lines`), four codegen regexp_counts per LINE, one
+    map-side-combining groupBy(doc_id).  No Python, no joins."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    t = F.concat(
+        F.col("text"),
+        F.when(F.pmod("doc_id", F.lit(31)) == 0,
+               F.lit(_LL_FR_TAIL)).otherwise(F.lit("")),
+        F.when(F.pmod("doc_id", F.lit(37)) == 0,
+               F.lit(_LL_DE_TAIL)).otherwise(F.lit("")))
+    lines = _doc_lines(df.select("doc_id", t.alias("t")), text_col="t")
+    per = lines.select("doc_id", pred_lang_expr("line").alias("ll"))
+    cnt = {lang: F.sum((F.col("ll") == lang).cast("long")).alias(f"n_{lang}")
+           for lang in ("en", "de", "fr", "es", "und")}
+    agg = per.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"), *cnt.values())
+    best = F.greatest(*[F.col(f"n_{lang}")
+                        for lang in ("en", "de", "fr", "es")])
+    doc_lang = (F.when(best == 0, "und")
+                .when(F.col("n_en") == best, "en")
+                .when(F.col("n_de") == best, "de")
+                .when(F.col("n_fr") == best, "fr")
+                .otherwise("es"))
+    n_langs = sum(((F.col(f"n_{lang}") > 0).cast("long")
+                   for lang in ("en", "de", "fr", "es")), F.lit(0))
+    return (agg.select("doc_id", "n_lines", "n_en", "n_de", "n_fr", "n_es",
+                       "n_und", doc_lang.alias("doc_lang"),
+                       (n_langs >= 2).alias("is_mixed"))
+            .orderBy("doc_id"))
+
+
+def _sql_line_lang_segments() -> str:
+    hits = {lang: ("len(list_filter(string_split(line, ' '), "
+                   f"x -> list_contains({words!r}, x)))")
+            for lang, words in _STOPWORDS.items()}
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 31 = 0 THEN '{_LL_FR_TAIL}' ELSE '' END
+              || CASE WHEN doc_id % 37 = 0 THEN '{_LL_DE_TAIL}' ELSE '' END
+           AS text
+  FROM documents
+),
+tk AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM base),
+lnl AS (
+  SELECT doc_id,
+         [array_to_string(t[(i-1)*8+1:(i-1)*8+8], ' ')
+          for i in range(1, CAST(ceil(len(t)/8.0) AS INT) + 1)] AS ls
+  FROM tk
+),
+ln AS (SELECT doc_id, unnest(ls) AS line FROM lnl),
+v AS (
+  SELECT doc_id,
+         {hits['en']} AS h_en, {hits['de']} AS h_de,
+         {hits['fr']} AS h_fr, {hits['es']} AS h_es
+  FROM ln
+), lv AS (
+  SELECT doc_id,
+         CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+              WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+              WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+              WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+              ELSE 'es' END AS ll
+  FROM v
+), agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN ll = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+         CAST(sum(CASE WHEN ll = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+         CAST(sum(CASE WHEN ll = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+         CAST(sum(CASE WHEN ll = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+         CAST(sum(CASE WHEN ll = 'und' THEN 1 ELSE 0 END) AS BIGINT) AS n_und
+  FROM lv GROUP BY doc_id
+)
+SELECT doc_id, n_lines, n_en, n_de, n_fr, n_es, n_und,
+       CASE WHEN greatest(n_en, n_de, n_fr, n_es) = 0 THEN 'und'
+            WHEN n_en = greatest(n_en, n_de, n_fr, n_es) THEN 'en'
+            WHEN n_de = greatest(n_en, n_de, n_fr, n_es) THEN 'de'
+            WHEN n_fr = greatest(n_en, n_de, n_fr, n_es) THEN 'fr'
+            ELSE 'es' END AS doc_lang,
+       ((CASE WHEN n_en > 0 THEN 1 ELSE 0 END)
+        + (CASE WHEN n_de > 0 THEN 1 ELSE 0 END)
+        + (CASE WHEN n_fr > 0 THEN 1 ELSE 0 END)
+        + (CASE WHEN n_es > 0 THEN 1 ELSE 0 END)) >= 2 AS is_mixed
+FROM agg ORDER BY doc_id"""
+
+
 def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-3 TF-IDF keyword extraction — the classic corpus-
     statistics "what is this page about" signal (topic tagging, index
@@ -6295,6 +6408,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "main_content_extract": q_main_content_extract,
     "url_change_stats": q_url_change_stats,
     "tfidf_terms": q_tfidf_terms,
+    "line_lang_segments": q_line_lang_segments,
     "pack_sequences": q_pack_sequences,
     "doc_chunking": q_doc_chunking,
     "blocklist_filter": q_blocklist_filter,
@@ -6408,6 +6522,7 @@ ORACLE_SQL: dict[str, str] = {
     "main_content_extract": _sql_main_content_extract(),
     "url_change_stats": _SQL_URL_CHANGE_STATS,
     "tfidf_terms": _SQL_TFIDF_TERMS,
+    "line_lang_segments": _sql_line_lang_segments(),
     "pack_sequences": _SQL_PACK_SEQUENCES,
     "doc_chunking": _SQL_DOC_CHUNKING,
     "blocklist_filter": _SQL_BLOCKLIST_FILTER,

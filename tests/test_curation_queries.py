@@ -25,7 +25,7 @@ NAMES = ["line_dedup", "gopher_repetition", "url_latest_dedup",
          "anchor_texts", "kmeans_topics", "incremental_clusters",
          "pair_diagnostics", "filter_agreement", "tokenizer_fertility",
          "robots_filter", "main_content_extract", "url_change_stats",
-         "tfidf_terms"]
+         "tfidf_terms", "line_lang_segments"]
 
 
 @pytest.fixture(scope="module")
@@ -437,3 +437,21 @@ def test_tfidf_terms_matches_pure_python(results, duck):
         assert [tuple(r) for r in
                 got[["term", "tf", "df", "score_micro"]].itertuples(
                     index=False)] == exp, i
+
+
+def test_line_lang_segments_planted_docs_mixed(results):
+    """Every %31 doc gains a French tail long enough to guarantee a full
+    pure-French line; %37 a German one.  Counts must partition lines."""
+    sp, _ = results["line_lang_segments"]
+    fr = sp[sp.doc_id % 31 == 0]
+    de = sp[sp.doc_id % 37 == 0]
+    assert len(fr) > 0 and len(de) > 0
+    assert (fr.n_fr >= 1).all()
+    assert (de.n_de >= 1).all()
+    assert fr.is_mixed.any() and de.is_mixed.any()
+    total = sp.n_en + sp.n_de + sp.n_fr + sp.n_es + sp.n_und
+    assert (total == sp.n_lines).all()
+    # a doc whose lines all vote und must carry doc_lang 'und'
+    und = sp[(sp.n_en == 0) & (sp.n_de == 0) & (sp.n_fr == 0) &
+             (sp.n_es == 0)]
+    assert (und.doc_lang == "und").all()
