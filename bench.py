@@ -27,6 +27,7 @@ def main() -> None:
     headline = [
         "minhash_lsh_dup_pairs",
         "dedup_clusters",
+        "cluster_audit",
         "ngram_jaccard_dup_pairs",
         "containment_dup_pairs",
         "exact_dup_groups",

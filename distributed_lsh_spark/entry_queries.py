@@ -27,6 +27,9 @@ from distributed_lsh_spark.conf import DEFAULT_CONFIG
 from distributed_lsh_spark.functions.text import (
     normalized_tokens, shingle_strings,
 )
+from distributed_lsh_spark.operators.connected_components import (
+    connected_components,
+)
 from distributed_lsh_spark.pipeline import build_stages, run_dedup
 
 CFG = DEFAULT_CONFIG
@@ -255,6 +258,123 @@ SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size,
          AS removable_bytes
 FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
 GROUP BY cluster_id ORDER BY cluster_id"""
+
+
+def _chain_planted(df: DataFrame) -> DataFrame:
+    """Synthetic 3-doc similarity CHAINS (A~B, B~C, A!~C) for the
+    cluster-audit planting: per doc_id %% 53 == 1 family, docs of
+    80 / 80+t / 80+2t globally-unique tokens (t = 10 + doc_id %% 3).
+    With k=5 word shingles the prefix construction gives EXACT shingle
+    counts 76 / 76+t / 76+2t, so j(A,B) = 76/(76+t) >= 0.86 and
+    j(B,C) >= 0.88 clear tau = 0.8 while j(A,C) = 76/(76+2t) <= 0.792
+    misses it — a guaranteed transitively-merged (bridged) cluster."""
+    fams = (df.where(F.pmod(F.col("doc_id"), F.lit(53)) == 1)
+              .select(F.col("doc_id").alias("o")))
+    t = F.lit(10) + F.pmod(F.col("o"), F.lit(3))
+    return (fams
+            .select("o", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("v"))
+            .select(
+                (F.lit(3_000_000) + F.col("o") * 3 + F.col("v"))
+                .alias("doc_id"),
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(79) + t * F.col("v")),
+                        lambda i: F.concat_ws(
+                            "", F.lit("zzc"), F.col("o").cast("string"),
+                            F.lit("x"), i.cast("string"))),
+                    " ").alias("text")))
+
+
+def q_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster dedup AUDIT — the chain-merge (transitive-bridging)
+    report a web-scale dedup run publishes alongside its cluster labels.
+    Connected components merge A-B-C whenever A~B and B~C even if A and C
+    are NOT near-duplicates; at 10^12 docs such chains can snowball into
+    giant clusters whose keep-one-representative rewrite silently deletes
+    non-duplicate pages.  The standard mitigation signal is exactly this
+    row: per cluster, member count, VERIFIED edge count, integer edge
+    density (ppm, floor-div — no float in the ranking path), the weakest
+    verified edge's Jaccard, and an is_bridged flag (density < complete
+    graph <=> some member pair was never verified similar <=> the merge
+    was transitive).
+
+    The sf corpora's real dup families are byte-near-identical (complete
+    graphs), so `_chain_planted` unions in arithmetic 3-chains whose
+    middle doc bridges two non-duplicates — both flag branches are
+    value-dense and the oracle states the chain geometry from doc_id
+    arithmetic.  Edges are the SAME exact-Jaccard-verified pair set as
+    the gated minhash row; the oracle replays clusters with the
+    dedup_clusters recursive CTE and counts brute-force pairs per
+    component.
+
+    Scale shape: one join edges->labels on id_a (O(dup pairs), 24 B
+    rows), two map-side-combining groupBys (O(clusters) output), one
+    broadcast-sized join of the two per-cluster frames.  Nothing here
+    rescans text; the audit rides the CC output the dedup already
+    computed (SURVEY.md C4)."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    base = df.unionByName(_chain_planted(df))
+    st = build_stages(base, CFG, persist=True)
+    edges = st.verified.select("id_a", "id_b", "jaccard") \
+        .localCheckpoint(eager=False)
+    labels = connected_components(edges.select("id_a", "id_b"))
+    estats = (edges.join(labels.withColumnRenamed("doc_id", "id_a"), "id_a")
+              .groupBy("cluster_id")
+              .agg(F.count("*").alias("n_edges"),
+                   F.round(F.min("jaccard"), 6).alias("min_jaccard")))
+    vstats = labels.groupBy("cluster_id") \
+        .agg(F.count("*").alias("n_docs"))
+    pairs_complete = F.col("n_docs") * (F.col("n_docs") - 1)
+    return (vstats.join(estats, "cluster_id")
+            .select("cluster_id", "n_docs", "n_edges",
+                    (F.col("n_edges") * 2 * 1_000_000)
+                    .cast("bigint").alias("_num"),
+                    pairs_complete.alias("_den"),
+                    "min_jaccard")
+            .select("cluster_id", "n_docs", "n_edges",
+                    F.expr("_num div _den").alias("density_ppm"),
+                    "min_jaccard",
+                    (F.col("n_edges") * 2 < F.col("_den"))
+                    .cast("bigint").alias("is_bridged"))
+            .orderBy("cluster_id"))
+
+
+def _sql_cluster_audit() -> str:
+    return f"""WITH RECURSIVE planted AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT 3000000 + doc_id * 3 + v AS doc_id,
+         array_to_string(list_transform(
+             range(0, 80 + (10 + doc_id % 3) * v),
+             i -> 'zzc' || doc_id || 'x' || i), ' ') AS text
+  FROM documents, range(0, 3) t(v)
+  WHERE doc_id % 53 = 1
+),{_duck_shingle_cte(CFG.shingle_k, src="planted")},
+pairs AS (SELECT id_a, id_b, j FROM jac WHERE j >= {CFG.jaccard_threshold}),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+clusters AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+             FROM reach GROUP BY a),
+vstats AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs
+           FROM clusters GROUP BY cluster_id),
+estats AS (SELECT c.cluster_id, CAST(count(*) AS BIGINT) AS n_edges,
+                  round(min(p.j), 6) AS min_jaccard
+           FROM pairs p JOIN clusters c ON c.doc_id = p.id_a
+           GROUP BY c.cluster_id)
+SELECT v.cluster_id, v.n_docs, e.n_edges,
+       (2 * e.n_edges * 1000000) // (v.n_docs * (v.n_docs - 1))
+         AS density_ppm,
+       e.min_jaccard,
+       CAST(CASE WHEN 2 * e.n_edges < v.n_docs * (v.n_docs - 1)
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_bridged
+FROM vstats v JOIN estats e USING (cluster_id)
+ORDER BY cluster_id"""
 
 
 def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6332,6 +6452,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_dup_pairs": q_ngram_jaccard_dup_pairs,
     "containment_dup_pairs": q_containment_dup_pairs,
     "dedup_clusters": q_dedup_clusters,
+    "cluster_audit": q_cluster_audit,
     "dedup_stats": q_dedup_stats,
     "top_ngrams": q_top_ngrams,
     "exact_dup_groups": q_exact_dup_groups,
@@ -6442,6 +6563,7 @@ ORACLE_SQL: dict[str, str] = {
     "ngram_jaccard_dup_pairs": _sql_dup_pairs(),
     "containment_dup_pairs": _sql_containment_pairs(),
     "dedup_clusters": _sql_dedup_clusters(),
+    "cluster_audit": _sql_cluster_audit(),
     "dedup_stats": _sql_dedup_stats(),
     "top_ngrams": _sql_top_ngrams(),
     "exact_dup_groups": _SQL_EXACT_DUP_GROUPS,

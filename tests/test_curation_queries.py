@@ -25,7 +25,7 @@ NAMES = ["line_dedup", "gopher_repetition", "url_latest_dedup",
          "anchor_texts", "kmeans_topics", "incremental_clusters",
          "pair_diagnostics", "filter_agreement", "tokenizer_fertility",
          "robots_filter", "main_content_extract", "url_change_stats",
-         "tfidf_terms", "line_lang_segments"]
+         "tfidf_terms", "line_lang_segments", "cluster_audit"]
 
 
 @pytest.fixture(scope="module")
@@ -455,3 +455,27 @@ def test_line_lang_segments_planted_docs_mixed(results):
     und = sp[(sp.n_en == 0) & (sp.n_de == 0) & (sp.n_fr == 0) &
              (sp.n_es == 0)]
     assert (und.doc_lang == "und").all()
+
+
+def test_cluster_audit_planted_chains_bridged(results):
+    """Every %53==1 family plants a 3-chain A~B~C with j(A,C) < tau:
+    exactly one bridged (non-complete) 3-doc cluster per family, rooted
+    at the family's lowest planted id; real corpus dup families stay
+    complete graphs (density 1e6 ppm)."""
+    sp, _ = results["cluster_audit"]
+    planted = sp[sp.cluster_id >= 3_000_000]
+    real = sp[sp.cluster_id < 3_000_000]
+    assert len(planted) > 0 and len(real) > 0
+    assert (planted.n_docs == 3).all()
+    assert (planted.n_edges == 2).all()
+    assert (planted.density_ppm == 666_666).all()
+    assert (planted.is_bridged == 1).all()
+    # chain edges sit at j = 76/(76+t), t in {10,11,12} — all above tau;
+    # the query rounds to 6 dp, so allow a half-ulp of that rounding
+    assert (planted.min_jaccard >= 0.8).all()
+    assert (planted.min_jaccard <= 76 / 86 + 5e-7).all()
+    assert (real.density_ppm == 1_000_000).all()
+    assert (real.is_bridged == 0).all()
+    # density is exact integer arithmetic: complete graph <=> not bridged
+    complete = sp.n_edges * 2 == sp.n_docs * (sp.n_docs - 1)
+    assert ((sp.is_bridged == 0) == complete).all()
