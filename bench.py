@@ -65,6 +65,7 @@ def main() -> None:
         "kmeans_topics",
         "warc_extract",
         "url_canonical_dedup",
+        "canonical_link_dedup",
         "stratified_sample",
         "link_pagerank",
         "anchor_texts",

@@ -2530,6 +2530,86 @@ SELECT canonical_url, count(*) AS n_docs,
 FROM v GROUP BY canonical_url ORDER BY canonical_url"""
 
 
+def q_canonical_link_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-page rel=canonical dedup (`functions/extract.canonical_href`,
+    RFC 6596) under the hard gate — the crawl pass that folds mirrored /
+    paginated / tracking-parameter spellings of one page onto the target
+    the page ITSELF declares, complementary to pure URL-string
+    canonicalization (`url_canonical_dedup`).
+
+    Each doc's html plants one of 8 <link> variants (doc_id % 8):
+    quoted standard order, href-before-rel, unquoted values, uppercase,
+    a token-list rel ("alternate canonical"), a DECOY stylesheet link
+    whose href merely says canonical.css, extra attributes between rel
+    and href, and no tag at all — the extractor's boundary conditions,
+    not just the happy path.  Docs that declare a canonical fold onto a
+    shared target keyed on doc_id % 61 (~8 docs/target at sf0.01); the
+    decoy and absent variants keep their own per-doc url.  Extraction is
+    two codegen regexp_extract passes coalesced (attribute order both
+    ways); the DuckDB oracle states every href ARITHMETICALLY from
+    doc_id and never parses html, so a wrong regexp cannot pass by
+    matching its own mistake.  Scale shape: map-only fused scan + one
+    groupBy shuffle on short url keys; production wires it as a curation
+    funnel stage before near-dup (cheap exact fold first)."""
+    from distributed_lsh_spark.functions.extract import canonical_href
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = F.pmod(F.col("doc_id"), F.lit(61)).cast("string")
+    k = F.pmod(F.col("doc_id"), F.lit(8))
+    target = F.concat(F.lit("https://canon.example.com/page-"), m)
+    own = F.concat(F.lit("https://h"),
+                   F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+                   F.lit(".example.com/p/"), F.col("doc_id").cast("string"))
+    q = F.lit('"')
+    link = (F.when(k == 1, F.concat(F.lit('<link href='), q, target, q,
+                                    F.lit(' rel="canonical">')))
+            .when(k == 2, F.concat(F.lit('<link rel=canonical href='),
+                                   target, F.lit('>')))
+            .when(k == 3, F.concat(F.lit('<LINK REL="CANONICAL" HREF='), q,
+                                   target, q, F.lit('>')))
+            .when(k == 4, F.concat(F.lit('<link rel="alternate canonical" '
+                                         'href='), q, target, q, F.lit('>')))
+            .when(k == 5, F.lit('<link rel="stylesheet" '
+                                'href="canonical.css">'))
+            .when(k == 6, F.concat(F.lit('<link type="text/html" '
+                                         'rel="canonical" data-x="1" href='),
+                                   q, target, q, F.lit('>')))
+            .when(k == 7, F.lit(''))
+            .otherwise(F.concat(F.lit('<link rel="canonical" href='), q,
+                                target, q, F.lit('>'))))
+    html = F.concat(F.lit("<html><head>"), link,
+                    F.lit("</head><body><p>"), F.col("text"),
+                    F.lit("</p></body></html>"))
+    d = df.select("doc_id", own.alias("own_url"), html.alias("html"))
+    canon = canonical_href("html")
+    eff = F.when(canon != "", canon).otherwise(F.col("own_url"))
+    return (d.select("doc_id",
+                     eff.alias("canonical_url"),
+                     (canon != "").cast("long").alias("has_canon"))
+            .groupBy("canonical_url")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("has_canon").alias("n_with_canon"),
+                 F.min("doc_id").alias("min_doc_id"))
+            .orderBy("canonical_url"))
+
+
+_SQL_CANONICAL_LINK_DEDUP = """
+WITH d AS (
+  SELECT doc_id, doc_id % 61 AS m, doc_id % 8 AS k FROM documents
+), v AS (
+  SELECT doc_id,
+    CASE WHEN k IN (5, 7)
+         THEN 'https://h' || (doc_id % 7) || '.example.com/p/' || doc_id
+         ELSE 'https://canon.example.com/page-' || m END AS canonical_url,
+    CASE WHEN k IN (5, 7) THEN 0 ELSE 1 END AS has_canon
+  FROM d
+)
+SELECT canonical_url, count(*) AS n_docs,
+       CAST(sum(has_canon) AS BIGINT) AS n_with_canon,
+       min(doc_id) AS min_doc_id
+FROM v GROUP BY canonical_url ORDER BY canonical_url"""
+
+
 def _sql_warc_extract() -> str:
     html = _duck_html_expr()
     ext = _duck_extract_chain("html")
@@ -6509,6 +6589,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_topics": q_kmeans_topics,
     "warc_extract": q_warc_extract,
     "url_canonical_dedup": q_url_canonical_dedup,
+    "canonical_link_dedup": q_canonical_link_dedup,
     "stratified_sample": q_stratified_sample,
     "link_pagerank": q_link_pagerank,
     "anchor_texts": q_anchor_texts,
@@ -6622,6 +6703,7 @@ ORACLE_SQL: dict[str, str] = {
     "kmeans_topics": _sql_kmeans_topics(),
     "warc_extract": _sql_warc_extract(),
     "url_canonical_dedup": _SQL_URL_CANONICAL_DEDUP,
+    "canonical_link_dedup": _SQL_CANONICAL_LINK_DEDUP,
     "stratified_sample": _SQL_STRATIFIED_SAMPLE,
     "link_pagerank": _sql_link_pagerank(),
     "anchor_texts": _SQL_ANCHOR_TEXTS,

@@ -182,6 +182,42 @@ def robots_nofollow(html_col) -> "F.Column":
 
 
 # ---------------------------------------------------------------------------
+# rel=canonical link extraction
+# ---------------------------------------------------------------------------
+# The in-page canonical declaration (<link rel="canonical" href=...>, RFC
+# 6596) — the signal Common-Crawl-style pipelines use to fold mirrored /
+# paginated / tracking-parameter spellings of one page, complementary to
+# pure URL-string canonicalization (functions/url.py).  Same regexp
+# discipline as the robots detectors: one pattern source string, no
+# lookaround, runs identically on Java regex (Spark codegen) and RE2;
+# [^>]* never crosses the tag's closing '>', so rel and href must live in
+# the SAME <link> tag.  rel is an HTML space-separated token list: the
+# quoted alternate accepts `canonical` as any \b-bounded token inside the
+# quotes (e.g. rel="alternate canonical"); the unquoted alternate accepts
+# only the bare single token (an unquoted HTML attribute value ends at
+# whitespace), which is what keeps `rel=stylesheet href=canonical.css`
+# from matching.  href values stop at quote/whitespace/'>'.
+_REL_CANON = r"""\brel\s*=\s*(?:["'][^"'>]*\bcanonical\b|canonical\b)"""
+_HREF_CAPTURE = r"""\bhref\s*=\s*["']?([^"'\s>]+)"""
+CANONICAL_A_PATTERN = (r"(?i)<link\b[^>]*" + _REL_CANON + r"[^>]*"
+                       + _HREF_CAPTURE)
+CANONICAL_B_PATTERN = (r"(?i)<link\b[^>]*" + _HREF_CAPTURE
+                       + r"""["']?[^>]*""" + _REL_CANON)
+
+
+def canonical_href(html_col) -> "F.Column":
+    """href of the page's first rel=canonical <link>, '' when absent.
+    Two codegen regexp_extract passes (rel-before-href and href-before-
+    rel) coalesced — attribute order, quoting style, case, token-list
+    rel values, and extra attributes between rel and href all resolve to
+    the same extracted target."""
+    h = F.col(html_col).cast("string")
+    a = F.regexp_extract(h, CANONICAL_A_PATTERN, 1)
+    b = F.regexp_extract(h, CANONICAL_B_PATTERN, 1)
+    return F.when(a != "", a).otherwise(b)
+
+
+# ---------------------------------------------------------------------------
 # Main-content extraction (jusText-core, context-free block classification)
 # ---------------------------------------------------------------------------
 # Public heuristics: jusText (Pomikálek, "Removing boilerplate and
