@@ -66,6 +66,7 @@ def main() -> None:
         "warc_extract",
         "url_canonical_dedup",
         "canonical_link_dedup",
+        "pub_date_extract",
         "stratified_sample",
         "link_pagerank",
         "anchor_texts",

@@ -2610,6 +2610,95 @@ SELECT canonical_url, count(*) AS n_docs,
 FROM v GROUP BY canonical_url ORDER BY canonical_url"""
 
 
+def q_pub_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publication-date extraction (`functions/extract.published_date`,
+    htmldate-core cascade: OpenGraph meta > <time datetime> > URL path
+    date) under the hard gate — the temporal-filtering signal a
+    training-data pipeline needs for knowledge-cutoff curation and
+    freshness weighting.
+
+    Each doc plants one of 6 variants (doc_id % 6), with the TRUE date
+    derived arithmetically (epoch day n = 19000 + (doc_id*37) % 1461,
+    integer-exact on both engines):
+      k=0 quoted standard-order meta tag;
+      k=1 UNQUOTED UPPERCASE <TIME DATETIME=..> AND a decoy dated URL
+          100 days later — time must beat url;
+      k=2 date only in the URL path (/yyyy/MM/dd/);
+      k=3 content-before-property meta (unquoted property) AND a <time>
+          200 days later — meta must beat time;
+      k=4 decoys only: a description meta whose VALUE mentions the
+          property name and a date-less <time>March 5</time> — none;
+      k=5 no tags at all — none.
+    The DuckDB oracle states source and date from doc_id ARITHMETIC
+    (strftime over DATE + n) and never parses html or urls, so a wrong
+    pattern cannot pass by matching its own mistake.  Scale shape:
+    map-only fused scan, seven codegen regexp passes per row, zero
+    shuffles before the gate's ORDER BY."""
+    from distributed_lsh_spark.functions.extract import published_date
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = F.pmod(F.col("doc_id"), F.lit(6))
+    n = (F.lit(19000) + F.pmod(F.col("doc_id") * 37, F.lit(1461))) \
+        .cast("int")
+    epoch = F.to_date(F.lit("1970-01-01"))
+    d0 = F.date_format(F.date_add(epoch, n), "yyyy-MM-dd")
+    d_time_decoy = F.date_format(F.date_add(epoch, n + 200), "yyyy-MM-dd")
+    url_path_true = F.date_format(F.date_add(epoch, n), "yyyy/MM/dd")
+    url_path_decoy = F.date_format(F.date_add(epoch, n + 100), "yyyy/MM/dd")
+    q = F.lit('"')
+    tag = (F.when(k == 1, F.concat(F.lit('<TIME DATETIME='), d0,
+                                   F.lit('>today</TIME>')))
+           .when(k == 2, F.lit(''))
+           .when(k == 3, F.concat(
+               F.lit('<meta content='), q, d0, q,
+               F.lit(' property=article:published_time>'
+                     '<time datetime='), q, d_time_decoy, q, F.lit('>')))
+           .when(k == 4, F.lit(
+               '<meta name="description" content="article:published_time '
+               '2020-01-01"><time>March 5</time>'))
+           .when(k == 5, F.lit(''))
+           .otherwise(F.concat(
+               F.lit('<meta property="article:published_time" content='),
+               q, d0, q, F.lit('>'))))
+    host = F.concat(F.lit("https://h"),
+                    F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+                    F.lit(".example.com"))
+    url = (F.when(k == 1, F.concat(host, F.lit("/"), url_path_decoy,
+                                   F.lit("/post-"),
+                                   F.col("doc_id").cast("string")))
+           .when(k == 2, F.concat(host, F.lit("/"), url_path_true,
+                                  F.lit("/post-"),
+                                  F.col("doc_id").cast("string")))
+           .otherwise(F.concat(host, F.lit("/p/"),
+                               F.col("doc_id").cast("string"))))
+    html = F.concat(F.lit("<html><head>"), tag,
+                    F.lit("</head><body><p>"), F.col("text"),
+                    F.lit("</p></body></html>"))
+    d = df.select("doc_id", url.alias("url"), html.alias("html"))
+    pd_ = published_date("html", "url")
+    return (d.select("doc_id",
+                     pd_["source"].alias("pub_source"),
+                     pd_["date"].alias("pub_date"))
+            .orderBy("doc_id"))
+
+
+_SQL_PUB_DATE_EXTRACT = """
+WITH d AS (
+  SELECT doc_id, doc_id % 6 AS k,
+         19000 + (doc_id * 37) % 1461 AS n
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN k IN (0, 3) THEN 'meta'
+       WHEN k = 1 THEN 'time'
+       WHEN k = 2 THEN 'url'
+       ELSE 'none' END AS pub_source,
+  CASE WHEN k IN (0, 1, 2, 3)
+       THEN strftime(DATE '1970-01-01' + CAST(n AS INTEGER), '%Y-%m-%d')
+       ELSE '' END AS pub_date
+FROM d ORDER BY doc_id"""
+
+
 def _sql_warc_extract() -> str:
     html = _duck_html_expr()
     ext = _duck_extract_chain("html")
@@ -6590,6 +6679,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc_extract": q_warc_extract,
     "url_canonical_dedup": q_url_canonical_dedup,
     "canonical_link_dedup": q_canonical_link_dedup,
+    "pub_date_extract": q_pub_date_extract,
     "stratified_sample": q_stratified_sample,
     "link_pagerank": q_link_pagerank,
     "anchor_texts": q_anchor_texts,
@@ -6704,6 +6794,7 @@ ORACLE_SQL: dict[str, str] = {
     "warc_extract": _sql_warc_extract(),
     "url_canonical_dedup": _SQL_URL_CANONICAL_DEDUP,
     "canonical_link_dedup": _SQL_CANONICAL_LINK_DEDUP,
+    "pub_date_extract": _SQL_PUB_DATE_EXTRACT,
     "stratified_sample": _SQL_STRATIFIED_SAMPLE,
     "link_pagerank": _sql_link_pagerank(),
     "anchor_texts": _SQL_ANCHOR_TEXTS,

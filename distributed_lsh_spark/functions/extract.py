@@ -218,6 +218,58 @@ def canonical_href(html_col) -> "F.Column":
 
 
 # ---------------------------------------------------------------------------
+# Publication-date extraction (htmldate-core priority cascade)
+# ---------------------------------------------------------------------------
+# Public heuristics: htmldate (Barbaresi, JOSS 2020) / trafilatura extract a
+# page's publication date from, in priority order, structured metadata
+# (OpenGraph <meta property="article:published_time">), the HTML5 <time
+# datetime=...> element, and date-shaped URL path segments (/YYYY/MM/DD/).
+# This is the context-free core of that cascade — the signal training-data
+# pipelines use for temporal filtering (knowledge-cutoff curation) and
+# freshness weighting.  Same regexp discipline as the canonical-link
+# extractor: one pattern source string, no lookaround (Java regex and RE2
+# portable), [^>]* never crosses a tag's closing '>' so attributes cannot
+# leak between tags, and month/day are range-bounded so 2024-13-40 never
+# parses as a date.  The meta patterns require the content VALUE to start
+# with the date, so a description that merely mentions a date (or the
+# property name) cannot match.
+_DATE_CAPTURE = r"(\d{4}-(?:0[1-9]|1[0-2])-(?:0[1-9]|[12]\d|3[01]))"
+_PROP_PUBTIME = r"""\bproperty\s*=\s*["']?article:published_time\b"""
+PUBDATE_META_A_PATTERN = (r"(?i)<meta\b[^>]*" + _PROP_PUBTIME
+                          + r"""[^>]*\bcontent\s*=\s*["']?""" + _DATE_CAPTURE)
+PUBDATE_META_B_PATTERN = (r"(?i)<meta\b[^>]*\bcontent\s*=\s*["
+                          r"\"']?" + _DATE_CAPTURE + r"[^>]*" + _PROP_PUBTIME)
+PUBDATE_TIME_PATTERN = (r"(?i)<time\b[^>]*\bdatetime\s*=\s*["
+                        r"\"']?" + _DATE_CAPTURE)
+URL_DATE_PATTERN = (r"/((?:19|20)\d{2})/(0[1-9]|1[0-2])/"
+                    r"(0[1-9]|[12]\d|3[01])(?:/|$)")
+
+
+def published_date(html_col, url_col) -> "F.Column":
+    """struct(source, date) of the page's publication date: source in
+    ('meta', 'time', 'url', 'none'), date as 'yyyy-MM-dd' ('' when none).
+    Four codegen regexp_extract passes over the page plus three over the
+    url — meta (both attribute orders coalesced) beats <time datetime>
+    beats the URL path, htmldate's extraction order."""
+    h = F.col(html_col).cast("string")
+    ma = F.regexp_extract(h, PUBDATE_META_A_PATTERN, 1)
+    mb = F.regexp_extract(h, PUBDATE_META_B_PATTERN, 1)
+    meta = F.when(ma != "", ma).otherwise(mb)
+    t = F.regexp_extract(h, PUBDATE_TIME_PATTERN, 1)
+    u = F.col(url_col).cast("string")
+    uy = F.regexp_extract(u, URL_DATE_PATTERN, 1)
+    um = F.regexp_extract(u, URL_DATE_PATTERN, 2)
+    ud = F.regexp_extract(u, URL_DATE_PATTERN, 3)
+    udate = F.when(uy != "", F.concat_ws("-", uy, um, ud)).otherwise(F.lit(""))
+    source = (F.when(meta != "", F.lit("meta"))
+              .when(t != "", F.lit("time"))
+              .when(udate != "", F.lit("url"))
+              .otherwise(F.lit("none")))
+    date = (F.when(meta != "", meta).when(t != "", t).otherwise(udate))
+    return F.struct(source.alias("source"), date.alias("date"))
+
+
+# ---------------------------------------------------------------------------
 # Main-content extraction (jusText-core, context-free block classification)
 # ---------------------------------------------------------------------------
 # Public heuristics: jusText (Pomikálek, "Removing boilerplate and
