@@ -67,6 +67,7 @@ def main() -> None:
         "url_canonical_dedup",
         "canonical_link_dedup",
         "pub_date_extract",
+        "hreflang_pairs",
         "stratified_sample",
         "link_pagerank",
         "anchor_texts",

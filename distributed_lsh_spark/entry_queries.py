@@ -2682,6 +2682,91 @@ def q_pub_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_hreflang_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal hreflang translation-pair mining
+    (`functions/extract.reciprocal_hreflang_pairs`) under the hard gate —
+    the high-precision bitext document-alignment signal (Google's
+    multilingual-site reciprocity rule; ParaCrawl-style miners use the
+    confirmed pairs as parallel-corpus candidates).
+
+    Docs form translation triples: cluster c = doc_id div 3, lang =
+    [en, fr, de][doc_id % 3], own url /<lang>/article-<c>.  Each doc
+    declares alternates to ALL three langs (self-reference included —
+    the spec's recommended form, dropped by the extractor), in one of 2
+    spellings (doc_id % 2): quoted standard order, or UNQUOTED UPPERCASE
+    href-before-hreflang.  Every doc also carries an x-default pointer
+    (not a language — must not extract), an RSS alternate (rel=alternate
+    but no hreflang), and a stylesheet link.  De docs in clusters with
+    c % 5 == 0 declare NOTHING, so their partners' de declarations are
+    unreciprocated — (en,de) and (fr,de) pairs in those clusters must
+    NOT emit while (en,fr) still does; the last cluster at any sf is
+    naturally incomplete, covering the missing-partner case.  The DuckDB
+    oracle states the confirmed pair set from doc_id ARITHMETIC
+    (existence + silence + the reciprocity join in SQL) and never parses
+    html.  Scale shape: O(tags) exploded short rows, one (src,dst)
+    equi-join + one dedup shuffle."""
+    from distributed_lsh_spark.functions.extract import (
+        reciprocal_hreflang_pairs,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    li = F.pmod(F.col("doc_id"), F.lit(3))
+    c = F.expr("doc_id div 3").cast("string")
+    langs = F.array(F.lit("en"), F.lit("fr"), F.lit("de"))
+    own_lang = F.element_at(langs, (li + 1).cast("int"))
+    base = F.lit("https://www.example.com/")
+
+    def urlof(lng):
+        return F.concat(base, lng, F.lit("/article-"), c)
+
+    def linkto(lng):
+        quoted = F.concat(F.lit('<link rel="alternate" hreflang="'), lng,
+                          F.lit('" href="'), urlof(lng), F.lit('">'))
+        bare = F.concat(F.lit('<LINK HREF='), urlof(lng),
+                        F.lit(' HREFLANG='), F.upper(lng),
+                        F.lit(' REL=ALTERNATE>'))
+        return F.when(F.pmod(F.col("doc_id"), F.lit(2)) == 0, quoted) \
+                .otherwise(bare)
+
+    decoys = F.concat(
+        F.lit('<link rel="alternate" hreflang="x-default" href="'),
+        urlof(F.lit("en")), F.lit('">'),
+        F.lit('<link rel="alternate" type="application/rss+xml" '
+              'href="https://www.example.com/feed.xml">'
+              '<link rel="stylesheet" href="site.css">'))
+    silent = (li == 2) & (F.pmod(F.expr("doc_id div 3"), F.lit(5)) == 0)
+    links = F.when(silent, decoys).otherwise(
+        F.concat(linkto(F.lit("en")), linkto(F.lit("fr")),
+                 linkto(F.lit("de")), decoys))
+    d = df.select(
+        "doc_id", urlof(own_lang).alias("url"),
+        F.concat(F.lit("<html><head>"), links,
+                 F.lit("</head><body><p>"), F.col("text"),
+                 F.lit("</p></body></html>")).alias("html"))
+    return (reciprocal_hreflang_pairs(d, "html", "url")
+            .orderBy("url_a", "url_b"))
+
+
+_SQL_HREFLANG_PAIRS = """
+WITH l AS (
+  SELECT doc_id // 3 AS c, doc_id % 3 AS li,
+         CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'fr'
+              ELSE 'de' END AS lang,
+         (doc_id % 3 = 2 AND (doc_id // 3) % 5 = 0) AS silent
+  FROM documents
+), p AS (
+  SELECT a.lang AS la, b.lang AS lb,
+         'https://www.example.com/' || a.lang || '/article-' || a.c AS ua,
+         'https://www.example.com/' || b.lang || '/article-' || b.c AS ub
+  FROM l a JOIN l b ON a.c = b.c AND a.li < b.li
+  WHERE NOT a.silent AND NOT b.silent
+)
+SELECT CASE WHEN ua < ub THEN la ELSE lb END AS lang_a,
+       CASE WHEN ua < ub THEN lb ELSE la END AS lang_b,
+       least(ua, ub) AS url_a, greatest(ua, ub) AS url_b
+FROM p ORDER BY url_a, url_b"""
+
+
 _SQL_PUB_DATE_EXTRACT = """
 WITH d AS (
   SELECT doc_id, doc_id % 6 AS k,
@@ -6680,6 +6765,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_canonical_dedup": q_url_canonical_dedup,
     "canonical_link_dedup": q_canonical_link_dedup,
     "pub_date_extract": q_pub_date_extract,
+    "hreflang_pairs": q_hreflang_pairs,
     "stratified_sample": q_stratified_sample,
     "link_pagerank": q_link_pagerank,
     "anchor_texts": q_anchor_texts,
@@ -6795,6 +6881,7 @@ ORACLE_SQL: dict[str, str] = {
     "url_canonical_dedup": _SQL_URL_CANONICAL_DEDUP,
     "canonical_link_dedup": _SQL_CANONICAL_LINK_DEDUP,
     "pub_date_extract": _SQL_PUB_DATE_EXTRACT,
+    "hreflang_pairs": _SQL_HREFLANG_PAIRS,
     "stratified_sample": _SQL_STRATIFIED_SAMPLE,
     "link_pagerank": _sql_link_pagerank(),
     "anchor_texts": _SQL_ANCHOR_TEXTS,

@@ -270,6 +270,74 @@ def published_date(html_col, url_col) -> "F.Column":
 
 
 # ---------------------------------------------------------------------------
+# hreflang alternate extraction (reciprocal translation-pair mining)
+# ---------------------------------------------------------------------------
+# Public semantics: the hreflang annotation (<link rel="alternate"
+# hreflang="xx" href=...>, Google's multilingual-site spec / RFC 8288 web
+# linking) declares a page's translations; search engines only honor
+# RECIPROCAL declarations (A lists B and B lists A), and parallel-corpus
+# miners (e.g. ParaCrawl's candidate stage) use the same confirmed pairs as
+# high-precision bitext document alignment.  Extraction discipline as the
+# other tag extractors: full <link ...> tags are isolated first (so [^>]*
+# can never leak attributes across tags), then per-tag codegen
+# regexp_extract pulls hreflang and href; a language code needs two leading
+# letters, so hreflang="x-default" (the fallback pointer, not a language)
+# never extracts and needs no special-casing.
+LINK_TAG_PATTERN = r"(?i)(<link\b[^>]*>)"
+_REL_ALTERNATE = r"""\brel\s*=\s*(?:["'][^"'>]*\balternate\b|alternate\b)"""
+HREFLANG_CODE_PATTERN = (r"(?i)\bhreflang\s*=\s*["
+                         r"\"']?([A-Za-z]{2}(?:-[A-Za-z0-9]{2,8})?)")
+
+
+def hreflang_alternates(df, html_col: str = "html", url_col: str = "url"):
+    """(src_url, dst_lang, dst_url) per declared alternate — one row per
+    <link rel=alternate hreflang=..> tag, self-references dropped.  Scale
+    shape: regexp_extract_all isolates the page's <link> tags, posexplode
+    emits O(tags) short rows, three codegen regexp passes per tag; no
+    shuffle — the caller's reciprocity join is the first exchange."""
+    tags = (df.select(
+        F.col(url_col).alias("src_url"),
+        F.posexplode(F.regexp_extract_all(
+            F.col(html_col).cast("string"),
+            F.lit(LINK_TAG_PATTERN), 1)).alias("pos", "tag")))
+    is_alt = F.regexp_count(F.col("tag"),
+                            F.lit(r"(?i)" + _REL_ALTERNATE)) > 0
+    lang = F.regexp_extract(F.col("tag"), HREFLANG_CODE_PATTERN, 1)
+    href = F.regexp_extract(
+        F.col("tag"), r"""(?i)\bhref\s*=\s*["']?([^"'\s>]+)""", 1)
+    return (tags.where(is_alt)
+            .select("src_url", F.lower(lang).alias("dst_lang"),
+                    href.alias("dst_url"))
+            .where((F.col("dst_lang") != "") & (F.col("dst_url") != "")
+                   & (F.col("dst_url") != F.col("src_url"))))
+
+
+def reciprocal_hreflang_pairs(df, html_col: str = "html",
+                              url_col: str = "url"):
+    """Confirmed translation document pairs (lang_a, lang_b, url_a,
+    url_b), url_a < url_b: the alternates where A declares B AND B
+    declares A — the reciprocity rule that makes hreflang a
+    high-precision bitext alignment signal (unconfirmed declarations are
+    routinely stale or spam).  One equi-join on the (src, dst) url pair
+    + one dedup shuffle; both sides are the same O(#declarations) frame
+    of short url/lang strings."""
+    d = hreflang_alternates(df, html_col, url_col)
+    rev = (d.select(F.col("src_url").alias("r_src"),
+                    F.col("dst_lang").alias("r_lang"),
+                    F.col("dst_url").alias("r_dst")))
+    conf = d.join(rev, (d.src_url == rev.r_dst) & (d.dst_url == rev.r_src))
+    a_first = F.col("src_url") < F.col("dst_url")
+    return (conf.select(
+        F.when(a_first, F.col("r_lang")).otherwise(F.col("dst_lang"))
+         .alias("lang_a"),
+        F.when(a_first, F.col("dst_lang")).otherwise(F.col("r_lang"))
+         .alias("lang_b"),
+        F.least("src_url", "dst_url").alias("url_a"),
+        F.greatest("src_url", "dst_url").alias("url_b"))
+        .dropDuplicates())
+
+
+# ---------------------------------------------------------------------------
 # Main-content extraction (jusText-core, context-free block classification)
 # ---------------------------------------------------------------------------
 # Public heuristics: jusText (Pomikálek, "Removing boilerplate and
