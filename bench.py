@@ -68,6 +68,7 @@ def main() -> None:
         "canonical_link_dedup",
         "pub_date_extract",
         "hreflang_pairs",
+        "redirect_chains",
         "stratified_sample",
         "link_pagerank",
         "anchor_texts",

@@ -2767,6 +2767,91 @@ SELECT CASE WHEN ua < ub THEN la ELSE lb END AS lang_a,
 FROM p ORDER BY url_a, url_b"""
 
 
+def q_redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-refresh redirect-chain resolution
+    (`functions/extract.meta_refresh_target` +
+    `operators/redirects.resolve_redirect_chains`) under the hard gate —
+    crawls index the SOURCE url while content lives at the chain's
+    terminal, so the fold must run before url-level dedup; resolution is
+    parallel pointer doubling (4 self-joins cover every chain <= 16
+    hops, the bounded-follower cap browsers apply).
+
+    Plantings (k = doc_id % 7): k=1,2,3 chain onto doc_id+1 (a 3-hop
+    chain ending at the terminal k=4 doc; k=2 spells the pragma
+    content-BEFORE-http-equiv to exercise the coalesced pattern);
+    k=5 and k=6 form a 2-cycle (5 -> 6 -> 5) that must resolve to
+    final_url = own url, n_hops = 16, cycled = true — the deterministic
+    pointer-doubling landing; k=0 carries a timed reload
+    (content="30", NO url=) and k=4 a `name="refresh"` decoy (not
+    http-equiv) — neither is a redirect.  At any sf the last doc's
+    dangling successor covers the target-outside-corpus case (the chain
+    ends at the unknown url, cycled = false).  The DuckDB oracle walks
+    the SAME arithmetic edge set with a recursive CTE capped at 16 hops
+    (max_by(cur, hops) per source) and never parses html.  Scale shape:
+    map-only extraction; the jump table holds only redirecting pages;
+    ceil(log2(16)) = 4 equi-join shuffles regardless of chain count."""
+    from distributed_lsh_spark.functions.extract import meta_refresh_target
+    from distributed_lsh_spark.operators.redirects import (
+        resolve_redirect_chains,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = F.pmod(F.col("doc_id"), F.lit(7))
+    base = F.lit("https://r.example.com/p/")
+    own = F.concat(base, F.col("doc_id").cast("string"))
+    nxt = F.concat(base, (F.col("doc_id") + 1).cast("string"))
+    prv = F.concat(base, (F.col("doc_id") - 1).cast("string"))
+    q = F.lit('"')
+    tag = (F.when(k == 0, F.lit(
+               '<meta http-equiv="refresh" content="30">'
+               '<p>see url=nothing here</p>'))
+           .when(k == 2, F.concat(F.lit('<meta content='), q,
+                                  F.lit('0;url='), nxt, q,
+                                  F.lit(' http-equiv='), q,
+                                  F.lit('refresh'), q, F.lit('>')))
+           .when(k == 4, F.concat(F.lit('<meta name="refresh" content='),
+                                  q, F.lit('0;url='), nxt, q, F.lit('>')))
+           .when(k == 6, F.concat(F.lit('<META HTTP-EQUIV=REFRESH '
+                                        'CONTENT='), q, F.lit('5; url='),
+                                  prv, q, F.lit('>')))
+           .when(k.isin(1, 3, 5), F.concat(
+               F.lit('<meta http-equiv="refresh" content='), q,
+               F.lit('0;url='), nxt, q, F.lit('>')))
+           .otherwise(F.lit('')))
+    html = F.concat(F.lit("<html><head>"), tag,
+                    F.lit("</head><body><p>"), F.col("text"),
+                    F.lit("</p></body></html>"))
+    pages = (df.select(own.alias("url"), html.alias("html"))
+             .withColumn("redirect_to", meta_refresh_target("html")))
+    return resolve_redirect_chains(pages).orderBy("url")
+
+
+_SQL_REDIRECT_CHAINS = """
+WITH RECURSIVE d AS (
+  SELECT doc_id, doc_id % 7 AS k FROM documents
+), e AS (
+  SELECT doc_id AS src,
+         CASE WHEN k = 6 THEN doc_id - 1 ELSE doc_id + 1 END AS dst
+  FROM d WHERE k IN (1, 2, 3, 5, 6)
+), walk(src, cur, hops) AS (
+  SELECT src, dst, 1 FROM e
+  UNION ALL
+  SELECT w.src, e2.dst, w.hops + 1
+  FROM walk w JOIN e e2 ON w.cur = e2.src
+  WHERE w.hops < 16
+), fin AS (
+  SELECT src, max_by(cur, hops) AS cur, max(hops) AS hops
+  FROM walk GROUP BY src
+)
+SELECT 'https://r.example.com/p/' || d.doc_id AS url,
+       'https://r.example.com/p/' || CAST(coalesce(f.cur, d.doc_id)
+                                          AS VARCHAR) AS final_url,
+       CAST(coalesce(f.hops, 0) AS BIGINT) AS n_hops,
+       coalesce(f.hops >= 16, FALSE) AS cycled
+FROM d LEFT JOIN fin f ON d.doc_id = f.src
+ORDER BY url"""
+
+
 _SQL_PUB_DATE_EXTRACT = """
 WITH d AS (
   SELECT doc_id, doc_id % 6 AS k,
@@ -6766,6 +6851,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "canonical_link_dedup": q_canonical_link_dedup,
     "pub_date_extract": q_pub_date_extract,
     "hreflang_pairs": q_hreflang_pairs,
+    "redirect_chains": q_redirect_chains,
     "stratified_sample": q_stratified_sample,
     "link_pagerank": q_link_pagerank,
     "anchor_texts": q_anchor_texts,
@@ -6882,6 +6968,7 @@ ORACLE_SQL: dict[str, str] = {
     "canonical_link_dedup": _SQL_CANONICAL_LINK_DEDUP,
     "pub_date_extract": _SQL_PUB_DATE_EXTRACT,
     "hreflang_pairs": _SQL_HREFLANG_PAIRS,
+    "redirect_chains": _SQL_REDIRECT_CHAINS,
     "stratified_sample": _SQL_STRATIFIED_SAMPLE,
     "link_pagerank": _sql_link_pagerank(),
     "anchor_texts": _SQL_ANCHOR_TEXTS,

@@ -338,6 +338,33 @@ def reciprocal_hreflang_pairs(df, html_col: str = "html",
 
 
 # ---------------------------------------------------------------------------
+# meta-refresh redirect extraction
+# ---------------------------------------------------------------------------
+# The client-side redirect (<meta http-equiv="refresh" content="N;url=...">,
+# WHATWG HTML §pragma directives) — crawls index the source url but the
+# content lives at the target, so pipelines resolve these chains before
+# url-level dedup.  A timed reload (content="30" with no url=) is NOT a
+# redirect and must not extract; both attribute orders are accepted
+# (coalesced passes, the canonical-link discipline); [^>]* keeps matching
+# inside one tag.
+_REFRESH_URL = r"""\bcontent\s*=\s*["']?\d+\s*;\s*url\s*=\s*([^"'\s>]+)"""
+_HTTP_EQUIV_REFRESH = r"""\bhttp-equiv\s*=\s*["']?refresh\b"""
+META_REFRESH_A_PATTERN = (r"(?i)<meta\b[^>]*" + _HTTP_EQUIV_REFRESH
+                          + r"[^>]*" + _REFRESH_URL)
+META_REFRESH_B_PATTERN = (r"(?i)<meta\b[^>]*" + _REFRESH_URL
+                          + r"[^>]*" + _HTTP_EQUIV_REFRESH)
+
+
+def meta_refresh_target(html_col) -> "F.Column":
+    """Redirect target of the page's meta-refresh pragma, '' when the
+    page has none (or only a timed reload)."""
+    h = F.col(html_col).cast("string")
+    a = F.regexp_extract(h, META_REFRESH_A_PATTERN, 1)
+    b = F.regexp_extract(h, META_REFRESH_B_PATTERN, 1)
+    return F.when(a != "", a).otherwise(b)
+
+
+# ---------------------------------------------------------------------------
 # Main-content extraction (jusText-core, context-free block classification)
 # ---------------------------------------------------------------------------
 # Public heuristics: jusText (Pomikálek, "Removing boilerplate and
