@@ -69,6 +69,7 @@ def main() -> None:
         "pub_date_extract",
         "hreflang_pairs",
         "redirect_chains",
+        "registrable_domains",
         "stratified_sample",
         "link_pagerank",
         "anchor_texts",

@@ -2852,6 +2852,81 @@ FROM d LEFT JOIN fin f ON d.doc_id = f.src
 ORDER BY url"""
 
 
+def q_registrable_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain (eTLD+1) folding via the Public Suffix List
+    algorithm (`functions/domains.registrable_domains`) under the hard
+    gate — the grouping unit behind per-site caps, blocklists, and
+    reputation rollups (naive last-two-labels grouping merges every
+    co.uk site into one "domain").
+
+    Hosts plant every algorithm branch from doc_id arithmetic
+    (s = doc_id % 8, m = doc_id % 13): plain gTLD, co.uk and ac.uk
+    multi-label rules under extra subdomains, an unknown TLD (`.zz`,
+    prevailing rule `*`), the wildcard family `*.ck` both as a host
+    that IS its own public suffix (w<m>.ck -> registrable '') and with
+    a label above it, the exception `!www.ck` (suffix falls back to
+    `ck`, registrable www.ck), and a bare public suffix (`co.uk` ->
+    registrable '').  The DuckDB oracle states suffix and registrable
+    per planted class from arithmetic and never runs the PSL
+    algorithm.  Scale shape: DISTINCT hosts only (O(#hosts), never
+    O(pages)); <= 5 codegen substring_index candidates per host against
+    a few-KB broadcast rule table; one map-side-combining groupBy."""
+    from distributed_lsh_spark.functions.domains import registrable_domains
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = F.pmod(F.col("doc_id"), F.lit(8))
+    m = F.pmod(F.col("doc_id"), F.lit(13)).cast("string")
+    site = F.concat(F.lit("site"), m)
+    w = F.concat(F.lit("w"), m)
+    host = (F.when(s == 0, F.concat(site, F.lit(".com")))
+            .when(s == 1, F.concat(F.lit("www."), site, F.lit(".co.uk")))
+            .when(s == 2, F.concat(F.lit("a.b."), site, F.lit(".ac.uk")))
+            .when(s == 3, F.concat(site, F.lit(".zz")))
+            .when(s == 4, F.concat(w, F.lit(".ck")))
+            .when(s == 5, F.concat(F.lit("x."), w, F.lit(".ck")))
+            .when(s == 6, F.lit("www.ck"))
+            .otherwise(F.lit("co.uk")))
+    return (registrable_domains(df.select(host.alias("host")))
+            .orderBy("host"))
+
+
+_SQL_REGISTRABLE_DOMAINS = """
+WITH d AS (
+  SELECT DISTINCT doc_id % 8 AS s, doc_id % 13 AS m FROM documents
+), v AS (
+  SELECT CASE s
+           WHEN 0 THEN 'site' || m || '.com'
+           WHEN 1 THEN 'www.site' || m || '.co.uk'
+           WHEN 2 THEN 'a.b.site' || m || '.ac.uk'
+           WHEN 3 THEN 'site' || m || '.zz'
+           WHEN 4 THEN 'w' || m || '.ck'
+           WHEN 5 THEN 'x.w' || m || '.ck'
+           WHEN 6 THEN 'www.ck'
+           ELSE 'co.uk' END AS host,
+         CASE s
+           WHEN 0 THEN 'com'
+           WHEN 1 THEN 'co.uk'
+           WHEN 2 THEN 'ac.uk'
+           WHEN 3 THEN 'zz'
+           WHEN 4 THEN 'w' || m || '.ck'
+           WHEN 5 THEN 'w' || m || '.ck'
+           WHEN 6 THEN 'ck'
+           ELSE 'co.uk' END AS public_suffix,
+         CASE s
+           WHEN 0 THEN 'site' || m || '.com'
+           WHEN 1 THEN 'site' || m || '.co.uk'
+           WHEN 2 THEN 'site' || m || '.ac.uk'
+           WHEN 3 THEN 'site' || m || '.zz'
+           WHEN 4 THEN ''
+           WHEN 5 THEN 'x.w' || m || '.ck'
+           WHEN 6 THEN 'www.ck'
+           ELSE '' END AS registrable
+  FROM d
+)
+SELECT DISTINCT host, public_suffix, registrable
+FROM v ORDER BY host"""
+
+
 _SQL_PUB_DATE_EXTRACT = """
 WITH d AS (
   SELECT doc_id, doc_id % 6 AS k,
@@ -6852,6 +6927,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pub_date_extract": q_pub_date_extract,
     "hreflang_pairs": q_hreflang_pairs,
     "redirect_chains": q_redirect_chains,
+    "registrable_domains": q_registrable_domains,
     "stratified_sample": q_stratified_sample,
     "link_pagerank": q_link_pagerank,
     "anchor_texts": q_anchor_texts,
@@ -6969,6 +7045,7 @@ ORACLE_SQL: dict[str, str] = {
     "pub_date_extract": _SQL_PUB_DATE_EXTRACT,
     "hreflang_pairs": _SQL_HREFLANG_PAIRS,
     "redirect_chains": _SQL_REDIRECT_CHAINS,
+    "registrable_domains": _SQL_REGISTRABLE_DOMAINS,
     "stratified_sample": _SQL_STRATIFIED_SAMPLE,
     "link_pagerank": _sql_link_pagerank(),
     "anchor_texts": _SQL_ANCHOR_TEXTS,
