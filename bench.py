@@ -70,6 +70,7 @@ def main() -> None:
         "hreflang_pairs",
         "redirect_chains",
         "registrable_domains",
+        "jsonld_types",
         "stratified_sample",
         "link_pagerank",
         "anchor_texts",

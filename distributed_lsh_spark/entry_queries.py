@@ -2927,6 +2927,63 @@ SELECT DISTINCT host, public_suffix, registrable
 FROM v ORDER BY host"""
 
 
+def q_jsonld_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-LD structured-data census
+    (`functions/extract.jsonld_type_counts`) under the hard gate — the
+    Web Data Commons-style schema.org facet doctype-targeted corpus
+    builds filter on (keep NewsArticle/Recipe/QAPage, drop Product
+    listings).
+
+    Plantings (k = doc_id % 5): k=0 one scalar NewsArticle block; k=1
+    TWO blocks (NewsArticle + BreadcrumbList — multi-block pages); k=2
+    the ARRAY spelling '"@type": ["Product", "Offer"]' (both extract,
+    and the scalar pass must not double-count them); k=3 a DECOY plain
+    <script> (no ld+json type) whose body carries '"@type": "Fake"' —
+    block isolation must exclude it; k=4 no structured data.  The
+    DuckDB oracle states every (doc, type, count) from doc_id
+    ARITHMETIC and never parses html.  Scale shape: map-only codegen
+    extraction, two explode paths unioned, one map-side-combining
+    groupBy."""
+    from distributed_lsh_spark.functions.extract import jsonld_type_counts
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = F.pmod(F.col("doc_id"), F.lit(5))
+    news = F.lit('<script type="application/ld+json">{"@context":'
+                 '"https://schema.org","@type":"NewsArticle",'
+                 '"headline":"h"}</script>')
+    crumb = F.lit('<script type="application/ld+json">{"@type": '
+                  '"BreadcrumbList","itemListElement":[]}</script>')
+    prod = F.lit('<script type="application/ld+json">{"@type": '
+                 '["Product", "Offer"],"name":"n"}</script>')
+    decoy = F.lit('<script>var x = {"@type": "Fake"};</script>')
+    tag = (F.when(k == 0, news)
+           .when(k == 1, F.concat(news, crumb))
+           .when(k == 2, prod)
+           .when(k == 3, decoy)
+           .otherwise(F.lit('')))
+    html = F.concat(F.lit("<html><head>"), tag,
+                    F.lit("</head><body><p>"), F.col("text"),
+                    F.lit("</p></body></html>"))
+    d = df.select("doc_id", html.alias("html"))
+    return (jsonld_type_counts(d, "html", "doc_id")
+            .orderBy("doc_id", "sd_type"))
+
+
+_SQL_JSONLD_TYPES = """
+WITH d AS (
+  SELECT doc_id, doc_id % 5 AS k FROM documents
+)
+SELECT doc_id, sd_type, CAST(n AS BIGINT) AS n FROM (
+  SELECT doc_id, 'NewsArticle' AS sd_type, 1 AS n FROM d WHERE k IN (0, 1)
+  UNION ALL
+  SELECT doc_id, 'BreadcrumbList', 1 FROM d WHERE k = 1
+  UNION ALL
+  SELECT doc_id, 'Product', 1 FROM d WHERE k = 2
+  UNION ALL
+  SELECT doc_id, 'Offer', 1 FROM d WHERE k = 2
+) ORDER BY doc_id, sd_type"""
+
+
 _SQL_PUB_DATE_EXTRACT = """
 WITH d AS (
   SELECT doc_id, doc_id % 6 AS k,
@@ -6928,6 +6985,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hreflang_pairs": q_hreflang_pairs,
     "redirect_chains": q_redirect_chains,
     "registrable_domains": q_registrable_domains,
+    "jsonld_types": q_jsonld_types,
     "stratified_sample": q_stratified_sample,
     "link_pagerank": q_link_pagerank,
     "anchor_texts": q_anchor_texts,
@@ -7046,6 +7104,7 @@ ORACLE_SQL: dict[str, str] = {
     "hreflang_pairs": _SQL_HREFLANG_PAIRS,
     "redirect_chains": _SQL_REDIRECT_CHAINS,
     "registrable_domains": _SQL_REGISTRABLE_DOMAINS,
+    "jsonld_types": _SQL_JSONLD_TYPES,
     "stratified_sample": _SQL_STRATIFIED_SAMPLE,
     "link_pagerank": _sql_link_pagerank(),
     "anchor_texts": _SQL_ANCHOR_TEXTS,

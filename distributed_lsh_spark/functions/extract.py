@@ -365,6 +365,53 @@ def meta_refresh_target(html_col) -> "F.Column":
 
 
 # ---------------------------------------------------------------------------
+# JSON-LD structured-data type extraction (schema.org census)
+# ---------------------------------------------------------------------------
+# Public semantics: schema.org markup ships in <script
+# type="application/ld+json"> blocks; the Web Data Commons extraction and
+# doctype-targeted corpus builds (keep NewsArticle/Recipe/QAPage, drop
+# Product listings) census the "@type" values.  Blocks are isolated FIRST
+# — only content inside an ld+json script can contribute, so a plain
+# <script> (or prose) that merely mentions "@type" never matches.  Both
+# JSON spellings extract: the scalar form ("@type": "NewsArticle") and
+# the array form ("@type": ["Product", "Offer"]); the scalar pattern
+# requires a quote right after the colon, so an array is never
+# double-counted by the scalar pass.
+JSONLD_BLOCK_PATTERN = (r"(?is)<script\b[^>]*\btype\s*=\s*["
+                        r"\"']?application/ld\+json\b[^>]*>(.*?)</script>")
+JSONLD_TYPE_SCALAR_PATTERN = r'"@type"\s*:\s*"([A-Za-z][A-Za-z0-9]*)"'
+JSONLD_TYPE_ARRAY_PATTERN = r'"@type"\s*:\s*\[([^\]]*)\]'
+_QUOTED_TOKEN = r'"([A-Za-z][A-Za-z0-9]*)"'
+
+
+def jsonld_type_counts(df, html_col: str = "html", id_col: str = "doc_id"):
+    """(id, sd_type, n) — occurrences of each schema.org @type in the
+    page's ld+json blocks.  Scale shape: map-only codegen
+    regexp_extract_all + two explode paths (scalar and array spellings)
+    unioned, then ONE map-side-combining groupBy; rows after the scan
+    are (id, short-token) pairs."""
+    blocks = (df.select(
+        F.col(id_col),
+        F.explode(F.regexp_extract_all(
+            F.col(html_col).cast("string"),
+            F.lit(JSONLD_BLOCK_PATTERN), 1)).alias("block")))
+    scalar = blocks.select(
+        id_col,
+        F.explode(F.regexp_extract_all(
+            "block", F.lit(JSONLD_TYPE_SCALAR_PATTERN), 1)).alias("sd_type"))
+    arrays = (blocks.select(
+        id_col,
+        F.explode(F.regexp_extract_all(
+            "block", F.lit(JSONLD_TYPE_ARRAY_PATTERN), 1)).alias("arr"))
+        .select(id_col,
+                F.explode(F.regexp_extract_all(
+                    "arr", F.lit(_QUOTED_TOKEN), 1)).alias("sd_type")))
+    return (scalar.unionByName(arrays)
+            .groupBy(id_col, "sd_type")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+# ---------------------------------------------------------------------------
 # Main-content extraction (jusText-core, context-free block classification)
 # ---------------------------------------------------------------------------
 # Public heuristics: jusText (Pomikálek, "Removing boilerplate and
