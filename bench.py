@@ -71,6 +71,7 @@ def main() -> None:
         "redirect_chains",
         "registrable_domains",
         "jsonld_types",
+        "soft404_filter",
         "stratified_sample",
         "link_pagerank",
         "anchor_texts",

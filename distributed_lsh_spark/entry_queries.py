@@ -2984,6 +2984,64 @@ SELECT doc_id, sd_type, CAST(n AS BIGINT) AS n FROM (
 ) ORDER BY doc_id, sd_type"""
 
 
+def q_soft404_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 detection (`functions/extract.soft404_signals`,
+    Bar-Yossef et al. WWW'04) under the hard gate — dead pages served
+    with HTTP 200 carry an error template the crawler cannot see in the
+    status code, so the filter is a standard crawl-curation pass.
+
+    Plantings (k = doc_id % 6): k=0 'Page Not Found' title + 6-char
+    body; k=1 a '404 - File Not Found' title variant + 26-char body;
+    k=2 the phrase only in an H1 ('Oops! This page cannot be found.')
+    + short body; k=3 the CLASSIC FALSE POSITIVE — an article titled
+    'How to fix a 404 not found error' whose body is the doc's own
+    text, so the verdict follows length(text) < 200 and BOTH branches
+    occur naturally in the corpus; k=4 short body but a clean title
+    (no phrase -> keep); k=5 a normal page.  The DuckDB oracle states
+    every signal from doc_id arithmetic + length(text) and never
+    parses html.  Scale shape: map-only, three codegen regexp passes +
+    one tag-strip, zero shuffles before the gate ORDER BY."""
+    from distributed_lsh_spark.functions.extract import soft404_signals
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = F.pmod(F.col("doc_id"), F.lit(6))
+    title = (F.when(k == 0, F.lit("Page Not Found"))
+             .when(k == 1, F.lit("404 - File Not Found"))
+             .when(k == 2, F.lit("Archive"))
+             .when(k == 3, F.lit("How to fix a 404 not found error"))
+             .when(k == 4, F.lit("Welcome to our site"))
+             .otherwise(F.lit("Daily news digest")))
+    h1 = F.when(k == 2, F.lit("<h1>Oops! This page cannot be found.</h1>")) \
+          .otherwise(F.lit(""))
+    body = (F.when(k == 0, F.lit("Sorry."))
+            .when(k == 1, F.lit("The file you want is gone."))
+            .when(k == 2, F.lit("Try the search box."))
+            .when(k == 4, F.lit("Under construction."))
+            .otherwise(F.col("text")))
+    html = F.concat(F.lit("<html><head><title>"), title,
+                    F.lit("</title></head><body>"), h1,
+                    F.lit("<p>"), body, F.lit("</p></body></html>"))
+    d = df.select("doc_id", html.alias("html"))
+    sig = soft404_signals("html")
+    return (d.select("doc_id",
+                     sig["has_error_phrase"].alias("has_error_phrase"),
+                     sig["n_content_chars"].alias("n_content_chars"),
+                     sig["is_soft404"].alias("is_soft404"))
+            .orderBy("doc_id"))
+
+
+_SQL_SOFT404_FILTER = """
+WITH d AS (
+  SELECT doc_id, doc_id % 6 AS k, length(text) AS lt FROM documents
+)
+SELECT doc_id,
+  k IN (0, 1, 2, 3) AS has_error_phrase,
+  CAST(CASE k WHEN 0 THEN 6 WHEN 1 THEN 26 WHEN 2 THEN 51
+       WHEN 4 THEN 19 ELSE lt END AS BIGINT) AS n_content_chars,
+  (k IN (0, 1, 2) OR (k = 3 AND lt < 200)) AS is_soft404
+FROM d ORDER BY doc_id"""
+
+
 _SQL_PUB_DATE_EXTRACT = """
 WITH d AS (
   SELECT doc_id, doc_id % 6 AS k,
@@ -6986,6 +7044,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "redirect_chains": q_redirect_chains,
     "registrable_domains": q_registrable_domains,
     "jsonld_types": q_jsonld_types,
+    "soft404_filter": q_soft404_filter,
     "stratified_sample": q_stratified_sample,
     "link_pagerank": q_link_pagerank,
     "anchor_texts": q_anchor_texts,
@@ -7105,6 +7164,7 @@ ORACLE_SQL: dict[str, str] = {
     "redirect_chains": _SQL_REDIRECT_CHAINS,
     "registrable_domains": _SQL_REGISTRABLE_DOMAINS,
     "jsonld_types": _SQL_JSONLD_TYPES,
+    "soft404_filter": _SQL_SOFT404_FILTER,
     "stratified_sample": _SQL_STRATIFIED_SAMPLE,
     "link_pagerank": _sql_link_pagerank(),
     "anchor_texts": _SQL_ANCHOR_TEXTS,

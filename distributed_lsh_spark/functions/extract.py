@@ -412,6 +412,45 @@ def jsonld_type_counts(df, html_col: str = "html", id_col: str = "doc_id"):
 
 
 # ---------------------------------------------------------------------------
+# soft-404 detection (error template served with HTTP 200)
+# ---------------------------------------------------------------------------
+# Public heuristics: Bar-Yossef, Broder, Kumar & Tomkins, "Sic transit
+# gloria telae" (WWW'04) established that a large fraction of dead pages
+# answer 200 with an error template; context-free detectors key on error
+# phrases in the page's title/h1 plus near-empty main content, and the
+# classic false positive — an ARTICLE about 404 errors — is excluded by
+# the content-length arm.  Both signals are codegen: one extraction pass
+# for title and h1, one lower-cased phrase scan, one body tag-strip for
+# the content length.
+TITLE_PATTERN = r"(?is)<title[^>]*>([^<]*)</title>"
+H1_PATTERN = r"(?is)<h1[^>]*>([^<]*)</h1>"
+BODY_PATTERN = r"(?is)<body[^>]*>(.*)</body>"
+SOFT404_PHRASE_PATTERN = (r"(?:page not found|not found|404|"
+                          r"no longer available|cannot be found|"
+                          r"doesn't exist|does not exist)")
+#: below this many visible body characters an error-phrased page is an
+#: error TEMPLATE, above it an article ABOUT errors.
+SOFT404_MIN_CONTENT_CHARS = 200
+
+
+def soft404_signals(html_col) -> "F.Column":
+    """struct(has_error_phrase, n_content_chars, is_soft404) — the
+    context-free soft-404 verdict."""
+    h = F.col(html_col).cast("string")
+    head_txt = F.lower(F.concat_ws(
+        " ", F.regexp_extract(h, TITLE_PATTERN, 1),
+        F.regexp_extract(h, H1_PATTERN, 1)))
+    phrase = F.regexp_count(head_txt, F.lit(SOFT404_PHRASE_PATTERN)) > 0
+    body = F.regexp_extract(h, BODY_PATTERN, 1)
+    n_chars = F.length(F.regexp_replace(body, r"<[^>]*>", "")).cast("long")
+    return F.struct(
+        phrase.alias("has_error_phrase"),
+        n_chars.alias("n_content_chars"),
+        (phrase & (n_chars < SOFT404_MIN_CONTENT_CHARS))
+        .alias("is_soft404"))
+
+
+# ---------------------------------------------------------------------------
 # Main-content extraction (jusText-core, context-free block classification)
 # ---------------------------------------------------------------------------
 # Public heuristics: jusText (Pomikálek, "Removing boilerplate and
