@@ -72,6 +72,7 @@ def main() -> None:
         "registrable_domains",
         "jsonld_types",
         "soft404_filter",
+        "cdx_index",
         "stratified_sample",
         "link_pagerank",
         "anchor_texts",

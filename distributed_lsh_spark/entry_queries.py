@@ -3042,6 +3042,67 @@ SELECT doc_id,
 FROM d ORDER BY doc_id"""
 
 
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX(J) index generation (`functions/url.surt_key`) under the hard
+    gate — the web-archive lookup structure (Internet Archive /
+    OpenWayback / pywb): one row per capture keyed by the SURT transform
+    so every spelling of a host collates together, with the 14-digit
+    timestamp and content digest the replay/dedup tooling reads.
+    Pairs with `warc_extract` (same arithmetic capture timestamp).
+
+    Url plantings (s = doc_id % 4) exercise each SURT rule: multi-label
+    host with www (label order reverses, www kept), UPPERCASE scheme +
+    host + path (whole-key lowercasing), a bare host with no path (SURT
+    path defaults to '/'), and a deep host with an UNSORTED query
+    ('?b=2&a=1' must emit '?a=1&b=2').  The DuckDB oracle states every
+    SURT string from doc_id ARITHMETIC (never transforming urls) and
+    recomputes ts/digest independently.  Scale shape: map-only codegen
+    (split/reverse/array_join/sort_array), one exchange for the index
+    ORDER BY — at archive scale that global sort IS the product (CDX
+    files are range-partitioned by key)."""
+    from distributed_lsh_spark.functions.url import surt_key
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = F.pmod(F.col("doc_id"), F.lit(4))
+    m = F.pmod(F.col("doc_id"), F.lit(13)).cast("string")
+    i = F.col("doc_id").cast("string")
+    url = (F.when(s == 0, F.concat(F.lit("http://www.site"), m,
+                                   F.lit(".co.uk/p/"), i))
+           .when(s == 1, F.concat(F.lit("HTTPS://SITE"), m,
+                                  F.lit(".COM/A/"), i))
+           .when(s == 2, F.concat(F.lit("http://h"), m,
+                                  F.lit(".example.org")))
+           .otherwise(F.concat(F.lit("http://x.y.site"), m,
+                               F.lit(".de/deep/"), i,
+                               F.lit("?b=2&a=1"))))
+    epoch = (F.lit(1735689600)
+             + F.pmod(F.col("doc_id") * 7919, F.lit(1000000)))
+    d = df.select("doc_id", "text", url.alias("url"))
+    return (d.select(
+        surt_key("url").alias("surt"),
+        F.from_unixtime(epoch, "yyyyMMddHHmmss").alias("cdx_ts"),
+        F.md5(F.col("text").cast("binary")).alias("digest"))
+        .orderBy("surt", "cdx_ts"))
+
+
+_SQL_CDX_INDEX = """
+WITH d AS (
+  SELECT doc_id, text, doc_id % 4 AS s, doc_id % 13 AS m,
+         1735689600 + (doc_id * 7919) % 1000000 AS epoch
+  FROM documents
+)
+SELECT CASE s
+         WHEN 0 THEN 'uk,co,site' || m || ',www)/p/' || doc_id
+         WHEN 1 THEN 'com,site' || m || ')/a/' || doc_id
+         WHEN 2 THEN 'org,example,h' || m || ')/'
+         ELSE 'de,site' || m || ',y,x)/deep/' || doc_id || '?a=1&b=2'
+       END AS surt,
+       strftime(make_timestamp(CAST(epoch AS BIGINT) * 1000000),
+                '%Y%m%d%H%M%S') AS cdx_ts,
+       md5(text) AS digest
+FROM d ORDER BY surt, cdx_ts"""
+
+
 _SQL_PUB_DATE_EXTRACT = """
 WITH d AS (
   SELECT doc_id, doc_id % 6 AS k,
@@ -7045,6 +7106,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "registrable_domains": q_registrable_domains,
     "jsonld_types": q_jsonld_types,
     "soft404_filter": q_soft404_filter,
+    "cdx_index": q_cdx_index,
     "stratified_sample": q_stratified_sample,
     "link_pagerank": q_link_pagerank,
     "anchor_texts": q_anchor_texts,
@@ -7165,6 +7227,7 @@ ORACLE_SQL: dict[str, str] = {
     "registrable_domains": _SQL_REGISTRABLE_DOMAINS,
     "jsonld_types": _SQL_JSONLD_TYPES,
     "soft404_filter": _SQL_SOFT404_FILTER,
+    "cdx_index": _SQL_CDX_INDEX,
     "stratified_sample": _SQL_STRATIFIED_SAMPLE,
     "link_pagerank": _sql_link_pagerank(),
     "anchor_texts": _SQL_ANCHOR_TEXTS,

@@ -122,4 +122,31 @@ def canonicalize_url_udf(urls: pd.Series) -> pd.Series:
     return urls.map(canonicalize_url, na_action="ignore")
 
 
-__all__ = ["canonicalize_url", "canonicalize_url_udf"]
+# ---------------------------------------------------------------------------
+# SURT keys (Sort-friendly URI Reordering Transform)
+# ---------------------------------------------------------------------------
+# Public format: the web-archive lookup key used by CDX/CDXJ indexes
+# (Internet Archive / OpenWayback / pywb): the whole url lowercases, the
+# scheme drops, host labels reverse comma-joined, then ')' + path, with
+# query parameters sorted so equivalent spellings collate together —
+# 'http://www.Example.co.uk/A?b=2&a=1' -> 'uk,co,example,www)/a?a=1&b=2'.
+# Entirely codegen (split/reverse/array_join/sort_array) — no per-row
+# Python; compose after `canonicalize_url_udf` when RFC 3986
+# normalization (ports, dot-segments, percent-forms) is also wanted.
+
+def surt_key(url_col) -> "F.Column":
+    u = F.lower(F.col(url_col).cast("string"))
+    host = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://([^/?#:]+)", 1)
+    path = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    sorted_q = F.array_join(
+        F.sort_array(F.split(query, "&")), "&")
+    return F.concat(
+        rev, F.lit(")"),
+        F.when(path == "", F.lit("/")).otherwise(path),
+        F.when(query == "", F.lit(""))
+         .otherwise(F.concat(F.lit("?"), sorted_q)))
+
+
+__all__ = ["canonicalize_url", "canonicalize_url_udf", "surt_key"]

@@ -1,0 +1,71 @@
+"""SURT keys (functions/url.surt_key) + the cdx_index gate row."""
+
+from distributed_lsh_spark.functions.url import surt_key
+
+# (url, expected surt)
+CASES = [
+    ("http://www.Example.co.uk/A?b=2&a=1", "uk,co,example,www)/a?a=1&b=2"),
+    ("HTTPS://SITE.COM/A/B", "com,site)/a/b"),
+    ("http://h.example.org", "org,example,h)/"),
+    ("http://x.y.site.de/deep/9?b=2&a=1", "de,site,y,x)/deep/9?a=1&b=2"),
+    ("http://example.com/", "com,example)/"),
+    ("http://example.com/p#frag", "com,example)/p"),      # fragment drops
+    ("http://example.com/?z=1", "com,example)/?z=1"),
+    ("http://example.com/p?single", "com,example)/p?single"),
+]
+
+
+def _python_surt(url: str) -> str:
+    u = url.lower()
+    rest = u.split("://", 1)[1]
+    hostport, _, pathq = rest.partition("/")
+    host = hostport.split(":")[0]
+    pathq = "/" + pathq
+    path, _, after = pathq.partition("?")
+    after = after.split("#")[0]
+    path = path.split("#")[0]
+    key = ",".join(reversed(host.split("."))) + ")" + (path or "/")
+    if after:
+        key += "?" + "&".join(sorted(after.split("&")))
+    return key
+
+
+def test_python_replay():
+    for url, want in CASES:
+        assert _python_surt(url) == want, url
+
+
+def test_spark_column(spark):
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(CASES)],
+                               "i int, url string")
+    got = {r["i"]: r["s"]
+           for r in df.select("i", surt_key("url").alias("s")).collect()}
+    for i, (_, want) in enumerate(CASES):
+        assert got[i] == want, CASES[i][0]
+
+
+def test_gate_row_matches_arithmetic_oracle(spark):
+    import duckdb
+
+    from distributed_lsh_spark.entry_queries import (
+        _SQL_CDX_INDEX, q_cdx_index,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = q_cdx_index(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    want = con.execute(_SQL_CDX_INDEX).df()
+    cols = sorted(out.columns)
+    assert cols == sorted(want.columns)
+    a = out[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    for c in cols:
+        assert (a[c].astype(str) == b[c].astype(str)).all(), c
+    # the index is emitted in key order and every planting class appears
+    assert list(out.surt) == sorted(out.surt)
+    assert out.surt.str.contains(r"\?a=1&b=2").any()       # query sorted
+    assert out.surt.str.startswith("uk,co,").any()          # reversed host
+    assert (out.cdx_ts.str.len() == 14).all()
