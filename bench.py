@@ -73,6 +73,7 @@ def main() -> None:
         "jsonld_types",
         "soft404_filter",
         "cdx_index",
+        "sitemap_urls",
         "stratified_sample",
         "link_pagerank",
         "anchor_texts",

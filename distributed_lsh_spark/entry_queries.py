@@ -3103,6 +3103,76 @@ SELECT CASE s
 FROM d ORDER BY surt, cdx_ts"""
 
 
+def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap parsing (`functions/extract.sitemap_entries`,
+    sitemaps.org 0.9) under the hard gate — the crawl-frontier seed
+    format: a <urlset> of per-page entries or a <sitemapindex> of child
+    sitemaps.
+
+    Plantings (k = doc_id % 3): k=0 a urlset with TWO entries — one
+    carrying a lastmod (the pub-date epoch-day arithmetic) and one
+    WITHOUT (the optional field must come back '') — in one compact
+    whitespace-varied spelling; k=1 a sitemapindex with one child;
+    k=2 a normal html page (neither kind -> no rows; its prose
+    mentions <loc> inside a <p>, which the block isolation excludes).
+    The DuckDB oracle states every (kind, loc, lastmod) from doc_id
+    ARITHMETIC and never parses xml.  Scale shape: map-only codegen
+    extraction, explode of O(entries) blocks, no shuffle before the
+    gate ORDER BY."""
+    from distributed_lsh_spark.functions.extract import sitemap_entries
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = F.pmod(F.col("doc_id"), F.lit(3))
+    m = F.pmod(F.col("doc_id"), F.lit(13)).cast("string")
+    i = F.col("doc_id").cast("string")
+    n = (F.lit(19000) + F.pmod(F.col("doc_id") * 37, F.lit(1461))) \
+        .cast("int")
+    lastmod = F.date_format(
+        F.date_add(F.to_date(F.lit("1970-01-01")), n), "yyyy-MM-dd")
+    loc_a = F.concat(F.lit("https://s"), m, F.lit(".example.com/p/"), i)
+    loc_b = F.concat(F.lit("https://s"), m, F.lit(".example.com/q/"), i)
+    child = F.concat(F.lit("https://s"), m,
+                     F.lit(".example.com/sitemap-"), i, F.lit(".xml"))
+    urlset = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc> '), loc_a,
+        F.lit(' </loc><lastmod>'), lastmod,
+        F.lit('</lastmod></url><URL never closes here</p><url>\n<loc>'),
+        loc_b, F.lit('</loc>\n</url></urlset>'))
+    index = F.concat(
+        F.lit('<sitemapindex><sitemap><loc>'), child,
+        F.lit('</loc></sitemap></sitemapindex>'))
+    page = F.concat(F.lit('<html><body><p>the tag <loc> in prose</p><p>'),
+                    F.col("text"), F.lit('</p></body></html>'))
+    html = (F.when(k == 0, urlset).when(k == 1, index).otherwise(page))
+    d = df.select("doc_id", html.alias("html"))
+    return (sitemap_entries(d, "html", "doc_id")
+            .orderBy("doc_id", "loc"))
+
+
+_SQL_SITEMAP_URLS = """
+WITH d AS (
+  SELECT doc_id, doc_id % 3 AS k, doc_id % 13 AS m,
+         19000 + (doc_id * 37) % 1461 AS n
+  FROM documents
+)
+SELECT doc_id, kind, loc, lastmod FROM (
+  SELECT doc_id, 'urlset' AS kind,
+         'https://s' || m || '.example.com/p/' || doc_id AS loc,
+         strftime(DATE '1970-01-01' + CAST(n AS INTEGER),
+                  '%Y-%m-%d') AS lastmod
+  FROM d WHERE k = 0
+  UNION ALL
+  SELECT doc_id, 'urlset',
+         'https://s' || m || '.example.com/q/' || doc_id, ''
+  FROM d WHERE k = 0
+  UNION ALL
+  SELECT doc_id, 'sitemapindex',
+         'https://s' || m || '.example.com/sitemap-' || doc_id || '.xml',
+         ''
+  FROM d WHERE k = 1
+) ORDER BY doc_id, loc"""
+
+
 _SQL_PUB_DATE_EXTRACT = """
 WITH d AS (
   SELECT doc_id, doc_id % 6 AS k,
@@ -7107,6 +7177,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jsonld_types": q_jsonld_types,
     "soft404_filter": q_soft404_filter,
     "cdx_index": q_cdx_index,
+    "sitemap_urls": q_sitemap_urls,
     "stratified_sample": q_stratified_sample,
     "link_pagerank": q_link_pagerank,
     "anchor_texts": q_anchor_texts,
@@ -7228,6 +7299,7 @@ ORACLE_SQL: dict[str, str] = {
     "jsonld_types": _SQL_JSONLD_TYPES,
     "soft404_filter": _SQL_SOFT404_FILTER,
     "cdx_index": _SQL_CDX_INDEX,
+    "sitemap_urls": _SQL_SITEMAP_URLS,
     "stratified_sample": _SQL_STRATIFIED_SAMPLE,
     "link_pagerank": _sql_link_pagerank(),
     "anchor_texts": _SQL_ANCHOR_TEXTS,

@@ -451,6 +451,45 @@ def soft404_signals(html_col) -> "F.Column":
 
 
 # ---------------------------------------------------------------------------
+# XML sitemap parsing (sitemaps.org protocol)
+# ---------------------------------------------------------------------------
+# Public format: the sitemaps.org 0.9 protocol — a <urlset> of <url>
+# entries (loc + optional lastmod/changefreq/priority) or a
+# <sitemapindex> of <sitemap> children — is the crawl-frontier seed
+# format.  Entry blocks are isolated first (the jsonld discipline) so a
+# <loc> can never pair with another entry's <lastmod>; a page that is
+# neither document kind yields no rows.
+SITEMAP_URL_BLOCK_PATTERN = r"(?is)<url\s*>(.*?)</url\s*>"
+SITEMAP_CHILD_BLOCK_PATTERN = r"(?is)<sitemap\s*>(.*?)</sitemap\s*>"
+SITEMAP_LOC_PATTERN = r"(?is)<loc\s*>\s*([^<\s][^<]*?)\s*</loc\s*>"
+SITEMAP_LASTMOD_PATTERN = r"(?is)<lastmod\s*>\s*([^<\s][^<]*?)\s*</lastmod\s*>"
+
+
+def sitemap_entries(df, html_col: str = "html", id_col: str = "doc_id"):
+    """(id, kind, loc, lastmod) per sitemap entry: kind in ('urlset',
+    'sitemapindex'), lastmod '' when the entry omits it.  Scale shape:
+    map-only codegen regexp_extract_all per kind, explode of O(entries)
+    short blocks, two regexp passes per block, no shuffle."""
+    h = F.col(html_col).cast("string")
+
+    def entries(block_pattern, kind):
+        return (df.select(
+            F.col(id_col),
+            F.explode(F.regexp_extract_all(
+                h, F.lit(block_pattern), 1)).alias("entry"))
+            .select(id_col, F.lit(kind).alias("kind"),
+                    F.regexp_extract("entry", SITEMAP_LOC_PATTERN, 1)
+                    .alias("loc"),
+                    F.regexp_extract("entry", SITEMAP_LASTMOD_PATTERN, 1)
+                    .alias("lastmod"))
+            .where(F.col("loc") != ""))
+
+    urlset = entries(SITEMAP_URL_BLOCK_PATTERN, "urlset")
+    index = entries(SITEMAP_CHILD_BLOCK_PATTERN, "sitemapindex")
+    return urlset.unionByName(index)
+
+
+# ---------------------------------------------------------------------------
 # Main-content extraction (jusText-core, context-free block classification)
 # ---------------------------------------------------------------------------
 # Public heuristics: jusText (Pomikálek, "Removing boilerplate and
