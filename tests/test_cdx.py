@@ -18,15 +18,14 @@ CASES = [
 def _python_surt(url: str) -> str:
     u = url.lower()
     rest = u.split("://", 1)[1]
-    hostport, _, pathq = rest.partition("/")
+    rest = rest.split("#")[0]
+    rest, _, query = rest.partition("?")
+    hostport, _, path = rest.partition("/")
     host = hostport.split(":")[0]
-    pathq = "/" + pathq
-    path, _, after = pathq.partition("?")
-    after = after.split("#")[0]
-    path = path.split("#")[0]
-    key = ",".join(reversed(host.split("."))) + ")" + (path or "/")
-    if after:
-        key += "?" + "&".join(sorted(after.split("&")))
+    key = (",".join(reversed(host.split("."))) + ")"
+           + ("/" + path if path else "/"))
+    if query:
+        key += "?" + "&".join(sorted(query.split("&")))
     return key
 
 
@@ -42,6 +41,29 @@ def test_spark_column(spark):
            for r in df.select("i", surt_key("url").alias("s")).collect()}
     for i, (_, want) in enumerate(CASES):
         assert got[i] == want, CASES[i][0]
+
+
+def test_generated_urls_match_python_replay(spark):
+    """120 deterministically-generated urls (mixed case, depths, query
+    orders, fragments) agree between the Spark column and the
+    pure-Python SURT replay."""
+    import hashlib
+
+    urls = []
+    for i in range(120):
+        t = hashlib.md5(str(i).encode()).hexdigest()
+        scheme = ["http", "HTTPS", "https"][i % 3]
+        host = ".".join([t[j:j + 3] for j in range(0, 3 * (1 + i % 4), 3)]
+                        + ["com", "co.UK", "org"][i % 3:i % 3 + 1])
+        path = "" if i % 5 == 0 else "/" + t[:6].upper()
+        query = "" if i % 4 == 0 else f"?z{t[0]}=1&a{t[1]}=2"
+        frag = "" if i % 6 else "#Sec"
+        urls.append(f"{scheme}://{host}{path}{query}{frag}")
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {r["url"]: r["s"] for r in
+           df.select("url", surt_key("url").alias("s")).collect()}
+    for u in set(urls):
+        assert got[u] == _python_surt(u), u
 
 
 def test_gate_row_matches_arithmetic_oracle(spark):

@@ -70,6 +70,28 @@ def test_distinct_hosts_only_and_null_safe(spark):
     assert len(out) == 1 and out[0]["registrable"] == "example.com"
 
 
+def test_generated_hosts_match_python_replay(spark):
+    """120 deterministically-generated hosts over the rule alphabet
+    (every TLD family in PSL_RULES, depths 1-5, md5-derived labels)
+    agree between the Spark frame and the pure-Python PSL replay —
+    coverage beyond the hand-picked CASES."""
+    import hashlib
+
+    tlds = ["com", "co.uk", "uk", "zz", "ck", "bd", "jp", "co.jp",
+            "www.ck", "me.uk", "example.com", "ac.uk"]
+    hosts = []
+    for i in range(120):
+        depth = i % 4
+        labels = [hashlib.md5(f"{i}.{j}".encode()).hexdigest()[:4]
+                  for j in range(depth)]
+        hosts.append(".".join(labels + [tlds[i % len(tlds)]]))
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {r["host"]: (r["public_suffix"], r["registrable"])
+           for r in registrable_domains(df).collect()}
+    for h in set(hosts):
+        assert got[h] == _python_psl(h), h
+
+
 def test_gate_row_matches_arithmetic_oracle(spark):
     """registrable_domains equals the DuckDB oracle's per-class
     arithmetic (the oracle never runs the PSL algorithm)."""
