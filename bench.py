@@ -74,6 +74,7 @@ def main() -> None:
         "soft404_filter",
         "cdx_index",
         "sitemap_urls",
+        "web_doc_records",
         "stratified_sample",
         "link_pagerank",
         "anchor_texts",

@@ -3173,6 +3173,94 @@ SELECT doc_id, kind, loc, lastmod FROM (
 ) ORDER BY doc_id, loc"""
 
 
+def q_web_doc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaned per-document record assembly — the capstone composition a
+    real ingest pipeline emits per kept page: robots-noindex and
+    soft-404 pages DROP, the canonical url folds to the page's own
+    declaration when present, the publication date rides the htmldate
+    cascade, and the record carries the content length and digest the
+    dedup stages key on.  Every facet is an already-gated extractor
+    (`robots_noindex`, `soft404_signals`, `canonical_href`,
+    `published_date`) composed in ONE map-only pass over one planted
+    html per doc — this row gates the COMPOSITION (facet interactions,
+    drop precedence, fold/fallback wiring), not the pieces.
+
+    Facet plantings use coprime moduli so classes overlap: noindex when
+    doc_id % 11 == 0; soft-404 (error title + 6-char body) when
+    doc_id % 13 == 0 (a doc hitting both must drop once); a quoted
+    canonical declaration on EVEN doc_ids (target keyed doc_id % 61,
+    odd docs fall back to their own url); a pub-date meta when
+    doc_id % 3 == 0 (epoch-day arithmetic).  The DuckDB oracle states
+    every kept record from doc_id arithmetic + length(text)/md5(text)
+    and never parses html."""
+    from distributed_lsh_spark.functions.extract import (
+        canonical_href, published_date, robots_noindex, soft404_signals,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    q = F.lit('"')
+    own = F.concat(F.lit("https://h"),
+                   F.pmod(did, F.lit(7)).cast("string"),
+                   F.lit(".example.com/p/"), did.cast("string"))
+    target = F.concat(F.lit("https://canon.example.com/page-"),
+                      F.pmod(did, F.lit(61)).cast("string"))
+    n = (F.lit(19000) + F.pmod(did * 37, F.lit(1461))).cast("int")
+    dstr = F.date_format(
+        F.date_add(F.to_date(F.lit("1970-01-01")), n), "yyyy-MM-dd")
+    noindex = F.when(F.pmod(did, F.lit(11)) == 0,
+                     F.lit('<meta name="robots" content="noindex">')) \
+               .otherwise(F.lit(""))
+    title = F.when(F.pmod(did, F.lit(13)) == 0,
+                   F.lit("<title>Page Not Found</title>")) \
+             .otherwise(F.lit("<title>Article</title>"))
+    canon = F.when(F.pmod(did, F.lit(2)) == 0,
+                   F.concat(F.lit('<link rel="canonical" href='), q,
+                            target, q, F.lit('>'))).otherwise(F.lit(""))
+    pmeta = F.when(F.pmod(did, F.lit(3)) == 0, F.concat(
+        F.lit('<meta property="article:published_time" content='), q,
+        dstr, q, F.lit('>'))).otherwise(F.lit(""))
+    body = F.when(F.pmod(did, F.lit(13)) == 0, F.lit("Sorry.")) \
+            .otherwise(F.col("text"))
+    html = F.concat(F.lit("<html><head>"), title, noindex, canon, pmeta,
+                    F.lit("</head><body><p>"), body,
+                    F.lit("</p></body></html>"))
+    d = df.select("doc_id", "lang", F.col("text"),
+                  own.alias("own_url"), html.alias("html"))
+    sig = soft404_signals("html")
+    ch = canonical_href("html")
+    pd_ = published_date("html", "own_url")
+    kept = d.where(~robots_noindex("html") & ~sig["is_soft404"])
+    return (kept.select(
+        "doc_id", "lang",
+        F.when(ch != "", ch).otherwise(F.col("own_url"))
+         .alias("canonical_url"),
+        pd_["date"].alias("pub_date"),
+        sig["n_content_chars"].alias("n_chars"),
+        F.md5(F.col("text").cast("binary")).alias("digest"))
+        .orderBy("doc_id"))
+
+
+_SQL_WEB_DOC_RECORDS = """
+WITH d AS (
+  SELECT doc_id, lang, text,
+         19000 + (doc_id * 37) % 1461 AS n
+  FROM documents
+  WHERE doc_id % 11 <> 0 AND doc_id % 13 <> 0
+)
+SELECT doc_id, lang,
+  CASE WHEN doc_id % 2 = 0
+       THEN 'https://canon.example.com/page-' || (doc_id % 61)
+       ELSE 'https://h' || (doc_id % 7) || '.example.com/p/' || doc_id
+  END AS canonical_url,
+  CASE WHEN doc_id % 3 = 0
+       THEN strftime(DATE '1970-01-01' + CAST(n AS INTEGER), '%Y-%m-%d')
+       ELSE '' END AS pub_date,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  md5(text) AS digest
+FROM d ORDER BY doc_id"""
+
+
 _SQL_PUB_DATE_EXTRACT = """
 WITH d AS (
   SELECT doc_id, doc_id % 6 AS k,
@@ -7178,6 +7266,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "soft404_filter": q_soft404_filter,
     "cdx_index": q_cdx_index,
     "sitemap_urls": q_sitemap_urls,
+    "web_doc_records": q_web_doc_records,
     "stratified_sample": q_stratified_sample,
     "link_pagerank": q_link_pagerank,
     "anchor_texts": q_anchor_texts,
@@ -7300,6 +7389,7 @@ ORACLE_SQL: dict[str, str] = {
     "soft404_filter": _SQL_SOFT404_FILTER,
     "cdx_index": _SQL_CDX_INDEX,
     "sitemap_urls": _SQL_SITEMAP_URLS,
+    "web_doc_records": _SQL_WEB_DOC_RECORDS,
     "stratified_sample": _SQL_STRATIFIED_SAMPLE,
     "link_pagerank": _sql_link_pagerank(),
     "anchor_texts": _SQL_ANCHOR_TEXTS,
