@@ -51,8 +51,12 @@ PSL_RULES: list[tuple[str, bool]] = [
     ("*.bd", False),   # second wildcard family
 ]
 
-#: longest rule in PSL_RULES measured in labels (wildcard * counts).
-_MAX_RULE_LABELS = 2
+def _max_rule_labels() -> int:
+    """Longest rule in PSL_RULES measured in labels (wildcard * counts)
+    — derived from the table at call time so swapping in the real ~10k
+    rule PSL (with 4-5-label wildcards like *.compute.amazonaws.com)
+    widens the candidate-suffix fan-out automatically."""
+    return max(r.count(".") + 1 for r, _ in PSL_RULES)
 
 
 def _rules_df(spark) -> DataFrame:
@@ -76,7 +80,7 @@ def registrable_domains(hosts: DataFrame, host_col: str = "host",
     # (the +1 covers exception rules, one label longer than their
     # wildcard), and the wildcard spelling '*.'+last-(k-1) for k >= 2.
     cands = []
-    for k in range(1, _MAX_RULE_LABELS + 2):
+    for k in range(1, _max_rule_labels() + 2):
         exact = F.when(F.col("n_host_labels") >= k,
                        F.substring_index("host", ".", -k))
         cands.append(F.struct(exact.alias("cand"), F.lit(k).alias("k")))

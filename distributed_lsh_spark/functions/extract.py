@@ -280,13 +280,17 @@ def published_date(html_col, url_col) -> "F.Column":
 # high-precision bitext document alignment.  Extraction discipline as the
 # other tag extractors: full <link ...> tags are isolated first (so [^>]*
 # can never leak attributes across tags), then per-tag codegen
-# regexp_extract pulls hreflang and href; a language code needs two leading
-# letters, so hreflang="x-default" (the fallback pointer, not a language)
-# never extracts and needs no special-casing.
+# regexp_extract pulls hreflang and href; a BCP 47 primary subtag is 2 OR 3
+# letters ("fr" ISO 639-1, "fil"/"haw" ISO 639-2/3) — the (?![A-Za-z])
+# lookahead rejects longer runs outright instead of silently truncating
+# them to a different language, and hreflang="x-default" (the fallback
+# pointer, not a language) still never extracts because 'x-' fails the
+# two-letter minimum.
 LINK_TAG_PATTERN = r"(?i)(<link\b[^>]*>)"
 _REL_ALTERNATE = r"""\brel\s*=\s*(?:["'][^"'>]*\balternate\b|alternate\b)"""
 HREFLANG_CODE_PATTERN = (r"(?i)\bhreflang\s*=\s*["
-                         r"\"']?([A-Za-z]{2}(?:-[A-Za-z0-9]{2,8})?)")
+                         r"\"']?([A-Za-z]{2,3}(?![A-Za-z])"
+                         r"(?:-[A-Za-z0-9]{2,8})?)")
 
 
 def hreflang_alternates(df, html_col: str = "html", url_col: str = "url"):

@@ -127,23 +127,38 @@ def canonicalize_url_udf(urls: pd.Series) -> pd.Series:
 # ---------------------------------------------------------------------------
 # Public format: the web-archive lookup key used by CDX/CDXJ indexes
 # (Internet Archive / OpenWayback / pywb): the whole url lowercases, the
-# scheme drops, host labels reverse comma-joined, then ')' + path, with
+# scheme drops, userinfo drops, host labels reverse comma-joined with a
+# NON-DEFAULT port kept (':8080' survives, ':80' on http / ':443' on
+# https drop — pywb/OpenWayback canonicalization), then ')' + path, with
 # query parameters sorted so equivalent spellings collate together —
-# 'http://www.Example.co.uk/A?b=2&a=1' -> 'uk,co,example,www)/a?a=1&b=2'.
-# Entirely codegen (split/reverse/array_join/sort_array) — no per-row
-# Python; compose after `canonicalize_url_udf` when RFC 3986
-# normalization (ports, dot-segments, percent-forms) is also wanted.
+# 'http://u:p@www.Example.co.uk:8080/A?b=2&a=1' ->
+# 'uk,co,example,www:8080)/a?a=1&b=2'.  Entirely codegen
+# (regexp/split/reverse/array_join/sort_array) — no per-row Python;
+# compose after `canonicalize_url_udf` when RFC 3986 normalization
+# (dot-segments, percent-forms) is also wanted.
 
 def surt_key(url_col) -> "F.Column":
     u = F.lower(F.col(url_col).cast("string"))
-    host = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://([^/?#:]+)", 1)
+    scheme = F.regexp_extract(u, r"^([a-z][a-z0-9+.-]*)://", 1)
+    auth = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
+    # userinfo is everything through the last '@' of the authority (RFC
+    # 3986 allows ':' inside it, so strip before splitting off the port)
+    hostport = F.regexp_replace(auth, r"^.*@", "")
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    host = F.regexp_replace(hostport, r":[0-9]+$", "")
+    default = ((port == "")
+               | ((scheme == "http") & (port == "80"))
+               | ((scheme == "https") & (port == "443")))
     path = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
     query = F.regexp_extract(u, r"\?([^#]*)", 1)
     rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
     sorted_q = F.array_join(
         F.sort_array(F.split(query, "&")), "&")
     return F.concat(
-        rev, F.lit(")"),
+        rev,
+        F.when(default, F.lit(""))
+         .otherwise(F.concat(F.lit(":"), port)),
+        F.lit(")"),
         F.when(path == "", F.lit("/")).otherwise(path),
         F.when(query == "", F.lit(""))
          .otherwise(F.concat(F.lit("?"), sorted_q)))

@@ -8,17 +8,22 @@ canonicalization pass.  The resolution itself is the classic parallel
 pointer-jumping scheme (Wyllie's list ranking): the successor map is
 composed with itself each round, so a chain of length L resolves in
 ceil(log2(L)) self-joins instead of L sequential ones — at 10^12 pages
-the redirect frame is a small fraction of the corpus and 4 rounds
-(MAX_HOPS = 16, the Blink/Gecko redirect-follow ballpark) cover every
-real chain.
+the redirect frame is a small fraction of the corpus and 5 rounds
+(4 to cover MAX_HOPS = 16, the Blink/Gecko redirect-follow ballpark,
+plus one to separate at-cap chains from loops) cover every real chain.
 
-Cycle semantics are the cap's: a source whose accumulated hop count
-reaches MAX_HOPS is flagged `cycled` (a real chain longer than the cap
-is indistinguishable from a loop to any bounded follower — browsers
-give up the same way).  Pointer doubling makes the flagged row
-deterministic: after r rounds every unresolved pointer has jumped
-exactly 2^r steps, so a 2-cycle lands back on its own url with
-n_hops = MAX_HOPS.
+Cycle semantics: a source is flagged `cycled` only when its accumulated
+hop count EXCEEDS MAX_HOPS — a legitimate acyclic chain of exactly
+MAX_HOPS hops reaches its terminal and is NOT flagged.  The loop runs
+one doubling round past the cap with the hop accumulator clamped at
+MAX_HOPS + 1, so any true loop (whose count would otherwise double
+forever) and any over-cap chain deterministically land on the clamp
+value while every within-cap chain keeps its exact length.  `cycled`
+therefore reads "loop, or chain a MAX_HOPS-bounded follower gives up
+on" (browsers treat the two identically); n_hops is clamped at
+MAX_HOPS.  Pointer doubling makes the flagged row deterministic: after
+r rounds every unresolved pointer has jumped exactly 2^r steps, so a
+2-cycle lands back on its own url.
 """
 
 from __future__ import annotations
@@ -51,7 +56,11 @@ def resolve_redirect_chains(pages: DataFrame, url_col: str = "url",
                    .select(src.alias("src"), tgt.alias("dst"),
                            F.lit(1).cast("long").alias("steps")))
     jmp = redirecting
-    rounds = max(1, (MAX_HOPS - 1).bit_length())
+    # one round PAST the cap: a chain of exactly MAX_HOPS converges at
+    # steps == MAX_HOPS (joins stop adding once the terminal absorbs),
+    # while a loop / over-cap chain pushes past it and sticks at the
+    # MAX_HOPS + 1 clamp — the extra round is what separates the two.
+    rounds = max(1, (MAX_HOPS - 1).bit_length()) + 1
     for _ in range(rounds):
         nxt = jmp.select(F.col("src").alias("n_src"),
                          F.col("dst").alias("n_dst"),
@@ -59,10 +68,10 @@ def resolve_redirect_chains(pages: DataFrame, url_col: str = "url",
         jmp = (jmp.join(nxt, jmp.dst == nxt.n_src, "left")
                .select("src",
                        F.coalesce("n_dst", "dst").alias("dst"),
-                       (F.col("steps")
-                        + F.coalesce("n_steps", F.lit(0)))
-                       .cast("long").alias("steps"))
-               .where(F.col("steps") <= F.lit(MAX_HOPS)))
+                       F.least(F.col("steps")
+                               + F.coalesce("n_steps", F.lit(0)),
+                               F.lit(MAX_HOPS + 1))
+                       .cast("long").alias("steps")))
         # each round self-joins its own output: without truncation the
         # plan doubles every round and the page-side extraction re-runs
         # 2^rounds times (no exchange reuse across the rename) — the
@@ -73,7 +82,7 @@ def resolve_redirect_chains(pages: DataFrame, url_col: str = "url",
         F.col("src").alias("r_url"),
         F.col("dst").alias("final_url"),
         F.least(F.col("steps"), F.lit(MAX_HOPS)).alias("n_hops"),
-        (F.col("steps") >= MAX_HOPS).alias("cycled"))
+        (F.col("steps") > MAX_HOPS).alias("cycled"))
     return (pages.select(src.alias("url"))
             .join(resolved, F.col("url") == F.col("r_url"), "left")
             .select("url",

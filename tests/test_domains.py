@@ -120,3 +120,41 @@ def test_gate_row_matches_arithmetic_oracle(spark):
     assert (out.host == "www.ck").any()
     assert out[out.host == "www.ck"].public_suffix.iloc[0] == "ck"
     assert (out[out.host.str.endswith(".zz")].registrable != "").all()
+
+
+def test_longer_rule_table_widens_candidate_fanout(spark, monkeypatch):
+    """The candidate-suffix fan-out is derived from the rule table at
+    call time: swapping in real-PSL-length rules (a 4-label wildcard
+    like *.compute.amazonaws.com) classifies those hosts without any
+    code change (ADVICE r4: a hardcoded max-label constant silently
+    dropped the longer candidates)."""
+    import distributed_lsh_spark.functions.domains as dom
+
+    rules = dom.PSL_RULES + [
+        ("*.compute.amazonaws.com", False),
+        ("s3.dualstack.ap-south-1.amazonaws.com", False),
+    ]
+    monkeypatch.setattr(dom, "PSL_RULES", rules)
+    cases = [
+        # 4-label wildcard: ec2-x.compute.amazonaws.com IS a suffix
+        ("ec2-1-2-3-4.compute.amazonaws.com",
+         "ec2-1-2-3-4.compute.amazonaws.com", ""),
+        ("myvm.ec2-1-2-3-4.compute.amazonaws.com",
+         "ec2-1-2-3-4.compute.amazonaws.com",
+         "myvm.ec2-1-2-3-4.compute.amazonaws.com"),
+        # 5-label exact rule
+        ("s3.dualstack.ap-south-1.amazonaws.com",
+         "s3.dualstack.ap-south-1.amazonaws.com", ""),
+        ("bkt.s3.dualstack.ap-south-1.amazonaws.com",
+         "s3.dualstack.ap-south-1.amazonaws.com",
+         "bkt.s3.dualstack.ap-south-1.amazonaws.com"),
+        # plain hosts keep classifying under the longer table
+        ("www.example.co.uk", "co.uk", "example.co.uk"),
+        # amazonaws.com itself only matches the plain 'com' rule
+        ("amazonaws.com", "com", "amazonaws.com"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _, _ in cases], "host string")
+    got = {r["host"]: (r["public_suffix"], r["registrable"])
+           for r in dom.registrable_domains(df).collect()}
+    for host, want_suf, want_reg in cases:
+        assert got[host] == (want_suf, want_reg), host

@@ -34,6 +34,14 @@ EXTRACT_CASES = [
     (f'<link rel="alternate" hreflang="fr" href="{B}">'
      f'<link rel="alternate" hreflang="de" href="{B}de">', A,
      {("fr", B), ("de", B + "de")}),
+    # 3-letter ISO 639-2/3 primary subtags extract whole — never
+    # truncated to a different 2-letter language
+    (f'<link rel="alternate" hreflang="fil" href="{B}">', A,
+     {("fil", B)}),
+    (f'<link rel="alternate" hreflang="haw-US" href="{B}">', A,
+     {("haw-us", B)}),
+    # a 4+-letter run is not a primary subtag: reject, don't truncate
+    (f'<link rel="alternate" hreflang="abcd" href="{B}">', A, set()),
 ]
 
 

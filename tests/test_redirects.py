@@ -114,4 +114,34 @@ def test_gate_row_matches_recursive_cte_oracle(spark):
     # shape sanity: every planted class appears
     assert set(out.n_hops) >= {0, 1, 2, 3, MAX_HOPS}
     assert out.cycled.any() and (out[out.cycled].n_hops == MAX_HOPS).all()
-    assert (out[out.cycled].final_url == out[out.cycled].url).all()
+    # 2-cycles land on their own url; the planted 17-hop over-cap chain
+    # (doc 440) is cycled=true yet lands on its real terminal (457)
+    by_url = out.set_index("url")
+    pre = "https://r.example.com/p/"
+    assert by_url.loc[f"{pre}5", "cycled"]
+    assert by_url.loc[f"{pre}5", "final_url"] == f"{pre}5"
+    r440 = by_url.loc[f"{pre}440"]
+    assert r440["cycled"] and r440["n_hops"] == MAX_HOPS
+    assert r440["final_url"] == f"{pre}457"
+    # the planted EXACTLY-MAX_HOPS acyclic chain (420 -> ... -> 436)
+    # reaches its terminal and must NOT be flagged
+    r420 = by_url.loc[f"{pre}420"]
+    assert not r420["cycled"] and r420["n_hops"] == MAX_HOPS
+    assert r420["final_url"] == f"{pre}436"
+
+
+def test_exact_cap_chain_not_flagged_cycled(spark):
+    """An acyclic chain of exactly MAX_HOPS hops reaches its terminal:
+    cycled=false (the flag means loop-or-over-cap, not at-cap), while a
+    MAX_HOPS+1 chain is flagged with n_hops clamped at the cap."""
+    n = MAX_HOPS
+    rows = [(f"a{i}", f"a{i+1}") for i in range(n)] + [(f"a{n}", "")]
+    rows += [(f"b{i}", f"b{i+1}") for i in range(n + 1)] \
+        + [(f"b{n+1}", "")]
+    df = spark.createDataFrame(rows, "url string, redirect_to string")
+    out = {r["url"]: r.asDict()
+           for r in resolve_redirect_chains(df).collect()}
+    assert out["a0"] == {"url": "a0", "final_url": f"a{n}",
+                         "n_hops": n, "cycled": False}
+    assert out["b0"] == {"url": "b0", "final_url": f"b{n+1}",
+                         "n_hops": n, "cycled": True}
