@@ -1,11 +1,13 @@
 """Benchmark harness — run the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
-JSON line:
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print a
+compact JSON summary line (first AND last, so bounded head/tail capture
+windows always see a complete object):
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+plus one full-detail line (`"detail": true`) with every per-query second.
 
 `value` is total wall-clock over the headline queries (lower is better);
-`queries` carries per-query seconds; extra context keys (docs/sec dedup
-throughput) ride along for BENCH/BASELINE.md.
+the compact `queries` carries the flagship dedup legs; extra context keys
+(docs/sec dedup throughput, OPH recall) ride along for BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -202,17 +204,46 @@ def main() -> None:
     }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # The driver records a bounded window of stdout (BENCH_r04 failed to
+    # parse when the single line with all per-query timings outgrew it).
+    # Emit a COMPACT summary line FIRST and repeat it LAST, with the full
+    # per-query detail line in between: whichever line a bounded head/tail
+    # parser lands on is complete, parseable, and carries the headline
+    # metric.  The compact `queries` map holds the flagship dedup legs;
+    # the middle line (`detail: true`) carries every timed query.
+    flagship = ["minhash_lsh_dup_pairs", "dedup_clusters", "cluster_audit",
+                "simhash_hamming_pairs", "substring_dup_pairs",
+                "ngram_jaccard_dup_pairs", "containment_dup_pairs",
+                "exact_dup_groups", "ann_topk", "line_dedup"]
+    summary = json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: times[k] for k in flagship if k in times},
+        "n_queries_timed": len(times),
+        "sf": sf_val,
+        "cores": cores,
+        "n_docs": n_docs,
+        "dedup_docs_per_sec": docs_per_sec,
+        "oph_docs_per_sec": oph["dedup_docs_per_sec"],
+        "oph_pair_recall_vs_kxl": oph["pair_recall_vs_kxl"],
+    })
+    print(summary)
     print(json.dumps({
+        "detail": True,
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": times,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
         "cores": cores,
         "n_docs": n_docs,
         "dedup_docs_per_sec": docs_per_sec,
         "oph": oph,
     }))
+    print(summary)
     spark.stop()
 
 

@@ -21,20 +21,42 @@ from pyspark.sql import functions as F
 
 from distributed_lsh_spark.conf import DedupConfig
 
+#: Auto-dispatch threshold: pair lists at or under this many rows ride the
+#: broadcast plan (two longs/row -> ~16 MB raw at the cap, well inside any
+#: executor's broadcast budget); bigger lists — at 10^12 docs the dup-edge
+#: set is ~10^10-10^11 rows, far past ANY broadcast budget — take the
+#: shuffle join, which on a cluster becomes storage-partitioned
+#: (no-Exchange) when the docs checkpoint is bucketed by doc_id (Iceberg
+#: bucket(N, doc_id) — sources/checkpoint.py).  Kept far above the sandbox
+#: ladder's ~155k-edge corpus so the scaling evidence measures the same
+#: plan production takes at matched pair density.
+BROADCAST_PAIRS_MAX_ROWS = 1_000_000
+
 
 def verify_pairs(pairs: DataFrame, docs: DataFrame, cfg: DedupConfig,
                  shingles_col: str = "shingles", simhash_col: str | None = None,
                  keep_below_threshold: bool = False,
-                 broadcast_pairs: bool = True) -> DataFrame:
+                 broadcast_pairs: bool | None = None,
+                 n_pairs: int | None = None) -> DataFrame:
     """pairs(id_a, id_b) x docs(doc_id, shingles[, simhash]) ->
     (id_a, id_b, jaccard[, hamming]) filtered at cfg.jaccard_threshold.
 
-    `broadcast_pairs=True` (default) hints the pair list as the build side:
-    the dup-pair set is orders of magnitude smaller than the corpus, and a
-    sort-merge join would otherwise shuffle+sort the WIDE side (docs with
-    their shingle arrays) twice.  For pair sets too big to broadcast, pass
-    False and bucket the docs checkpoint by doc_id instead (Iceberg
-    bucket(N, doc_id)) so the payload joins are co-located.
+    `broadcast_pairs=None` (default) SIZE-DISPATCHES: the pair list is
+    pinned with an eager localCheckpoint, counted (cheap — it counts the
+    materialized checkpoint, and the candidate plan had to run once
+    anyway), and routed to the broadcast plan at or under
+    BROADCAST_PAIRS_MAX_ROWS rows, the shuffle join above — same routing
+    pattern as operators/vector_ann.cosine_pairs and
+    operators/connected_components.  `n_pairs` is an optional size hint
+    (e.g. a checkpoint-manifest row count) that skips the routing count.
+    Pass True/False to force a plan (True: the dup-pair set is orders of
+    magnitude smaller than the corpus, and a sort-merge join would
+    otherwise shuffle+sort the WIDE side — docs with their shingle
+    arrays — twice.  False: pair sets too big to broadcast; bucket the
+    docs checkpoint by doc_id (Iceberg bucket(N, doc_id)) so the payload
+    joins are co-located).  The chosen route is recorded on
+    `verify_pairs.last_route` ('broadcast' | 'shuffle') for tests and
+    metrics.
     """
     cols = ["doc_id", shingles_col] + ([simhash_col] if simhash_col else [])
     payload = docs.select(*cols)
@@ -46,6 +68,15 @@ def verify_pairs(pairs: DataFrame, docs: DataFrame, cfg: DedupConfig,
         F.col("doc_id").alias("id_b"), F.col(shingles_col).alias("_sh_b"),
         *([F.col(simhash_col).alias("_sim_b")] if simhash_col else []))
 
+    checkpointed = False
+    if broadcast_pairs is None:
+        pairs = pairs.localCheckpoint(eager=True)
+        checkpointed = True
+        if n_pairs is None:
+            n_pairs = pairs.count()
+        broadcast_pairs = n_pairs <= BROADCAST_PAIRS_MAX_ROWS
+    verify_pairs.last_route = "broadcast" if broadcast_pairs else "shuffle"
+
     if broadcast_pairs:
         # Broadcast ONLY the bare pair list (two longs per row) for the
         # first join — the docs side streams with no shuffle.  The second
@@ -55,10 +86,11 @@ def verify_pairs(pairs: DataFrame, docs: DataFrame, cfg: DedupConfig,
         # Instead, semi-join-prune the wide docs side down to ids that
         # actually appear in pairs (a broadcast of bare longs) so the one
         # shuffle join moves only needed payloads.
-        # pairs feeds TWO broadcast builds (the prune + the join); the lazy
+        # pairs feeds TWO broadcast builds (the prune + the join); the
         # localCheckpoint stops the whole upstream candidate plan from
         # executing once per build (measured ~2x the verify stage at 400k).
-        pairs = pairs.localCheckpoint(eager=False)
+        if not checkpointed:
+            pairs = pairs.localCheckpoint(eager=False)
         db = db.join(F.broadcast(pairs.select("id_b").distinct()),
                      "id_b", "left_semi")
         joined = F.broadcast(pairs).join(da, "id_a").join(db, "id_b")
@@ -83,10 +115,19 @@ def verify_pairs(pairs: DataFrame, docs: DataFrame, cfg: DedupConfig,
 
 def hamming_pairs(pairs: DataFrame, docs: DataFrame, cfg: DedupConfig,
                   simhash_col: str = "simhash",
-                  broadcast_pairs: bool = True) -> DataFrame:
-    """SimHash path: keep pairs with Hamming distance <= cfg.hamming_threshold."""
+                  broadcast_pairs: bool | None = None,
+                  n_pairs: int | None = None) -> DataFrame:
+    """SimHash path: keep pairs with Hamming distance <= cfg.hamming_threshold.
+
+    Same size dispatch as `verify_pairs`: None (default) counts a pinned
+    pair list and broadcasts only at or under BROADCAST_PAIRS_MAX_ROWS."""
     da = docs.select(F.col("doc_id").alias("id_a"), F.col(simhash_col).alias("_sim_a"))
     db = docs.select(F.col("doc_id").alias("id_b"), F.col(simhash_col).alias("_sim_b"))
+    if broadcast_pairs is None:
+        pairs = pairs.localCheckpoint(eager=True)
+        if n_pairs is None:
+            n_pairs = pairs.count()
+        broadcast_pairs = n_pairs <= BROADCAST_PAIRS_MAX_ROWS
     if broadcast_pairs:
         pairs = F.broadcast(pairs)
     return (

@@ -147,3 +147,38 @@ def test_verify_shuffle_join_path_matches_broadcast(micro):
     assert set(got) == set(expect)
     for k, v in expect.items():
         assert math.isclose(got[k], v, rel_tol=1e-12)
+
+
+def test_verify_auto_route_dispatches_on_pair_count(micro, monkeypatch):
+    """broadcast_pairs=None (the default every flagship path now uses)
+    routes on the materialized pair count: broadcast at or under
+    BROADCAST_PAIRS_MAX_ROWS, shuffle join above — with identical
+    verified output either way (VERDICT r4 item 1: the unconditional
+    broadcast was the one remaining flagship scale-killer)."""
+    st, oc = micro
+    import distributed_lsh_spark.operators.verify as V
+
+    expect = oc.verified_pairs()
+
+    # default threshold: micro's pair set is tiny -> broadcast route
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in V.verify_pairs(st.pairs, st.signatures, CFG).collect()}
+    assert V.verify_pairs.last_route == "broadcast"
+    assert set(got) == set(expect)
+
+    # threshold forced to 0 -> every non-empty pair set takes the
+    # shuffle join; results must be identical
+    monkeypatch.setattr(V, "BROADCAST_PAIRS_MAX_ROWS", 0)
+    got2 = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in V.verify_pairs(st.pairs, st.signatures, CFG).collect()}
+    assert V.verify_pairs.last_route == "shuffle"
+    assert got2 == got
+    for k, v in expect.items():
+        assert math.isclose(got2[k], v, rel_tol=1e-12)
+
+    # an explicit n_pairs hint skips the routing count and still routes
+    got3 = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in V.verify_pairs(st.pairs, st.signatures, CFG,
+                                    n_pairs=10**9).collect()}
+    assert V.verify_pairs.last_route == "shuffle"
+    assert got3 == got
