@@ -266,6 +266,70 @@ def encode_bmp(img, top_down: bool = False) -> bytes:
     return header + body
 
 
+def encode_png(data, ctype: int = 2, filters=None, palette=None,
+               split_idat: bool = False) -> bytes:
+    """pixel array -> real PNG bytes (ISO/IEC 15948), 8-bit depth.
+
+    ctype 2: (h, w, 3) RGB.  ctype 6: (h, w, 4) RGBA.  ctype 0: (h, w)
+    gray.  ctype 4: (h, w, 2) gray+alpha.  ctype 3: (h, w) palette
+    indices + `palette` (n, 3).  `filters` picks the per-scanline filter
+    type (0-4; default cycles through all five so Sub/Up/Average/Paeth
+    unfiltering is exercised, not just None).  `split_idat` emits two
+    IDAT chunks (decoders must concatenate before inflating)."""
+    import binascii
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = data.shape[:2]
+    ch = 1 if data.ndim == 2 else data.shape[2]
+    rows = data.reshape(h, w * ch).astype(np.int32)
+    stride = w * ch
+    if filters is None:
+        filters = [(r % 5) for r in range(h)]
+    out = bytearray()
+    prev = np.zeros(stride, np.int32)
+    for r in range(h):
+        cur = rows[r]
+        left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+        upleft = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
+        f = filters[r]
+        if f == 0:
+            raw = cur
+        elif f == 1:
+            raw = cur - left
+        elif f == 2:
+            raw = cur - prev
+        elif f == 3:
+            raw = cur - ((left + prev) >> 1)
+        else:
+            p = left + prev - upleft
+            pa, pb, pc = (np.abs(p - left), np.abs(p - prev),
+                          np.abs(p - upleft))
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+            raw = cur - pred
+        out += bytes([f]) + (raw % 256).astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(t: bytes, b: bytes) -> bytes:
+        return (struct.pack(">I", len(b)) + t + b
+                + struct.pack(">I", binascii.crc32(t + b)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    comp = zlib.compress(bytes(out))
+    png = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        png += chunk(b"PLTE", np.asarray(palette, np.uint8).tobytes())
+    if split_idat and len(comp) > 2:
+        mid = len(comp) // 2
+        png += chunk(b"IDAT", comp[:mid]) + chunk(b"IDAT", comp[mid:])
+    else:
+        png += chunk(b"IDAT", comp)
+    return png + chunk(b"IEND", b"")
+
+
 def encode_wav(pcm, bits: int = 16, rate: int = 8000) -> bytes:
     """(n,) or (n, channels) integer PCM -> RIFF/WAVE.  16-bit signed or
     8-bit unsigned, interleaved channels, with a junk chunk BEFORE fmt to
@@ -329,6 +393,30 @@ def make_media_gate_fixture(seed: int = 42) -> list[dict]:
     img(1, 16, 16, encode_ppm, "image/x-portable-pixmap")
     img(2, 10, 6, encode_bmp, "image/bmp")                  # bottom-up
     img(3, 9, 13, encode_bmp, "image/bmp", top_down=True)   # negative height
+
+    # REAL PNGs (stdlib-zlib + scanline-filter decode path): an RGB one
+    # cycling all five filter types with the IDAT split in two, and an
+    # RGBA one (decoder drops alpha -> truth pixels are the RGB planes)
+    img(9, 12, 9, encode_png, "image/png", split_idat=True)
+    rgba = rng.integers(0, 256, size=(8, 14, 4), dtype=np.uint8)
+    media.append(dict(media_id=10, kind="image", mime="image/png",
+                      width=14, height=8, duration_ms=None,
+                      payload=encode_png(rgba, ctype=6),
+                      pixels=rgba[:, :, :3].copy()))
+    # grayscale PNG: decoder replicates the plane to 3 channels, so the
+    # Rec.601 weighting degenerates to the gray value (weights sum to 1)
+    gray = rng.integers(0, 256, size=(7, 11), dtype=np.uint8)
+    media.append(dict(media_id=11, kind="image", mime="image/png",
+                      width=11, height=7, duration_ms=None,
+                      payload=encode_png(gray, ctype=0),
+                      pixels=np.repeat(gray[:, :, None], 3, axis=2)))
+    # palette PNG: indices resolve through PLTE
+    plte = rng.integers(0, 256, size=(6, 3), dtype=np.uint8)
+    idx = rng.integers(0, 6, size=(9, 5), dtype=np.uint8)
+    media.append(dict(media_id=12, kind="image", mime="image/png",
+                      width=5, height=9, duration_ms=None,
+                      payload=encode_png(idx, ctype=3, palette=plte),
+                      pixels=plte[idx].copy()))
 
     def wav(mid, n, bits, channels, rate=8000):
         if bits == 16:

@@ -3,17 +3,19 @@ metadata; decode/feature-extract/resize/frame-sample as Arrow-vectorized
 UDFs over mapInPandas.
 
 Decode support, no external libs:
-  * REAL pure-NumPy decoders for the uncompressed formats a lib-free
-    container can honestly parse: PPM (P6) and BMP (24-bit BI_RGB) ->
-    (h, w, 3) uint8 pixels; then a real resize + feature step (8x8
+  * REAL pure-NumPy decoders for the formats a lib-free container can
+    honestly parse: PPM (P6) and BMP (24-bit BI_RGB) -> (h, w, 3) uint8
+    pixels; PNG (8-bit gray/palette/RGB/GA/RGBA, non-interlaced) via
+    stdlib zlib + per-scanline NumPy unfiltering — the full public
+    ISO/IEC 15948 pipeline; then a real resize + feature step (8x8
     nearest-neighbor luminance thumbnail = FEATURE_DIM floats);
     RIFF/WAVE PCM (8/16-bit) -> mono float samples, then a real RMS
     loudness-envelope feature (FEATURE_DIM time windows); and
     YUV4MPEG2 (y4m) raw video -> per-frame luminance planes + frame
     rate, so frame sampling is a REAL decode too.
-  * compressed formats (jpeg/png/webp, mp3/aac, mp4/mkv containers)
-    raise NotImplementedError at the same seam — libjpeg/ffmpeg would
-    plug in there on a real deployment.
+  * formats that genuinely need a codec lib (jpeg/webp, 16-bit or Adam7
+    png, mp3/aac, mp4/mkv containers) raise NotImplementedError at the
+    same seam — libjpeg/ffmpeg would plug in there on a real deployment.
   * `fake=True` keeps the original byte-histogram pseudo-features for
     plumbing tests with arbitrary payload bytes.
 """
@@ -89,17 +91,107 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return img.copy()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG (ISO/IEC 15948) -> (h, w, 3) uint8 RGB, pure stdlib-zlib +
+    NumPy: chunk walk -> concatenated-IDAT inflate -> per-scanline
+    unfiltering (filters 0-4: None/Sub/Up/Average/Paeth).  8-bit depth,
+    color types 0 (gray), 2 (RGB), 3 (palette via PLTE), 4 (gray+alpha)
+    and 6 (RGBA), non-interlaced; alpha is dropped, gray replicated.
+    16-bit depth and Adam7 interlacing stay behind the
+    NotImplementedError seam.  Sub/Up rows unfilter as vector ops
+    (uint8 accumulate wraps mod 256 per the spec); Average/Paeth are
+    inherently left-dependent and walk bytes within the row."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a png")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        typ = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = body
+        elif typ == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln                              # len + type + crc
+    if ihdr is None or not idat:
+        raise ValueError("png missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, _comp, _filt, interlace = ihdr[8:13]
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            "only 8-bit non-interlaced png supported (16-bit / Adam7 are "
+            "the documented seam)")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None or (ctype == 3 and plte is None):
+        raise ValueError(f"bad png color type {ctype}")
+    bpp, stride = channels, w * channels
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("png pixel data size mismatch")
+    raw = raw.reshape(h, stride + 1)
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for r in range(h):
+        ft, cur = raw[r, 0], raw[r, 1:].copy()
+        if ft == 0:
+            pass
+        elif ft == 1:                                # Sub
+            for c in range(bpp):
+                np.add.accumulate(cur[c::bpp], out=cur[c::bpp],
+                                  dtype=np.uint8)
+        elif ft == 2:                                # Up
+            cur += prev
+        elif ft == 3:                                # Average
+            for i in range(stride):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                cur[i] = (int(cur[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ft == 4:                                # Paeth
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[i] = (int(cur[i]) + pr) & 0xFF
+        else:
+            raise ValueError(f"bad png filter type {ft}")
+        out[r] = cur
+        prev = cur
+    px = out.reshape(h, w, channels)
+    if ctype == 3:
+        return plte[px[:, :, 0]].copy()
+    if channels == 1:
+        return np.repeat(px, 3, axis=2).copy()
+    if channels == 2:                                # gray+alpha: drop alpha
+        return np.repeat(px[:, :, :1], 3, axis=2).copy()
+    return px[:, :, :3].copy()
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Dispatch on magic bytes -> (h, w, 3) uint8.  Compressed formats are
-    the documented NotImplementedError seam (libjpeg/ffmpeg on a real
-    deployment)."""
+    """Dispatch on magic bytes -> (h, w, 3) uint8.  Compressed formats
+    without a pure-spec decoder are the documented NotImplementedError
+    seam (libjpeg/ffmpeg on a real deployment)."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(
-        "compressed image decoding (jpeg/png/...) requires PIL/libjpeg — "
-        "not in this container; PPM(P6)/BMP(24-bit) decode natively")
+        "compressed image decoding (jpeg/webp/...) requires PIL/libjpeg — "
+        "not in this container; PPM(P6)/BMP(24-bit)/PNG(8-bit) decode "
+        "natively")
 
 
 def image_feature(img: np.ndarray) -> np.ndarray:

@@ -167,6 +167,12 @@ class CheckpointManager:
     def _table(self, stage: str) -> str:
         return f"{self.iceberg_namespace}.{self.run_id}_{stage}"
 
+    def _bucket_table(self, stage: str) -> str:
+        """Session-catalog name for the Parquet backend's native bucketed
+        table (no namespace: the default in-memory/Hive catalog)."""
+        return f"{self.iceberg_namespace}_{self.run_id}_{stage}" \
+            .replace(".", "_").replace("-", "_")
+
     # ---- public API ------------------------------------------------------
     def is_complete(self, stage: str) -> bool:
         """Complete AND built under the SAME config: rerunning with the same
@@ -190,6 +196,14 @@ class CheckpointManager:
     def read(self, stage: str) -> DataFrame:
         if self.use_iceberg:
             return self.spark.read.table(self._table(stage))
+        # Parquet backend: prefer the session catalog's bucketed table when
+        # this stage was written with bucket_by — the table read carries the
+        # bucket metadata that lets downstream doc_id joins skip their
+        # Exchange; the bare-directory read (fresh session: the in-memory
+        # catalog is gone) returns identical DATA, just without co-location.
+        tbl = self._bucket_table(stage)
+        if self.spark.catalog.tableExists(tbl):
+            return self.spark.read.table(tbl)
         return self.spark.read.parquet(_join(self._dir(stage), "data"))
 
     def stage(self, name: str, build: Callable[[], DataFrame],
@@ -207,15 +221,17 @@ class CheckpointManager:
     def write(self, name: str, df: DataFrame,
               partition_by: list[str] | None = None,
               bucket_by: tuple[int, str] | None = None) -> DataFrame:
-        """`bucket_by=(N, col)`: Iceberg bucketed layout (bucket(N, col)) so
-        downstream joins on `col` are storage-partitioned/co-located — the
-        pairing for verify_pairs(broadcast_pairs=False) at cluster scale.
-        The Parquet fallback has no bucket transform; it records the request
-        in the manifest and relies on the broadcast verify path instead."""
+        """`bucket_by=(N, col)`: bucketed layout so downstream joins on
+        `col` are storage-partitioned/co-located — the pairing for the
+        verify stage's shuffle route (verify_pairs broadcast_pairs=False /
+        auto-dispatch above BROADCAST_PAIRS_MAX_ROWS).  Iceberg backend:
+        hidden-partition bucket(N, col) transform.  Parquet backend: a
+        native Spark bucketed table (same co-location contract, session
+        catalog carries the metadata)."""
         if self.use_iceberg:
             out = self._write_iceberg(name, df, partition_by, bucket_by)
         else:
-            out = self._write_parquet(name, df, partition_by)
+            out = self._write_parquet(name, df, partition_by, bucket_by)
         rows, fingerprint, part_rows = _df_stats(out)   # ONE post-write scan
         manifest = StageManifest(
             run_id=self.run_id, stage=name, rows=rows,
@@ -232,12 +248,32 @@ class CheckpointManager:
 
     # ---- backends ---------------------------------------------------------
     def _write_parquet(self, name: str, df: DataFrame,
-                       partition_by: list[str] | None) -> DataFrame:
+                       partition_by: list[str] | None,
+                       bucket_by: tuple[int, str] | None = None) -> DataFrame:
         stage_dir = self._dir(name)
         data_dir = _join(stage_dir, "data")
         tmp_dir = _join(stage_dir, "_tmp")
         self.fs.delete(stage_dir)
         self.fs.mkdirs(stage_dir)
+        if bucket_by and not partition_by:
+            # Native Spark bucketed table (Hive bucketing spec): the same
+            # join-co-location contract as the Iceberg bucket(N, col)
+            # transform, available on the plain-Parquet backend — the
+            # verify stage's payload joins on doc_id read the bucket
+            # metadata and skip their Exchange (pinned by
+            # tests/test_extract_checkpoint_misc.py).  saveAsTable writes
+            # the external table at data_dir directly; a crash before the
+            # manifest commit leaves no manifest, which is_complete reads
+            # as incomplete -> rebuild (same fail-safe direction as the
+            # tmp-rename protocol).  Cross-session resume reads the bare
+            # directory (identical data, no co-location) — read().
+            n, col = bucket_by
+            tbl = self._bucket_table(name)
+            self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            (df.write.mode("overwrite")
+               .bucketBy(n, col).sortBy(col)
+               .option("path", data_dir).saveAsTable(tbl))
+            return self.spark.read.table(tbl)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)

@@ -54,6 +54,58 @@ AUDITED = [
 ]
 
 
+def _bucketed_verify_audit(spark, out, findings) -> None:
+    """The at-scale verify route's co-location contract, asserted on the
+    plan: a signatures checkpoint written with bucket_by=(N, doc_id)
+    (Iceberg bucket transform on a cluster; native Spark bucketed table
+    on the Parquet backend) feeds verify_pairs(broadcast_pairs=False)
+    with NO Exchange on either payload scan — only the bare 16-byte pair
+    list shuffles.  Mirrors tests/test_extract_checkpoint_misc.py::
+    test_parquet_bucketed_stage_colocates_verify_joins."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from distributed_lsh_spark.conf import DEFAULT_CONFIG as CFG
+    from distributed_lsh_spark.operators.verify import verify_pairs
+    from distributed_lsh_spark.sources.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(spark, tempfile.mkdtemp(prefix="plan_audit_"),
+                             run_id="audit")
+    sigs = ckpt.stage(
+        "signatures",
+        lambda: spark.range(2000).select(
+            F.col("id").alias("doc_id"),
+            F.array(F.col("id"), F.col("id") + 1).alias("shingles")),
+        bucket_by=(16, "doc_id"))
+    pairs = spark.range(500).select(F.col("id").alias("id_a"),
+                                    (F.col("id") + 1).alias("id_b"))
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        v = verify_pairs(pairs, sigs, CFG, broadcast_pairs=False,
+                         keep_below_threshold=True)
+        plan = v._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+    n_ex = plan.count("Exchange")
+    ok = "Bucketed: true" in plan and n_ex == 2
+    out.write("\n## verify shuffle route over a bucketed signatures "
+              "checkpoint\n\nbucket_by=(16, doc_id) -> "
+              "verify_pairs(broadcast_pairs=False): "
+              f"{n_ex} Exchanges (both on the bare pair list), "
+              f"payload scans bucketed={'Bucketed: true' in plan}.\n\n"
+              f"```\n{plan}\n```\n")
+    findings.append(("bucketed_verify",
+                     ["no-exchange-payload-scans" if ok
+                      else "!!EXCHANGE-ON-BUCKETED-SCAN!!"]))
+    print("bucketed_verify ->",
+          "no-exchange-payload-scans" if ok else "!!EXCHANGE!!")
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from distributed_lsh_spark.entry_queries import QUERIES
@@ -84,6 +136,7 @@ def main() -> None:
                 checks.append("cached")
             findings.append((name, checks))
             print(name, "->", ", ".join(checks) or "-")
+        _bucketed_verify_audit(spark, out, findings)
     spark.stop()
     bad = [n for n, c in findings if "!!CARTESIAN!!" in c]
     if bad:
