@@ -126,3 +126,41 @@ def test_bpe_encode_matches_python_reference(spark):
         assert r.n_symbols == sum(nsym[w] for w in ts)
     assert (sp.n_symbols <= sp.n_chars).all()
     assert (sp.n_tokens <= sp.n_symbols).all()
+
+
+def test_batched_rounds_equal_serial_trajectory(spark):
+    """VERDICT r4 item 5: the batched trainer (top-N provably-independent
+    merges per counting round) must be trajectory-identical to the
+    strictly serial one — same merge table, same order, same counts —
+    on the gate corpus and on corpora crafted to trigger the unsafe
+    cases the round-break guard exists for."""
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("text")
+    wc = word_counts(df).localCheckpoint(eager=True)
+    serial, _ = learn_bpe(spark, wc, 24, batch_size=1)
+    batched, _ = learn_bpe(spark, wc, 24, batch_size=8)
+    s = [tuple(r) for r in serial.orderBy("step").collect()]
+    b = [tuple(r) for r in batched.orderBy("step").collect()]
+    assert b == s and len(s) == 24
+
+    crafted = {
+        # conflict bar: (a,b)=100 wins, (b,c)=90 conflicts, and (d,e)=80
+        # must NOT batch (the serial trainer picks the surviving (b,c)
+        # first) — the guard has to end the round
+        "ab": 100, "bc": 90, "de": 80,
+        # created-pair case: merging (a,b) inside 'xab' creates (x,ab)
+        # that outranks later candidates
+        "xab": 70,
+        # ties on equal counts resolved lexicographically
+        "mn": 60, "pq": 60,
+    }
+    words = spark.createDataFrame(list(crafted.items()),
+                                  "word string, cnt long")
+    for k in (1, 3, 6):
+        s2, _ = learn_bpe(spark, words, k, batch_size=1)
+        b2, _ = learn_bpe(spark, words, k, batch_size=8)
+        assert [tuple(r) for r in b2.orderBy("step").collect()] == \
+               [tuple(r) for r in s2.orderBy("step").collect()]
+    # and both equal the pure-Python reference
+    s3, _ = learn_bpe(spark, words, 6, batch_size=8)
+    assert [tuple(r) for r in s3.orderBy("step").collect()] == \
+        python_bpe(crafted, 6)
