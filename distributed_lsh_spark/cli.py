@@ -142,9 +142,11 @@ def cmd_dedup(args: argparse.Namespace) -> None:
                  .select("id_a", "id_b"))
 
     exact_edges = ckpt.stage("exact_edges", _edges)
-    # bucket(64, doc_id): on an Iceberg-enabled cluster the verify stage's
-    # payload joins become storage-partitioned (co-located) — the pairing
-    # for verify_pairs(broadcast_pairs=False); Parquet fallback ignores it
+    # bucket(64, doc_id): the verify stage's payload joins read this
+    # co-located — Iceberg bucket transform on a cluster, native Spark
+    # bucketed table on the Parquet backend — so the shuffle route the
+    # size dispatch selects above BROADCAST_PAIRS_MAX_ROWS scans the
+    # signatures with no Exchange (PLANS.md `bucketed_verify` audit)
     sigs = ckpt.stage("signatures",
                       lambda: build_stages(reps, cfg).signatures,
                       bucket_by=(64, "doc_id"))
