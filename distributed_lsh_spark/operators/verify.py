@@ -42,9 +42,9 @@ def verify_pairs(pairs: DataFrame, docs: DataFrame, cfg: DedupConfig,
     (id_a, id_b, jaccard[, hamming]) filtered at cfg.jaccard_threshold.
 
     `broadcast_pairs=None` (default) SIZE-DISPATCHES: the pair list is
-    pinned with an eager localCheckpoint, counted (cheap — it counts the
-    materialized checkpoint, and the candidate plan had to run once
-    anyway), and routed to the broadcast plan at or under
+    pinned with a localCheckpoint and counted in one job (the count
+    materializes the checkpoint; the candidate plan had to run once
+    anyway), then routed to the broadcast plan at or under
     BROADCAST_PAIRS_MAX_ROWS rows, the shuffle join above — same routing
     pattern as operators/vector_ann.cosine_pairs and
     operators/connected_components.  `n_pairs` is an optional size hint
@@ -70,7 +70,11 @@ def verify_pairs(pairs: DataFrame, docs: DataFrame, cfg: DedupConfig,
 
     checkpointed = False
     if broadcast_pairs is None:
-        pairs = pairs.localCheckpoint(eager=True)
+        # lazy checkpoint + count = ONE job that both materializes the
+        # checkpoint (lineage truncated, candidate plan runs once) and
+        # returns the routing count — an eager checkpoint followed by a
+        # count would schedule two jobs for the same bytes
+        pairs = pairs.localCheckpoint(eager=False)
         checkpointed = True
         if n_pairs is None:
             n_pairs = pairs.count()
@@ -124,9 +128,9 @@ def hamming_pairs(pairs: DataFrame, docs: DataFrame, cfg: DedupConfig,
     da = docs.select(F.col("doc_id").alias("id_a"), F.col(simhash_col).alias("_sim_a"))
     db = docs.select(F.col("doc_id").alias("id_b"), F.col(simhash_col).alias("_sim_b"))
     if broadcast_pairs is None:
-        pairs = pairs.localCheckpoint(eager=True)
+        pairs = pairs.localCheckpoint(eager=False)
         if n_pairs is None:
-            n_pairs = pairs.count()
+            n_pairs = pairs.count()      # one job: materialize + count
         broadcast_pairs = n_pairs <= BROADCAST_PAIRS_MAX_ROWS
     if broadcast_pairs:
         pairs = F.broadcast(pairs)
