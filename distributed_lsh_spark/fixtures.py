@@ -330,6 +330,156 @@ def encode_png(data, ctype: int = 2, filters=None, palette=None,
     return png + chunk(b"IEND", b"")
 
 
+def encode_jpeg(data, q_dc: int = 8, q_ac: int = 16,
+                subsample: bool = False) -> bytes:
+    """pixel array -> real baseline-sequential JPEG bytes (ITU-T T.81):
+    JFIF YCbCr conversion, optional 4:2:0 chroma subsampling (2x2 block
+    mean), orthonormal forward DCT, flat quantization table (q_dc DC /
+    q_ac AC — any table is valid JPEG; it ships in DQT), zigzag + DC
+    differencing, and CANONICAL Huffman tables built over the full
+    symbol alphabets (DC categories 0-11 at 4 bits, the 162 AC run/size
+    symbols at 8 bits) shipped in DHT — a decoder must read the carried
+    tables, not assume Annex K's.  (h, w) input -> grayscale
+    single-component JPEG; (h, w, 3) -> YCbCr.
+
+    Exactness property used by the gate fixture: an image of constant
+    8x8 tiles with R==G==B and q_dc=8 round-trips EXACTLY (AC
+    coefficients are 0; the orthonormal DCT's DC path divides out)."""
+    import struct
+
+    import numpy as np
+
+    from distributed_lsh_spark.functions.multimodal import (
+        _JPEG_ZIGZAG, _jpeg_dct_matrix,
+    )
+
+    gray = data.ndim == 2
+    h, w = data.shape[:2]
+    if gray:
+        planes = [data.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        r, g, b = (data[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+
+        def down2(p):
+            hh = -(-p.shape[0] // 2) * 2
+            ww = -(-p.shape[1] // 2) * 2
+            q = np.pad(p, ((0, hh - p.shape[0]), (0, ww - p.shape[1])),
+                       mode="edge")
+            return q.reshape(hh // 2, 2, ww // 2, 2).mean(axis=(1, 3))
+
+        if subsample:
+            planes = [y, down2(cb), down2(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1)] * 3
+
+    qtab = np.full(64, q_ac, np.int64)
+    qtab[0] = q_dc                                   # zigzag order: [0]=DC
+    dct = _jpeg_dct_matrix()
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    dc_vals = list(range(12))
+    ac_vals = [0x00] + [(r_ << 4) | s_ for r_ in range(16)
+                        for s_ in range(1, 11)] + [0xF0]
+    dc_code = {v: (i, 4) for i, v in enumerate(dc_vals)}
+    ac_code = {v: (i, 8) for i, v in enumerate(ac_vals)}
+
+    class BW:
+        def __init__(self):
+            self.buf, self.acc, self.n = bytearray(), 0, 0
+
+        def put(self, val, nbits):
+            for i in range(nbits - 1, -1, -1):
+                self.acc = (self.acc << 1) | ((val >> i) & 1)
+                self.n += 1
+                if self.n == 8:
+                    self.buf.append(self.acc)
+                    if self.acc == 0xFF:
+                        self.buf.append(0x00)       # byte stuffing
+                    self.acc, self.n = 0, 0
+
+        def flush(self):
+            if self.n:
+                self.put((1 << (8 - self.n)) - 1, 8 - self.n)
+
+    def put_val(bw, v):
+        s = int(abs(v)).bit_length()
+        return s, (v + (1 << s) - 1 if v < 0 else v)
+
+    bw = BW()
+    pred = [0] * len(planes)
+    padded = []
+    for p, (sh, sv) in zip(planes, samp):
+        th, tw = mcuy * sv * 8, mcux * sh * 8
+        padded.append(np.pad(p, ((0, th - p.shape[0]),
+                                 (0, tw - p.shape[1])), mode="edge"))
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (p, (sh, sv)) in enumerate(zip(padded, samp)):
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0, x0 = (my * sv + by) * 8, (mx * sh + bx) * 8
+                        blk = p[y0:y0 + 8, x0:x0 + 8] - 128.0
+                        coeff = dct @ blk @ dct.T
+                        zz = np.rint(coeff.ravel()[_JPEG_ZIGZAG]
+                                     / qtab).astype(np.int64)
+                        diff = int(zz[0]) - pred[ci]
+                        pred[ci] = int(zz[0])
+                        s, bits_ = put_val(bw, diff)
+                        bw.put(*dc_code[s])
+                        if s:
+                            bw.put(bits_, s)
+                        run = 0
+                        for k in range(1, 64):
+                            v = int(zz[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                bw.put(*ac_code[0xF0])
+                                run -= 16
+                            s, bits_ = put_val(bw, v)
+                            bw.put(*ac_code[(run << 4) | s])
+                            bw.put(bits_, s)
+                            run = 0
+                        if run:
+                            bw.put(*ac_code[0x00])   # EOB
+    bw.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) \
+            + body
+
+    def dht(tc, th, vals, length):
+        bits = [0] * 16
+        bits[length - 1] = len(vals)
+        return seg(0xC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(vals))
+
+    ncomp = len(planes)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    sos = bytes([ncomp])
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes([ci + 1, (sh << 4) | sv, 0])
+        sos += bytes([ci + 1, 0x00])                 # dc table 0, ac table 0
+    sos += bytes([0, 63, 0])                         # Ss, Se, Ah/Al
+    out = (b"\xff\xd8"
+           + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+           + seg(0xDB, bytes([0x00])
+                 + bytes(int(v) for v in qtab))
+           + seg(0xC0, sof)
+           + dht(0, 0, dc_vals, 4) + dht(1, 0, ac_vals, 8)
+           + seg(0xDA, sos) + bytes(bw.buf) + b"\xff\xd9")
+    return out
+
+
 def encode_wav(pcm, bits: int = 16, rate: int = 8000) -> bytes:
     """(n,) or (n, channels) integer PCM -> RIFF/WAVE.  16-bit signed or
     8-bit unsigned, interleaved channels, with a junk chunk BEFORE fmt to
@@ -369,7 +519,7 @@ def encode_y4m(frames, fps: tuple[int, int] = (4, 1)) -> bytes:
 
 def make_media_gate_fixture(seed: int = 42) -> list[dict]:
     """Deterministic multimodal gate fixture: known pixel/sample arrays,
-    ENCODED to real PPM/BMP/WAV/y4m payloads.  The ground truth is the
+    ENCODED to real PPM/BMP/PNG/JPEG/WAV/y4m payloads.  The ground truth is the
     planted arrays (never produced by the decoders), so a driver-gate
     oracle can replay the feature math in SQL over the raw values while
     the engine must DECODE the bytes to reproduce them — decode + feature
@@ -417,6 +567,16 @@ def make_media_gate_fixture(seed: int = 42) -> list[dict]:
                       width=5, height=9, duration_ms=None,
                       payload=encode_png(idx, ctype=3, palette=plte),
                       pixels=plte[idx].copy()))
+    # REAL baseline JPEG: constant 8x8 tiles with R==G==B round-trip
+    # EXACTLY through the lossy pipeline (AC coefficients are all zero
+    # and the orthonormal DCT's DC path divides out against q_dc=8), so
+    # the planted-array oracle contract holds for a DCT codec too
+    jt = rng.integers(10, 246, size=(2, 3), dtype=np.uint8)
+    jg = np.repeat(np.repeat(jt, 8, axis=0), 8, axis=1)
+    jrgb = np.repeat(jg[:, :, None], 3, axis=2)
+    media.append(dict(media_id=13, kind="image", mime="image/jpeg",
+                      width=24, height=16, duration_ms=None,
+                      payload=encode_jpeg(jrgb), pixels=jrgb.copy()))
 
     def wav(mid, n, bits, channels, rate=8000):
         if bits == 16:

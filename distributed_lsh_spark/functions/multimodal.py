@@ -7,15 +7,19 @@ Decode support, no external libs:
     honestly parse: PPM (P6) and BMP (24-bit BI_RGB) -> (h, w, 3) uint8
     pixels; PNG (8-bit gray/palette/RGB/GA/RGBA, non-interlaced) via
     stdlib zlib + per-scanline NumPy unfiltering — the full public
-    ISO/IEC 15948 pipeline; then a real resize + feature step (8x8
+    ISO/IEC 15948 pipeline; baseline sequential JPEG (ITU-T T.81:
+    marker walk, carried-DHT Huffman entropy decode, dezigzag +
+    dequantize, orthonormal 8x8 IDCT, 4:4:4/4:2:0/4:2:2/grayscale
+    sampling, JFIF YCbCr->RGB); then a real resize + feature step (8x8
     nearest-neighbor luminance thumbnail = FEATURE_DIM floats);
     RIFF/WAVE PCM (8/16-bit) -> mono float samples, then a real RMS
     loudness-envelope feature (FEATURE_DIM time windows); and
     YUV4MPEG2 (y4m) raw video -> per-frame luminance planes + frame
     rate, so frame sampling is a REAL decode too.
-  * formats that genuinely need a codec lib (jpeg/webp, 16-bit or Adam7
-    png, mp3/aac, mp4/mkv containers) raise NotImplementedError at the
-    same seam — libjpeg/ffmpeg would plug in there on a real deployment.
+  * formats that genuinely need a codec lib (webp/avif, progressive or
+    12-bit jpeg, 16-bit or Adam7 png, mp3/aac, mp4/mkv containers)
+    raise NotImplementedError at the same seam — libwebp/ffmpeg would
+    plug in there on a real deployment.
   * `fake=True` keeps the original byte-histogram pseudo-features for
     plumbing tests with arbitrary payload bytes.
 """
@@ -178,20 +182,237 @@ def decode_png(payload: bytes) -> np.ndarray:
     return px[:, :, :3].copy()
 
 
+#: zig-zag scan order (ITU-T T.81 Figure 5): index = zigzag position,
+#: value = row-major position inside the 8x8 block.
+_JPEG_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+
+def _jpeg_dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II basis C: spatial = C.T @ coeffs @ C."""
+    n = np.arange(8)
+    c = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16)
+    c[0] *= 1 / np.sqrt(2)
+    return c * 0.5
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over an entropy-coded segment with the
+    0xFF00 byte stuffing removed by the caller."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """DIFF/coefficient sign extension (T.81 F.2.2.1 EXTEND)."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def _jpeg_huff_decode(reader: _JpegBitReader, table: dict) -> int:
+    code, length = 0, 0
+    while True:
+        code = (code << 1) | reader.read_bit()
+        length += 1
+        if (length, code) in table:
+            return table[(length, code)]
+        if length > 16:
+            raise ValueError("invalid jpeg huffman code")
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline sequential JPEG (ITU-T T.81 / JFIF) -> (h, w, 3) uint8
+    RGB, pure stdlib + NumPy: marker walk (DQT/DHT/SOF0/SOS), Huffman
+    entropy decode with byte unstuffing, dequantize + dezigzag,
+    orthonormal 8x8 IDCT, chroma upsampling for any (h_i, v_i) sampling
+    (4:4:4 / 4:2:0 / 4:2:2 / grayscale), JFIF YCbCr -> RGB.  Progressive
+    (SOF2), arithmetic coding, 12-bit precision, and restart intervals
+    stay behind the NotImplementedError seam."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a jpeg")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}        # (class, id) -> code table
+    frame = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad jpeg marker stream")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:                          # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue                                # parameterless
+        ln = int.from_bytes(payload[pos:pos + 2], "big")
+        body = payload[pos + 2:pos + ln]
+        pos += ln
+        if marker == 0xDB:                          # DQT
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 15
+                if pq != 0:
+                    raise NotImplementedError("16-bit jpeg quant tables")
+                qt[tq] = np.frombuffer(body[p + 1:p + 65],
+                                       np.uint8).astype(np.int64)
+                p += 65
+        elif marker == 0xC4:                        # DHT
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 15
+                bits = list(body[p + 1:p + 17])
+                vals = body[p + 17:p + 17 + sum(bits)]
+                table, code, vi = {}, 0, 0
+                for length in range(1, 17):
+                    for _ in range(bits[length - 1]):
+                        table[(length, code)] = vals[vi]
+                        code += 1
+                        vi += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                p += 17 + sum(bits)
+        elif marker == 0xC0:                        # SOF0 baseline
+            prec, h, w = body[0], int.from_bytes(body[1:3], "big"), \
+                int.from_bytes(body[3:5], "big")
+            if prec != 8:
+                raise NotImplementedError("12-bit jpeg precision")
+            comps = []
+            for i in range(body[5]):
+                cid, hv, tq = body[6 + 3 * i:9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
+                              "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential jpeg (SOF0) supported")
+        elif marker == 0xDD:                        # DRI
+            if int.from_bytes(body[:2], "big") != 0:
+                raise NotImplementedError("jpeg restart intervals")
+        elif marker == 0xDA:                        # SOS
+            if frame is None:
+                raise ValueError("jpeg SOS before SOF")
+            ns = body[0]
+            scan = []
+            for i in range(ns):
+                cs, tdta = body[1 + 2 * i], body[2 + 2 * i]
+                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                scan.append({**comp, "dc": tdta >> 4, "ac": tdta & 15})
+            # entropy segment: strip stuffed zero bytes, stop at marker
+            raw = bytearray()
+            p = pos
+            while p < len(payload):
+                b = payload[p]
+                if b == 0xFF:
+                    nxt = payload[p + 1]
+                    if nxt == 0x00:
+                        raw.append(0xFF)
+                        p += 2
+                        continue
+                    if 0xD0 <= nxt <= 0xD7:
+                        raise NotImplementedError("jpeg restart intervals")
+                    break
+                raw.append(b)
+                p += 1
+            return _jpeg_decode_scan(frame, scan, qt, huff, bytes(raw))
+    raise ValueError("jpeg missing SOS scan")
+
+
+def _jpeg_decode_scan(frame, scan, qt, huff, data: bytes) -> np.ndarray:
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in scan)
+    vmax = max(c["v"] for c in scan)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = {i: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8))
+              for i, c in enumerate(scan)}
+    dct = _jpeg_dct_matrix()
+    reader = _JpegBitReader(data)
+    pred = [0] * len(scan)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, c in enumerate(scan):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, np.int64)
+                        t = _jpeg_huff_decode(reader, huff[(0, c["dc"])])
+                        diff = _jpeg_extend(reader.receive(t), t)
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_huff_decode(reader,
+                                                   huff[(1, c["ac"])])
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:       # ZRL
+                                    k += 16
+                                    continue
+                                break             # EOB
+                            k += r
+                            zz[k] = _jpeg_extend(reader.receive(s), s)
+                            k += 1
+                        # DQT tables are stored in zigzag order (T.81
+                        # B.2.4.1): dequantize in the zigzag domain,
+                        # then scatter to natural order
+                        block = np.zeros(64)
+                        block[_JPEG_ZIGZAG] = zz * qt[c["tq"]]
+                        px = dct.T @ block.reshape(8, 8) @ dct
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = px + 128.0
+    # upsample every component to full (h, w)
+    full = []
+    for ci, c in enumerate(scan):
+        p = planes[ci]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                      hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:                              # grayscale
+        g = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=2)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Dispatch on magic bytes -> (h, w, 3) uint8.  Compressed formats
     without a pure-spec decoder are the documented NotImplementedError
-    seam (libjpeg/ffmpeg on a real deployment)."""
+    seam (libwebp/ffmpeg on a real deployment)."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "compressed image decoding (jpeg/webp/...) requires PIL/libjpeg — "
-        "not in this container; PPM(P6)/BMP(24-bit)/PNG(8-bit) decode "
-        "natively")
+        "image decoding beyond PPM(P6)/BMP(24-bit)/PNG(8-bit)/"
+        "baseline JPEG (e.g. webp/avif) requires a codec lib — not in "
+        "this container")
 
 
 def image_feature(img: np.ndarray) -> np.ndarray:

@@ -337,13 +337,15 @@ def test_media_features_real_decode_path(spark):
     # the two encodings of the same pixels agree exactly
     assert got[1] == got[2]
     # codec-lib formats stay the documented NotImplementedError seam
-    # (PNG decodes natively now — jpeg is the remaining honest seam)
+    # (PNG and baseline JPEG decode natively now — webp is the seam)
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0" + b"JFIF...")
-    # a PNG signature with torn chunk data is a hard error, not a seam
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ...")
+    # a PNG/JPEG signature with torn data is a hard error, not a seam
     with _pytest.raises(Exception):
         decode_image(b"\x89PNG\r\n\x1a\n...")
+    with _pytest.raises(Exception):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 8)
 
 
 def _wav_bytes(samples, rate=8000, bits=16, channels=1, extra_chunk=True):
@@ -678,5 +680,51 @@ def test_png_decoder_roundtrip_all_filters_and_color_types():
     with _pytest.raises((NotImplementedError, Exception)):
         decode_png(bytes(p))
     with _pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)   # jpeg seam
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")   # webp seam
     assert struct  # silence unused-import lint in minimal environments
+
+
+def test_jpeg_decoder_baseline_paths():
+    """Pure-NumPy baseline JPEG (ITU-T T.81): marker walk, carried-DHT
+    Huffman decode with byte unstuffing, dezigzag + dequant, orthonormal
+    IDCT, 4:4:4 / 4:2:0 / grayscale sampling.  Constant 8x8 tiles with
+    R==G==B round-trip EXACTLY (AC=0, DC path divides out); random
+    content bounds within quantization loss; non-baseline frames raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from distributed_lsh_spark.fixtures import encode_jpeg
+    from distributed_lsh_spark.functions.multimodal import (
+        decode_image, decode_jpeg,
+    )
+
+    rng = np.random.default_rng(3)
+    tiles = rng.integers(10, 246, size=(3, 4), dtype=np.uint8)
+    img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+    rgb = np.repeat(img[:, :, None], 3, axis=2)
+    assert np.array_equal(decode_jpeg(encode_jpeg(rgb)), rgb)
+    # grayscale single-component, via the dispatcher
+    assert np.array_equal(decode_image(encode_jpeg(img)), rgb)
+
+    # lossy paths: bounded error on random content (flat q_ac=16 is
+    # coarse; noise is the DCT's worst case), tight on smooth content
+    x = rng.integers(0, 256, size=(24, 17, 3), dtype=np.uint8)
+    d = decode_jpeg(encode_jpeg(x)).astype(int) - x.astype(int)
+    assert np.abs(d).max() <= 40 and np.abs(d).mean() < 10
+    gy, gx = np.mgrid[0:32, 0:40]
+    sm = np.stack([(gy * 3 + 20) % 200 + 20, (gx * 2 + 30) % 200 + 20,
+                   ((gy + gx) * 2) % 200 + 20], axis=2).astype(np.uint8)
+    d2 = decode_jpeg(encode_jpeg(sm, subsample=True)).astype(int) \
+        - sm.astype(int)
+    assert np.abs(d2).max() <= 16          # 4:2:0 MCU geometry correct
+
+    # seams: progressive (SOF2) and 12-bit stay NotImplementedError
+    p = bytearray(encode_jpeg(rgb))
+    sof = p.index(b"\xff\xc0")
+    p[sof + 1] = 0xC2
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(p))
+    p = bytearray(encode_jpeg(rgb))
+    p[sof + 4] = 12                        # precision byte
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(p))
