@@ -266,16 +266,25 @@ def encode_bmp(img, top_down: bool = False) -> bytes:
     return header + body
 
 
+#: Adam7 pass grid, mirrored from the decoder (ISO/IEC 15948 §4.5.2).
+_PNG_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
 def encode_png(data, ctype: int = 2, filters=None, palette=None,
-               split_idat: bool = False) -> bytes:
-    """pixel array -> real PNG bytes (ISO/IEC 15948), 8-bit depth.
+               split_idat: bool = False, depth: int = 8,
+               interlace: bool = False) -> bytes:
+    """pixel array -> real PNG bytes (ISO/IEC 15948), 8- or 16-bit depth.
 
     ctype 2: (h, w, 3) RGB.  ctype 6: (h, w, 4) RGBA.  ctype 0: (h, w)
     gray.  ctype 4: (h, w, 2) gray+alpha.  ctype 3: (h, w) palette
     indices + `palette` (n, 3).  `filters` picks the per-scanline filter
     type (0-4; default cycles through all five so Sub/Up/Average/Paeth
     unfiltering is exercised, not just None).  `split_idat` emits two
-    IDAT chunks (decoders must concatenate before inflating)."""
+    IDAT chunks (decoders must concatenate before inflating).
+    `depth=16` widens each uint8 sample to v*257 (high byte == v, the
+    exact inverse of the decoder's high-byte reduction).  `interlace`
+    emits Adam7: seven independently-filtered pass sub-images."""
     import binascii
     import struct
     import zlib
@@ -284,41 +293,68 @@ def encode_png(data, ctype: int = 2, filters=None, palette=None,
 
     h, w = data.shape[:2]
     ch = 1 if data.ndim == 2 else data.shape[2]
-    rows = data.reshape(h, w * ch).astype(np.int32)
-    stride = w * ch
-    if filters is None:
-        filters = [(r % 5) for r in range(h)]
-    out = bytearray()
-    prev = np.zeros(stride, np.int32)
-    for r in range(h):
-        cur = rows[r]
-        left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
-        upleft = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
-        f = filters[r]
-        if f == 0:
-            raw = cur
-        elif f == 1:
-            raw = cur - left
-        elif f == 2:
-            raw = cur - prev
-        elif f == 3:
-            raw = cur - ((left + prev) >> 1)
-        else:
-            p = left + prev - upleft
-            pa, pb, pc = (np.abs(p - left), np.abs(p - prev),
-                          np.abs(p - upleft))
-            pred = np.where((pa <= pb) & (pa <= pc), left,
-                            np.where(pb <= pc, prev, upleft))
-            raw = cur - pred
-        out += bytes([f]) + (raw % 256).astype(np.uint8).tobytes()
-        prev = cur
+    bpp = ch * depth // 8
+
+    def byte_rows(pix) -> "np.ndarray":
+        hh, ww = pix.shape[:2]
+        if depth == 16:
+            wide = np.ascontiguousarray(
+                (pix.astype(np.uint16) * 257).astype(">u2"))
+            return wide.view(np.uint8).reshape(hh, ww * bpp)
+        return pix.reshape(hh, ww * ch)
+
+    def filter_pass(rows_u8, fts) -> bytes:
+        hh, stride = rows_u8.shape
+        rows = rows_u8.astype(np.int32)
+        out = bytearray()
+        prev = np.zeros(stride, np.int32)
+        for r in range(hh):
+            cur = rows[r]
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            upleft = np.concatenate([np.zeros(bpp, np.int32),
+                                     prev[:-bpp]])
+            f = fts[r]
+            if f == 0:
+                raw = cur
+            elif f == 1:
+                raw = cur - left
+            elif f == 2:
+                raw = cur - prev
+            elif f == 3:
+                raw = cur - ((left + prev) >> 1)
+            else:
+                p = left + prev - upleft
+                pa, pb, pc = (np.abs(p - left), np.abs(p - prev),
+                              np.abs(p - upleft))
+                pred = np.where((pa <= pb) & (pa <= pc), left,
+                                np.where(pb <= pc, prev, upleft))
+                raw = cur - pred
+            out += bytes([f]) + (raw % 256).astype(np.uint8).tobytes()
+            prev = cur
+        return bytes(out)
+
+    if interlace:
+        out = bytearray()
+        for x0, y0, xs, ys in _PNG_ADAM7:
+            sub = data[y0::ys, x0::xs]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            fts = filters if filters is not None \
+                else [(r % 5) for r in range(sub.shape[0])]
+            out += filter_pass(byte_rows(sub), fts)
+        out = bytes(out)
+    else:
+        fts = filters if filters is not None \
+            else [(r % 5) for r in range(h)]
+        out = filter_pass(byte_rows(data), fts)
 
     def chunk(t: bytes, b: bytes) -> bytes:
         return (struct.pack(">I", len(b)) + t + b
                 + struct.pack(">I", binascii.crc32(t + b)))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
-    comp = zlib.compress(bytes(out))
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0,
+                       1 if interlace else 0)
+    comp = zlib.compress(out)
     png = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
     if palette is not None:
         png += chunk(b"PLTE", np.asarray(palette, np.uint8).tobytes())
@@ -544,21 +580,24 @@ def make_media_gate_fixture(seed: int = 42) -> list[dict]:
     img(2, 10, 6, encode_bmp, "image/bmp")                  # bottom-up
     img(3, 9, 13, encode_bmp, "image/bmp", top_down=True)   # negative height
 
-    # REAL PNGs (stdlib-zlib + scanline-filter decode path): an RGB one
-    # cycling all five filter types with the IDAT split in two, and an
-    # RGBA one (decoder drops alpha -> truth pixels are the RGB planes)
-    img(9, 12, 9, encode_png, "image/png", split_idat=True)
+    # REAL PNGs (stdlib-zlib + scanline-filter decode path): an
+    # Adam7-INTERLACED RGB one cycling all five filter types per pass
+    # with the IDAT split in two, and an RGBA one (decoder drops alpha
+    # -> truth pixels are the RGB planes)
+    img(9, 12, 9, encode_png, "image/png", split_idat=True,
+        interlace=True)
     rgba = rng.integers(0, 256, size=(8, 14, 4), dtype=np.uint8)
     media.append(dict(media_id=10, kind="image", mime="image/png",
                       width=14, height=8, duration_ms=None,
                       payload=encode_png(rgba, ctype=6),
                       pixels=rgba[:, :, :3].copy()))
-    # grayscale PNG: decoder replicates the plane to 3 channels, so the
-    # Rec.601 weighting degenerates to the gray value (weights sum to 1)
+    # 16-BIT grayscale PNG (samples widened v*257; decoder reduces via
+    # the high byte — exact): decoder replicates the plane to 3
+    # channels, so the Rec.601 weighting degenerates to the gray value
     gray = rng.integers(0, 256, size=(7, 11), dtype=np.uint8)
     media.append(dict(media_id=11, kind="image", mime="image/png",
                       width=11, height=7, duration_ms=None,
-                      payload=encode_png(gray, ctype=0),
+                      payload=encode_png(gray, ctype=0, depth=16),
                       pixels=np.repeat(gray[:, :, None], 3, axis=2)))
     # palette PNG: indices resolve through PLTE
     plte = rng.integers(0, 256, size=(6, 3), dtype=np.uint8)

@@ -5,9 +5,9 @@ UDFs over mapInPandas.
 Decode support, no external libs:
   * REAL pure-NumPy decoders for the formats a lib-free container can
     honestly parse: PPM (P6) and BMP (24-bit BI_RGB) -> (h, w, 3) uint8
-    pixels; PNG (8-bit gray/palette/RGB/GA/RGBA, non-interlaced) via
-    stdlib zlib + per-scanline NumPy unfiltering — the full public
-    ISO/IEC 15948 pipeline; baseline sequential JPEG (ITU-T T.81:
+    pixels; PNG (8/16-bit gray/palette/RGB/GA/RGBA, non-interlaced AND
+    Adam7-interlaced) via stdlib zlib + per-scanline NumPy unfiltering
+    — the full public ISO/IEC 15948 pipeline; baseline sequential JPEG (ITU-T T.81:
     marker walk, carried-DHT Huffman entropy decode, dezigzag +
     dequantize, orthonormal 8x8 IDCT, 4:4:4/4:2:0/4:2:2/grayscale
     sampling, JFIF YCbCr->RGB); then a real resize + feature step (8x8
@@ -17,7 +17,7 @@ Decode support, no external libs:
     YUV4MPEG2 (y4m) raw video -> per-frame luminance planes + frame
     rate, so frame sampling is a REAL decode too.
   * formats that genuinely need a codec lib (webp/avif, progressive or
-    12-bit jpeg, 16-bit or Adam7 png, mp3/aac, mp4/mkv containers)
+    12-bit jpeg, packed 1/2/4-bit png, mp3/aac, mp4/mkv containers)
     raise NotImplementedError at the same seam — libwebp/ffmpeg would
     plug in there on a real deployment.
   * `fake=True` keeps the original byte-histogram pseudo-features for
@@ -98,55 +98,28 @@ def decode_bmp(payload: bytes) -> np.ndarray:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """PNG (ISO/IEC 15948) -> (h, w, 3) uint8 RGB, pure stdlib-zlib +
-    NumPy: chunk walk -> concatenated-IDAT inflate -> per-scanline
-    unfiltering (filters 0-4: None/Sub/Up/Average/Paeth).  8-bit depth,
-    color types 0 (gray), 2 (RGB), 3 (palette via PLTE), 4 (gray+alpha)
-    and 6 (RGBA), non-interlaced; alpha is dropped, gray replicated.
-    16-bit depth and Adam7 interlacing stay behind the
-    NotImplementedError seam.  Sub/Up rows unfilter as vector ops
-    (uint8 accumulate wraps mod 256 per the spec); Average/Paeth are
-    inherently left-dependent and walk bytes within the row."""
-    import zlib
+#: Adam7 pass grid (ISO/IEC 15948 §4.5.2): (x_start, y_start, x_step,
+#: y_step) per pass; each pass is an independently-filtered sub-image.
+_PNG_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
 
-    if payload[:8] != _PNG_SIG:
-        raise ValueError("not a png")
-    pos, ihdr, plte, idat = 8, None, None, []
-    while pos + 8 <= len(payload):
-        ln = int.from_bytes(payload[pos:pos + 4], "big")
-        typ = payload[pos + 4:pos + 8]
-        body = payload[pos + 8:pos + 8 + ln]
-        if typ == b"IHDR":
-            ihdr = body
-        elif typ == b"PLTE":
-            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
-        elif typ == b"IDAT":
-            idat.append(body)
-        elif typ == b"IEND":
-            break
-        pos += 12 + ln                              # len + type + crc
-    if ihdr is None or not idat:
-        raise ValueError("png missing IHDR/IDAT")
-    w = int.from_bytes(ihdr[0:4], "big")
-    h = int.from_bytes(ihdr[4:8], "big")
-    depth, ctype, _comp, _filt, interlace = ihdr[8:13]
-    if depth != 8 or interlace != 0:
-        raise NotImplementedError(
-            "only 8-bit non-interlaced png supported (16-bit / Adam7 are "
-            "the documented seam)")
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
-    if channels is None or (ctype == 3 and plte is None):
-        raise ValueError(f"bad png color type {ctype}")
-    bpp, stride = channels, w * channels
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
-    if len(raw) != h * (stride + 1):
+
+def _png_unfilter(raw: np.ndarray, off: int, hh: int, ww: int,
+                  bpp: int) -> tuple[np.ndarray, int]:
+    """Unfilter `hh` scanlines of `ww`-pixel rows (`bpp` bytes/pixel)
+    starting at byte `off` of the inflated stream -> ((hh, ww*bpp)
+    uint8, next offset).  Sub/Up rows are vector ops (uint8 accumulate
+    wraps mod 256 per the spec); Average/Paeth are inherently
+    left-dependent and walk bytes within the row."""
+    stride = ww * bpp
+    need = hh * (stride + 1)
+    if off + need > len(raw):
         raise ValueError("png pixel data size mismatch")
-    raw = raw.reshape(h, stride + 1)
-    out = np.empty((h, stride), np.uint8)
+    rows = raw[off:off + need].reshape(hh, stride + 1)
+    out = np.empty((hh, stride), np.uint8)
     prev = np.zeros(stride, np.uint8)
-    for r in range(h):
-        ft, cur = raw[r, 0], raw[r, 1:].copy()
+    for r in range(hh):
+        ft, cur = rows[r, 0], rows[r, 1:].copy()
         if ft == 0:
             pass
         elif ft == 1:                                # Sub
@@ -172,7 +145,73 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"bad png filter type {ft}")
         out[r] = cur
         prev = cur
-    px = out.reshape(h, w, channels)
+    return out, off + need
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG (ISO/IEC 15948) -> (h, w, 3) uint8 RGB, pure stdlib-zlib +
+    NumPy: chunk walk -> concatenated-IDAT inflate -> per-scanline
+    unfiltering (filters 0-4: None/Sub/Up/Average/Paeth).  8-bit AND
+    16-bit depths (16-bit samples keep their high byte — the standard
+    8-bit reduction), color types 0 (gray), 2 (RGB), 3 (palette via
+    PLTE, 8-bit), 4 (gray+alpha) and 6 (RGBA), both non-interlaced and
+    Adam7-interlaced (7 independently-filtered sub-images scattered on
+    the pass grid); alpha is dropped, gray replicated.  Packed 1/2/4-bit
+    depths stay behind the NotImplementedError seam."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a png")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        typ = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = body
+        elif typ == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln                              # len + type + crc
+    if ihdr is None or not idat:
+        raise ValueError("png missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, _comp, _filt, interlace = ihdr[8:13]
+    if depth not in (8, 16):
+        raise NotImplementedError(
+            "packed 1/2/4-bit png depths are the documented seam")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None or (ctype == 3 and plte is None) \
+            or (ctype == 3 and depth == 16):
+        raise ValueError(f"bad png color type {ctype}")
+    sample_bytes = depth // 8
+    bpp = channels * sample_bytes
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if interlace == 0:
+        out, used = _png_unfilter(raw, 0, h, w, bpp)
+        if used != len(raw):
+            raise ValueError("png pixel data size mismatch")
+        px = out.reshape(h, w, bpp)
+    elif interlace == 1:                            # Adam7
+        px = np.zeros((h, w, bpp), np.uint8)
+        off = 0
+        for x0, y0, xs, ys in _PNG_ADAM7:
+            wp = -(-(w - x0) // xs) if w > x0 else 0
+            hp = -(-(h - y0) // ys) if h > y0 else 0
+            if wp <= 0 or hp <= 0:
+                continue                            # empty pass: no bytes
+            sub, off = _png_unfilter(raw, off, hp, wp, bpp)
+            px[y0::ys, x0::xs, :] = sub.reshape(hp, wp, bpp)
+        if off != len(raw):
+            raise ValueError("png pixel data size mismatch")
+    else:
+        raise ValueError(f"bad png interlace method {interlace}")
+    if sample_bytes == 2:                           # keep the high byte
+        px = px.reshape(h, w, channels, 2)[:, :, :, 0]
     if ctype == 3:
         return plte[px[:, :, 0]].copy()
     if channels == 1:

@@ -669,15 +669,27 @@ def test_png_decoder_roundtrip_all_filters_and_color_types():
     got = decode_png(encode_png(idx, ctype=3, palette=plte))
     assert np.array_equal(got, plte[idx])
 
-    # seams: 16-bit depth / interlaced headers raise, never mis-decode
+    # Adam7 interlacing: seven independently-filtered passes scatter
+    # back exactly, including tiny images where later passes are empty
+    assert np.array_equal(decode_png(encode_png(img, interlace=True)),
+                          img)
+    for hw in [(1, 1), (2, 3), (5, 5), (9, 16), (3, 1)]:
+        x = rng.integers(0, 256, size=(*hw, 3), dtype=np.uint8)
+        assert np.array_equal(
+            decode_png(encode_png(x, interlace=True)), x), hw
+    # 16-bit depth: samples widened to v*257 reduce back via the high
+    # byte — exact; composes with Adam7
+    assert np.array_equal(
+        decode_png(encode_png(gray, ctype=0, depth=16)),
+        np.repeat(gray[:, :, None], 3, axis=2))
+    assert np.array_equal(
+        decode_png(encode_png(img, depth=16, interlace=True)), img)
+
+    # seams: packed 1/2/4-bit depths raise, never mis-decode
     p = bytearray(encode_png(img))
     depth_off = 8 + 8 + 8                   # sig + len/type + w/h
-    p[depth_off] = 16
-    with _pytest.raises((NotImplementedError, Exception)):
-        decode_png(bytes(p))
-    p = bytearray(encode_png(img))
-    p[8 + 8 + 12] = 1                       # interlace byte
-    with _pytest.raises((NotImplementedError, Exception)):
+    p[depth_off] = 4
+    with _pytest.raises(NotImplementedError):
         decode_png(bytes(p))
     with _pytest.raises(NotImplementedError):
         decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")   # webp seam
