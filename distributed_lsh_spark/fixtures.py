@@ -367,7 +367,8 @@ def encode_png(data, ctype: int = 2, filters=None, palette=None,
 
 
 def encode_jpeg(data, q_dc: int = 8, q_ac: int = 16,
-                subsample: bool = False) -> bytes:
+                subsample: bool = False,
+                restart_interval: int | None = None) -> bytes:
     """pixel array -> real baseline-sequential JPEG bytes (ITU-T T.81):
     JFIF YCbCr conversion, optional 4:2:0 chroma subsampling (2x2 block
     mean), orthonormal forward DCT, flat quantization table (q_dc DC /
@@ -377,6 +378,9 @@ def encode_jpeg(data, q_dc: int = 8, q_ac: int = 16,
     symbols at 8 bits) shipped in DHT — a decoder must read the carried
     tables, not assume Annex K's.  (h, w) input -> grayscale
     single-component JPEG; (h, w, 3) -> YCbCr.
+
+    `restart_interval=N` emits a DRI segment and an RSTn marker every N
+    MCUs (byte-aligned, DC predictors reset — T.81 F.2).
 
     Exactness property used by the gate fixture: an image of constant
     8x8 tiles with R==G==B and q_dc=8 round-trips EXACTLY (AC
@@ -446,12 +450,17 @@ def encode_jpeg(data, q_dc: int = 8, q_ac: int = 16,
             if self.n:
                 self.put((1 << (8 - self.n)) - 1, 8 - self.n)
 
+        def restart(self, m):
+            self.flush()
+            self.buf += bytes([0xFF, 0xD0 + (m % 8)])
+
     def put_val(bw, v):
         s = int(abs(v)).bit_length()
         return s, (v + (1 << s) - 1 if v < 0 else v)
 
     bw = BW()
     pred = [0] * len(planes)
+    n_mcu, n_rst = 0, 0
     padded = []
     for p, (sh, sv) in zip(planes, samp):
         th, tw = mcuy * sv * 8, mcux * sh * 8
@@ -459,6 +468,11 @@ def encode_jpeg(data, q_dc: int = 8, q_ac: int = 16,
                                  (0, tw - p.shape[1])), mode="edge"))
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                bw.restart(n_rst)
+                n_rst += 1
+                pred = [0] * len(planes)
+            n_mcu += 1
             for ci, (p, (sh, sv)) in enumerate(zip(padded, samp)):
                 for by in range(sv):
                     for bx in range(sh):
@@ -510,6 +524,8 @@ def encode_jpeg(data, q_dc: int = 8, q_ac: int = 16,
            + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
            + seg(0xDB, bytes([0x00])
                  + bytes(int(v) for v in qtab))
+           + (seg(0xDD, struct.pack(">H", restart_interval))
+              if restart_interval else b"")
            + seg(0xC0, sof)
            + dht(0, 0, dc_vals, 4) + dht(1, 0, ac_vals, 8)
            + seg(0xDA, sos) + bytes(bw.buf) + b"\xff\xd9")

@@ -17,7 +17,8 @@ Decode support, no external libs:
     YUV4MPEG2 (y4m) raw video -> per-frame luminance planes + frame
     rate, so frame sampling is a REAL decode too.
   * formats that genuinely need a codec lib (webp/avif, progressive or
-    12-bit jpeg, packed 1/2/4-bit png, mp3/aac, mp4/mkv containers)
+    arithmetic or 12-bit jpeg, packed 1/2/4-bit png, mp3/aac, mp4/mkv
+    containers)
     raise NotImplementedError at the same seam — libwebp/ffmpeg would
     plug in there on a real deployment.
   * `fake=True` keeps the original byte-histogram pseudo-features for
@@ -284,15 +285,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     RGB, pure stdlib + NumPy: marker walk (DQT/DHT/SOF0/SOS), Huffman
     entropy decode with byte unstuffing, dequantize + dezigzag,
     orthonormal 8x8 IDCT, chroma upsampling for any (h_i, v_i) sampling
-    (4:4:4 / 4:2:0 / 4:2:2 / grayscale), JFIF YCbCr -> RGB.  Progressive
-    (SOF2), arithmetic coding, 12-bit precision, and restart intervals
-    stay behind the NotImplementedError seam."""
+    (4:4:4 / 4:2:0 / 4:2:2 / grayscale), JFIF YCbCr -> RGB; restart
+    intervals (DRI/RSTn — common in real crawled images) split the
+    entropy stream into independently-aligned segments with DC
+    predictors reset.  Progressive (SOF2), arithmetic coding, and
+    12-bit precision stay behind the NotImplementedError seam."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a jpeg")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}        # (class, id) -> code table
     frame = None
+    ri = 0                                        # restart interval (MCUs)
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad jpeg marker stream")
@@ -345,8 +349,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             raise NotImplementedError(
                 "only baseline sequential jpeg (SOF0) supported")
         elif marker == 0xDD:                        # DRI
-            if int.from_bytes(body[:2], "big") != 0:
-                raise NotImplementedError("jpeg restart intervals")
+            ri = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:                        # SOS
             if frame is None:
                 raise ValueError("jpeg SOS before SOF")
@@ -356,8 +359,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cs, tdta = body[1 + 2 * i], body[2 + 2 * i]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append({**comp, "dc": tdta >> 4, "ac": tdta & 15})
-            # entropy segment: strip stuffed zero bytes, stop at marker
-            raw = bytearray()
+            # entropy stream: strip stuffed zero bytes; RSTn markers
+            # close one restart segment and open the next; any other
+            # marker ends the scan
+            segments, raw = [], bytearray()
             p = pos
             while p < len(payload):
                 b = payload[p]
@@ -368,15 +373,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         p += 2
                         continue
                     if 0xD0 <= nxt <= 0xD7:
-                        raise NotImplementedError("jpeg restart intervals")
+                        segments.append(bytes(raw))
+                        raw = bytearray()
+                        p += 2
+                        continue
                     break
                 raw.append(b)
                 p += 1
-            return _jpeg_decode_scan(frame, scan, qt, huff, bytes(raw))
+            segments.append(bytes(raw))
+            return _jpeg_decode_scan(frame, scan, qt, huff, segments, ri)
     raise ValueError("jpeg missing SOS scan")
 
 
-def _jpeg_decode_scan(frame, scan, qt, huff, data: bytes) -> np.ndarray:
+def _jpeg_decode_scan(frame, scan, qt, huff, segments: list,
+                      ri: int) -> np.ndarray:
     h, w = frame["h"], frame["w"]
     hmax = max(c["h"] for c in scan)
     vmax = max(c["v"] for c in scan)
@@ -385,10 +395,18 @@ def _jpeg_decode_scan(frame, scan, qt, huff, data: bytes) -> np.ndarray:
     planes = {i: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8))
               for i, c in enumerate(scan)}
     dct = _jpeg_dct_matrix()
-    reader = _JpegBitReader(data)
+    seg_iter = iter(segments)
+    reader = _JpegBitReader(next(seg_iter))
     pred = [0] * len(scan)
+    n_mcu = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if ri and n_mcu and n_mcu % ri == 0:
+                # restart boundary: next segment, byte-aligned fresh
+                # reader, DC predictors reset (T.81 F.2.1.3.1)
+                reader = _JpegBitReader(next(seg_iter))
+                pred = [0] * len(scan)
+            n_mcu += 1
             for ci, c in enumerate(scan):
                 for by in range(c["v"]):
                     for bx in range(c["h"]):

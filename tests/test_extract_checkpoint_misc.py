@@ -730,6 +730,18 @@ def test_jpeg_decoder_baseline_paths():
         - sm.astype(int)
     assert np.abs(d2).max() <= 16          # 4:2:0 MCU geometry correct
 
+    # restart intervals (DRI/RSTn): byte-aligned segments with DC
+    # predictor resets decode identically to the unsegmented stream
+    for ri in (1, 3):
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(rgb, restart_interval=ri)), rgb)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(x, restart_interval=2)),
+        decode_jpeg(encode_jpeg(x)))
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(sm, subsample=True, restart_interval=1)),
+        decode_jpeg(encode_jpeg(sm, subsample=True)))
+
     # seams: progressive (SOF2) and 12-bit stay NotImplementedError
     p = bytearray(encode_jpeg(rgb))
     sof = p.index(b"\xff\xc0")
