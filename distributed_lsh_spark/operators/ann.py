@@ -262,11 +262,50 @@ def ann_search_spark(spark: SparkSession, points: DataFrame, queries: DataFrame,
     # (checked pairs, accepted candidates) stays distributed; lazy
     # localCheckpoints fold each radius's materialization into the single
     # per-radius counts job instead of separate eager jobs.
+    #
     n_queries = queries.count()
     finished_ids: set[int] = set()
     checked = spark.createDataFrame([], "query_id long, point_id long")
     accepted = spark.createDataFrame([], "query_id long, point_id long, dist double")
 
+    # AQE is disabled for the duration of the loop (restored after): under
+    # AQE, converting a plan to an RDD — which every lazy localCheckpoint
+    # barrier must do — executes the intermediate query stages immediately,
+    # so each barrier became its own driver-synchronized job and every
+    # radius paid ~3 sequential executions (~8 jobs with broadcast builds)
+    # instead of the designed ONE counts action.  With AQE off the barriers
+    # are genuinely lazy; every join in the loop carries an explicit
+    # broadcast hint so the static planner keeps the broadcast plans AQE
+    # would have chosen.  AQE never changes results — latency-only.
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _search_loop(spark, points, queries, tables, model, k,
+                            search_threshold, n_queries, finished_ids,
+                            checked, accepted)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        points.unpersist()
+        queries.unpersist()
+
+
+#: Size dispatch for the per-radius result bookkeeping: when the WORST-CASE
+#: checked-set size (n_queries * searchThreshold * n_radii) fits under this
+#: many rows, the per-radius capped+scored candidates are collected to the
+#: driver (one O(threshold * live queries) collect per radius — the
+#: reference keeps exactly this bookkeeping on its searcher driver,
+#: LSHSearcher.java:212-252) and the checked/accepted state lives in Python
+#: sets; above it, the state stays distributed as checkpointed DataFrames.
+#: The distributed hashing, bucket probe, per-query cap and exact-L2 scoring
+#: run in Spark in BOTH modes — only the bounded bookkeeping moves.
+ANN_DRIVER_STATE_MAX_ROWS = 200_000
+
+
+def _search_loop(spark: SparkSession, points: DataFrame, queries: DataFrame,
+                 tables: DataFrame | None, model, k: int,
+                 search_threshold: int, n_queries: int,
+                 finished_ids: set[int], checked: DataFrame,
+                 accepted: DataFrame) -> DataFrame:
     # bucket tables for ALL radii in ONE UDF pass each (the reference's -b
     # build shape); the radius loop below is then pure JVM over these
     if tables is None:
@@ -275,7 +314,14 @@ def ann_search_spark(spark: SparkSession, points: DataFrame, queries: DataFrame,
     q_tables = _exploded_buckets(queries, "query_id", "q_vec", model) \
         .localCheckpoint(eager=False)
 
-    for rid, radius in enumerate(model.radii()):
+    radii = model.radii()
+    driver_state = (n_queries * search_threshold * len(radii)
+                    <= ANN_DRIVER_STATE_MAX_ROWS)
+    checked_rows: list[tuple[int, int]] = []    # driver-state mode only
+    accepted_rows: list[tuple[int, int, float]] = []
+    acc_counts: dict[int, int] = {}
+
+    for rid, radius in enumerate(radii):
         if len(finished_ids) >= n_queries:
             break
         ratio_radius = model.ratio * radius
@@ -287,18 +333,57 @@ def ann_search_spark(spark: SparkSession, points: DataFrame, queries: DataFrame,
             q_tables.where(F.col("radius_id") == rid)
                     .select("query_id", "table_id", "bucket"),
             finished_ids, spark)
-        # probe: tiny query side broadcast (S4/J1)
-        cands = (p_buckets.join(F.broadcast(q_buckets), ["table_id", "bucket"])
-                 .select("query_id", "point_id").dropDuplicates()
-                 .join(checked, ["query_id", "point_id"], "left_anti"))
+        if driver_state:
+            checked = spark.createDataFrame(
+                checked_rows, "query_id long, point_id long")
+        # probe: tiny query side broadcast (S4/J1).  ONE exchange per
+        # radius: hash-repartition the collisions by query_id FIRST —
+        # HashPartitioning(query_id) satisfies both the (query_id,
+        # point_id) distinct aggregation and the per-query cap window,
+        # so neither adds its own exchange — and anti-join the checked
+        # set as an explicit broadcast (bounded: <= n_radii *
+        # searchThreshold * n_queries rows, the same driver-side
+        # bookkeeping scale the reference assumes), which removes the
+        # (query_id, point_id) shuffle of both anti-join sides.
+        cands = (p_buckets
+                 .join(F.broadcast(q_buckets), ["table_id", "bucket"])
+                 .select("query_id", "point_id")
+                 .repartition("query_id")
+                 .dropDuplicates()
+                 .join(F.broadcast(checked), ["query_id", "point_id"],
+                       "left_anti"))
         # deterministic per-query cap (A4): lowest point ids first
         w = Window.partitionBy("query_id").orderBy("point_id")
         new = (cands.withColumn("_rn", F.row_number().over(w))
-                    .where(F.col("_rn") <= search_threshold).drop("_rn")
-                    .localCheckpoint(eager=False))   # reused below + next radius
-        checked = checked.union(new)                 # union of checkpointed frames
+                    .where(F.col("_rn") <= search_threshold).drop("_rn"))
 
-        scored = (new.join(points, "point_id")
+        if driver_state:
+            # ONE action per radius: collect the capped candidates WITH
+            # their exact distances (<= searchThreshold rows per live
+            # query); the checked/accepted/finished bookkeeping is then
+            # pure Python — no checkpoints, no counts job, and the final
+            # ranking runs over one small LocalRelation.
+            got = (F.broadcast(new).join(points, "point_id")
+                   .join(F.broadcast(remaining), "query_id")
+                   .withColumn("dist", F.expr(_L2))
+                   .select("query_id", "point_id", "dist").collect())
+            for r in got:
+                q, p, d = int(r["query_id"]), int(r["point_id"]), r["dist"]
+                checked_rows.append((q, p))
+                if d < ratio_radius:      # same double compare as the filter
+                    accepted_rows.append((q, p, d))
+                    n = acc_counts.get(q, 0) + 1
+                    acc_counts[q] = n
+                    if n >= k:
+                        finished_ids.add(q)
+            continue
+
+        new = new.localCheckpoint(eager=False)  # reused below + next radius
+        checked = checked.union(new)            # union of checkpointed frames
+
+        # `new` is the bounded side (<= searchThreshold rows per live
+        # query); broadcasting it keeps the big point table unshuffled.
+        scored = (F.broadcast(new).join(points, "point_id")
                      .join(F.broadcast(remaining), "query_id")
                      .withColumn("dist", F.expr(_L2))
                      .where(F.col("dist") < ratio_radius)
@@ -310,10 +395,11 @@ def ann_search_spark(spark: SparkSession, points: DataFrame, queries: DataFrame,
         counts = accepted.groupBy("query_id").agg(F.count("*").alias("n")).collect()
         finished_ids.update(int(r["query_id"]) for r in counts if r["n"] >= k)
 
+    if driver_state:
+        accepted = spark.createDataFrame(
+            accepted_rows, "query_id long, point_id long, dist double")
     wk = Window.partitionBy("query_id").orderBy("dist", "point_id")
     out = (_keep_finished(accepted, finished_ids, spark)
            .withColumn("rank", F.row_number().over(wk))
            .where(F.col("rank") <= k))
-    points.unpersist()
-    queries.unpersist()
     return out.select("query_id", "point_id", "dist", "rank")
