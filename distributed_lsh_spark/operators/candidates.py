@@ -43,17 +43,28 @@ def cap_hot_buckets(bands: DataFrame, cap: int) -> DataFrame:
     """Deterministically cap per-bucket membership of a (doc_id, band_hash)
     frame at `cap` docs.
 
-    Two-path deterministic cap: aggregate bucket counts (map-side
-    combinable), window-sort ONLY the oversized buckets (normally
-    none/few), pass everything else through a broadcast anti-join.
+    Routed two-path deterministic cap: persist the bands, aggregate bucket
+    counts (map-side combinable) and probe for ANY oversized bucket in one
+    routing job; when none exists — the common case on a corpus whose
+    byte-identical families were already collapsed by the exact-first
+    pre-pass — return the persisted bands untouched, so the self-join plan
+    carries ZERO cap stages.  Otherwise window-sort ONLY the oversized
+    buckets and pass everything else through a broadcast anti-join.
     A plain window over all bands was measured 2.8x slower at 400k
     docs: the full 11.9M-row sort ran once per self-join side
     (41.4s vs 14.5s uncapped) — sorting rows that no cap will ever
     drop.  The ordering is BAND-DEPENDENT (band_hash embeds band_id;
     see module docstring)."""
+    bands = bands.persist()
     counts = bands.groupBy("band_hash").agg(F.count("*").alias("_n"))
-    hot = F.broadcast(counts.where(F.col("_n") > cap)
-                      .select("band_hash"))
+    hot_df = counts.where(F.col("_n") > cap).select("band_hash")
+    # routing job: materializes the bands cache (both self-join sides and
+    # the non-empty path below reuse it) and answers "any hot bucket?" —
+    # the partial aggregate collapses map-side, so the probe moves
+    # O(distinct buckets) rows at most
+    if hot_df.isEmpty():
+        return bands
+    hot = F.broadcast(hot_df)
     w = Window.partitionBy("band_hash") \
               .orderBy(F.xxhash64("band_hash", "doc_id"), "doc_id")
     hot_capped = (bands.join(hot, ["band_hash"])
@@ -83,9 +94,17 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig | None = None,
     if cap is not None:
         bands = cap_hot_buckets(bands, cap)
 
-    # lazy localCheckpoint: the self-join consumes bands twice; without it
-    # the whole cap subplan (counts + joins) executes once per side
-    bands = bands.localCheckpoint(eager=False)
+    # persist barrier: the self-join consumes bands twice; without it the
+    # whole upstream plan (signatures included) executes once per side.
+    # persist, NOT localCheckpoint: under AQE a "lazy" localCheckpoint
+    # converts to an RDD, which executes the upstream stages NOW as an
+    # extra driver-synchronized job; persist is genuinely lazy and the
+    # cache manager dedupes the two join-side reads inside whichever
+    # action consumes the pairs (cap_hot_buckets already persisted and
+    # materialized the cache in its routing job when the no-hot passthrough
+    # was taken — is_cached skips the duplicate registration).
+    if not bands.is_cached:
+        bands = bands.persist()
     a = bands.alias("a")
     b = bands.alias("b")
     return (

@@ -134,9 +134,14 @@ def connected_components(pairs: DataFrame, max_iter: int = 50,
     e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")) \
              .where(F.col("src") != F.col("dst")).distinct()
     if checkpoint:
-        e = e.localCheckpoint(eager=True)
+        # persist, not an eager localCheckpoint: the routing count right
+        # below is the job that materializes the cache, so pinning the
+        # edge set costs ZERO extra driver round-trips (an eager
+        # checkpoint ran its own job first, and under AQE even a lazy one
+        # executes the upstream stages at RDD-conversion time)
+        e = e.persist()
     if n_edges is None:
-        n_edges = e.count()          # cheap: counts the materialized checkpoint
+        n_edges = e.count()          # materializes the pinned edge set
     if n_edges <= driver_max_edges:
         return _driver_components(e)
 

@@ -189,13 +189,14 @@ def dsir_select(raw: DataFrame | None = None,
     with inclusion probability proportional to the importance weight.
 
     top_n_by_key consumes its input twice (the histogram action and the
-    threshold filter), so with raw/target the scoring lineage runs
-    twice — fine at fixture scale, wasteful on a 10^12-doc corpus.
-    Production callers pass `weights=` (a MATERIALIZED dsir_weights
-    table, e.g. a checkpoint stage — the curate CLI stages it), and both
-    passes become cheap scans of the five narrow columns."""
+    threshold filter); a derived weights frame is therefore pinned with a
+    persist so the scoring join runs ONCE (the histogram action
+    materializes the cache, the threshold filter reads it — five narrow
+    columns per doc, disk-spillable).  Production callers still pass
+    `weights=` (a MATERIALIZED dsir_weights table, e.g. a checkpoint
+    stage — the curate CLI stages it), which skips the cache entirely."""
     if weights is None:
-        weights = dsir_weights(raw, target, dim, id_col, text_col)
+        weights = dsir_weights(raw, target, dim, id_col, text_col).persist()
     return top_n_by_key(weights, "key_micro", n, id_col="doc_id")
 
 

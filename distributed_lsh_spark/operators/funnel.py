@@ -202,7 +202,13 @@ def curation_funnel(pages: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG, *,
     prev = cur
 
     def build_near_dup() -> DataFrame:
-        clusters = run_dedup(prev, cfg, exact_first=False)
+        # probe_partitions=False: prev went through the url/exact tier
+        # shuffles, so its width is the session shuffle width — always
+        # below the 3x-parallelism target.  Probing would EXECUTE the
+        # whole tier chain once (AQE runs shuffle stages at
+        # RDD-conversion time) just to confirm that.
+        clusters = run_dedup(prev, cfg, exact_first=False,
+                             probe_partitions=False)
         if rep_rank is None:
             non_reps = (clusters
                         .where(F.col("doc_id") != F.col("cluster_id"))

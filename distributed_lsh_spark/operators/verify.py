@@ -42,8 +42,8 @@ def verify_pairs(pairs: DataFrame, docs: DataFrame, cfg: DedupConfig,
     (id_a, id_b, jaccard[, hamming]) filtered at cfg.jaccard_threshold.
 
     `broadcast_pairs=None` (default) SIZE-DISPATCHES: the pair list is
-    pinned with a localCheckpoint and counted in one job (the count
-    materializes the checkpoint; the candidate plan had to run once
+    pinned with a persist and counted in one job (the count
+    materializes the cache; the candidate plan had to run once
     anyway), then routed to the broadcast plan at or under
     BROADCAST_PAIRS_MAX_ROWS rows, the shuffle join above — same routing
     pattern as operators/vector_ann.cosine_pairs and
@@ -68,14 +68,17 @@ def verify_pairs(pairs: DataFrame, docs: DataFrame, cfg: DedupConfig,
         F.col("doc_id").alias("id_b"), F.col(shingles_col).alias("_sh_b"),
         *([F.col(simhash_col).alias("_sim_b")] if simhash_col else []))
 
-    checkpointed = False
+    pinned = False
     if broadcast_pairs is None:
-        # lazy checkpoint + count = ONE job that both materializes the
-        # checkpoint (lineage truncated, candidate plan runs once) and
-        # returns the routing count — an eager checkpoint followed by a
-        # count would schedule two jobs for the same bytes
-        pairs = pairs.localCheckpoint(eager=False)
-        checkpointed = True
+        # persist + count = ONE job that both materializes the cache
+        # (candidate plan runs once) and returns the routing count.
+        # persist, NOT localCheckpoint: under AQE a "lazy" localCheckpoint
+        # converts the plan to an RDD, which executes the candidate
+        # subplan immediately as its own driver-synchronized job BEFORE
+        # the count job — two sequential executions for the same bytes;
+        # persist defers everything to the count.
+        pairs = pairs.persist()
+        pinned = True
         if n_pairs is None:
             n_pairs = pairs.count()
         broadcast_pairs = n_pairs <= BROADCAST_PAIRS_MAX_ROWS
@@ -91,10 +94,10 @@ def verify_pairs(pairs: DataFrame, docs: DataFrame, cfg: DedupConfig,
         # actually appear in pairs (a broadcast of bare longs) so the one
         # shuffle join moves only needed payloads.
         # pairs feeds TWO broadcast builds (the prune + the join); the
-        # localCheckpoint stops the whole upstream candidate plan from
+        # persist stops the whole upstream candidate plan from
         # executing once per build (measured ~2x the verify stage at 400k).
-        if not checkpointed:
-            pairs = pairs.localCheckpoint(eager=False)
+        if not pinned:
+            pairs = pairs.persist()
         db = db.join(F.broadcast(pairs.select("id_b").distinct()),
                      "id_b", "left_semi")
         joined = F.broadcast(pairs).join(da, "id_a").join(db, "id_b")
@@ -128,7 +131,7 @@ def hamming_pairs(pairs: DataFrame, docs: DataFrame, cfg: DedupConfig,
     da = docs.select(F.col("doc_id").alias("id_a"), F.col(simhash_col).alias("_sim_a"))
     db = docs.select(F.col("doc_id").alias("id_b"), F.col(simhash_col).alias("_sim_b"))
     if broadcast_pairs is None:
-        pairs = pairs.localCheckpoint(eager=False)
+        pairs = pairs.persist()          # lazy pin (see verify_pairs)
         if n_pairs is None:
             n_pairs = pairs.count()      # one job: materialize + count
         broadcast_pairs = n_pairs <= BROADCAST_PAIRS_MAX_ROWS

@@ -35,7 +35,8 @@ class DedupStages:
 def build_stages(df: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
                  id_col: str = "doc_id", text_col: str = "text",
                  minhash_impl: str = "fused", with_simhash_col: bool = False,
-                 persist: bool = False, input_partitions: int | None = 0) -> DedupStages:
+                 persist: bool = False, input_partitions: int | None = 0,
+                 probe_partitions: bool = True) -> DedupStages:
     """`persist=True` caches the shingled docs (consumed by both verify-join
     sides) and the band keys (consumed by both self-join sides) so the
     signature chain is computed once, not ~4x.  On a cluster run the
@@ -44,11 +45,22 @@ def build_stages(df: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
     `input_partitions`: the signature stages are CPU-bound, so a compact
     input (one small parquet file = one scan partition) must be spread
     across cores BEFORE shingling, not after.  Default 0 = auto: 3x default
-    parallelism; None disables."""
+    parallelism; None disables.
+
+    `probe_partitions`: when True, skip the spreading repartition if the
+    input already has >= input_partitions partitions.  The probe converts
+    the plan to an RDD, which under AQE EXECUTES every shuffle stage in the
+    input's lineage — cheap for a bare parquet scan (no shuffles), but a
+    full extra pass for a mid-pipeline frame.  Callers whose input went
+    through a shuffle (whose partition count is the session shuffle width,
+    i.e. always below 3x parallelism) pass False and repartition
+    unconditionally — the same outcome the probe would have chosen,
+    without executing the upstream once to learn it."""
     base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     if input_partitions == 0:
         input_partitions = 3 * base.sparkSession.sparkContext.defaultParallelism
-    if input_partitions and base.rdd.getNumPartitions() < input_partitions:
+    if input_partitions and (not probe_partitions
+                             or base.rdd.getNumPartitions() < input_partitions):
         base = base.repartition(input_partitions)
     if minhash_impl == "fused":
         # default: one Arrow-vectorized pass for shingles+minhash+simhash
@@ -103,7 +115,8 @@ def exact_collapse(base: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 def run_dedup(df: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
               id_col: str = "doc_id", text_col: str = "text",
-              exact_first: bool = True) -> DataFrame:
+              exact_first: bool = True,
+              probe_partitions: bool = True) -> DataFrame:
     """Full pipeline -> clusters(doc_id, cluster_id). Lazy until CC loop.
 
     `exact_first=True` removes byte-identical texts BEFORE the LSH stages:
@@ -120,15 +133,23 @@ def run_dedup(df: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG,
     exact_edges = None
     if exact_first:
         base, exact_edges = exact_collapse(base)
+        # the collapsed reps frame sits behind the md5 groupBy shuffle, so
+        # its width is the session shuffle width — probing would execute
+        # that shuffle once just to confirm it is below the target
+        probe_partitions = False
 
-    st = build_stages(base, cfg, persist=True)
-    # The verified edge set is reused by every CC iteration — persist it once
-    # (the reference persists splitCand/ between jobs for the same reason,
-    # Naive-DLSH/.../lsh/searcher/LSHSearcher.java:327).
+    st = build_stages(base, cfg, persist=True,
+                      probe_partitions=probe_partitions)
+    # No barrier here: connected_components pins the distinct edge set
+    # itself (persist + routing count) before iterating, so a
+    # localCheckpoint at this level only added one extra eagerly-executed
+    # pass over the verify joins (under AQE, RDD conversion runs the
+    # upstream stages immediately).  The reference's persisted splitCand/
+    # role (Naive-DLSH/.../lsh/searcher/LSHSearcher.java:327) is played by
+    # that pin.
     edges = st.verified.select("id_a", "id_b")
     if exact_edges is not None:
         edges = edges.unionByName(exact_edges)
-    edges = edges.localCheckpoint(eager=False)
     return connected_components(edges)
 
 
