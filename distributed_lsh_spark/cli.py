@@ -760,7 +760,7 @@ def cmd_audit(args: argparse.Namespace) -> None:
         else F.col(slice_col).cast("string").alias("_slice"),
         F.size(normalized_tokens("text")).cast("long").alias("n_tok"),
         F.md5(F.col("text").cast("binary")).alias("_h"))
-    d = d.localCheckpoint(eager=False)   # feeds 3 consumers, 1 scan
+    d = d.persist()                      # feeds 3 consumers, 1 scan
 
     base = d.groupBy("_slice").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -825,7 +825,7 @@ def cmd_retract(args: argparse.Namespace) -> None:
         e = spark.read.parquet(p).select("id_a", "id_b")
         edges = e if edges is None else edges.unionByName(e)
     deleted = spark.read.parquet(args.deleted).select("doc_id") \
-        .localCheckpoint(eager=False)
+        .persist()
     ckpt = CheckpointManager(spark, args.output, run_id=args.run_id,
                              config_echo={"labels": args.labels,
                                           "edges": ",".join(args.edges),

@@ -316,8 +316,10 @@ def q_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     base = df.unionByName(_chain_planted(df))
     st = build_stages(base, CFG, persist=True)
-    edges = st.verified.select("id_a", "id_b", "jaccard") \
-        .localCheckpoint(eager=False)
+    # persist, not localCheckpoint: under AQE the RDD conversion would
+    # execute the verify chain eagerly as its own job; CC's routing count
+    # materializes this cache instead, and the estats join reads it
+    edges = st.verified.select("id_a", "id_b", "jaccard").persist()
     labels = connected_components(edges.select("id_a", "id_b"))
     estats = (edges.join(labels.withColumnRenamed("doc_id", "id_a"), "id_a")
               .groupBy("cluster_id")
@@ -1119,7 +1121,9 @@ def q_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = kg.join(kd, "doc_id").join(kc, "doc_id").join(kw, "doc_id")
     lng = v.select("doc_id", F.expr(
         "stack(4, 'c4_page', k_c4, 'charratio', k_ratio, "
-        "'gopher', k_gopher, 'wordlist', k_words) AS (f, keep)"))
+        "'gopher', k_gopher, 'wordlist', k_words) AS (f, keep)")) \
+        .persist()   # the melt self-join reads it twice; without the pin
+                     # the whole 4-filter join chain executes per side
     a = lng.select("doc_id", F.col("f").alias("filter_a"),
                    F.col("keep").alias("ka"))
     b = lng.select("doc_id", F.col("f").alias("filter_b"),
@@ -1391,7 +1395,7 @@ def q_pair_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     docs = with_signatures(df, SHINGLE_CFG)
     pairs = ngram_jaccard_pairs(docs, CFG, df_cap=CFG.hot_band_cap) \
-        .select("id_a", "id_b", "jaccard").localCheckpoint(eager=False)
+        .select("id_a", "id_b", "jaccard").persist()   # 2 consumers, lazy pin
     fps = simhash_md5(df, k=CFG.shingle_k)
 
     sh = docs.select("doc_id", "shingles")
@@ -5078,7 +5082,7 @@ def q_vocab_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.lower("text"), "[^a-z0-9]+", " "), " "))
                       .alias("token"))
             .where(F.col("token") != ""))
-    toks = toks.localCheckpoint(eager=False)   # feeds sketch AND exact
+    toks = toks.persist()                      # feeds sketch AND exact
     summ = hll_summary(hll_registers(toks, ["source"], "token"),
                        ["source"])
     exact = toks.groupBy("source") \
@@ -5166,9 +5170,9 @@ def q_source_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.lower("text"), "[^a-z0-9]+", " "), " "))
                       .alias("token"))
             .where(F.col("token") != ""))
-    toks = toks.localCheckpoint(eager=False)   # feeds sketch AND exact
+    toks = toks.persist()                      # feeds sketch AND exact
     regs = hll_registers(toks, ["source"], "token") \
-        .localCheckpoint(eager=False)          # consumed 3x below
+        .persist()                             # consumed 3x below
     srcs = regs.select("source").distinct()
     pairs = (srcs.select(F.col("source").alias("src_a"))
              .crossJoin(srcs.select(F.col("source").alias("src_b")))
@@ -5315,7 +5319,7 @@ def q_cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.lower("text"), "[^a-z0-9]+", " "), " "))
                       .alias("token"))
             .where(F.col("token") != ""))
-    toks = toks.localCheckpoint(eager=False)   # feeds sketch AND exact
+    toks = toks.persist()                      # feeds sketch AND exact
     cells = cms_cells(toks, [], "token")
     probes = spark.createDataFrame([(t,) for t in _CMS_PROBES],
                                    "term string")
@@ -5417,7 +5421,7 @@ def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("bigint").alias("c_a"),
                    F.sum(F.when(F.col("side") == 1, 1).otherwise(0))
                     .cast("bigint").alias("c_b"))
-              .localCheckpoint(eager=False))   # feeds totals AND scoring
+              .persist())                      # feeds totals AND scoring
     tot = counts.agg(F.sum("c_a").alias("na"), F.sum("c_b").alias("nb"),
                      F.count(F.lit(1)).alias("v"))
     pa = (F.col("c_a") + 1) / (F.col("na") + F.col("v"))
@@ -5513,7 +5517,7 @@ def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     lens = df.select("doc_id", "source",
                      _n_tokens_col().cast("long").alias("n_tokens"))
-    lens = lens.localCheckpoint(eager=False)   # feeds sketch AND exact
+    lens = lens.persist()                      # feeds sketch AND exact
     sk = (histogram_quantiles(
               log_histogram(lens, ["source"], "n_tokens"), ["source"])
           .withColumnRenamed("value", "sketch_value"))
@@ -6043,7 +6047,7 @@ def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id")
-    ids = docs.localCheckpoint(eager=False)
+    ids = docs.persist()
     p7 = ids.where(F.pmod(F.col("doc_id"), F.lit(7)) == 0)
     e_arch = (p7.where(F.pmod(F.expr("doc_id div 7"), F.lit(4)) < 2)
               .select(F.col("doc_id").alias("id_a"),
@@ -6159,14 +6163,14 @@ def q_cluster_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id")
-    ids = docs.localCheckpoint(eager=False)
+    ids = docs.persist()
     e_arch = (ids.where(F.pmod(F.col("doc_id"), F.lit(9)) == 0)
               .where(F.pmod(F.expr("doc_id div 9"), F.lit(5)) < 3)
               .select(F.col("doc_id").alias("id_a"),
                       (F.col("doc_id") + 9).alias("id_b"))
               .join(ids.select(F.col("doc_id").alias("id_b")), "id_b",
                     "left_semi")
-              .localCheckpoint(eager=False))
+              .persist())
     labels = connected_components(e_arch)
 
     ms = (ids.where(F.pmod(F.col("doc_id"), F.lit(45)) == 0)
@@ -6181,7 +6185,7 @@ def q_cluster_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                .unionByName(_del(1, F.col("m") * 45))
                .unionByName(_del(3, F.col("m") * 45 + 9))
                .unionByName(_del(3, F.col("m") * 45 + 18))
-               .localCheckpoint(eager=False))
+               .persist())
 
     final = retract_components(labels, e_arch, deleted)
     e_rem = (e_arch

@@ -143,7 +143,7 @@ def lsh_ensemble_candidates(docs: DataFrame, *, tau: float = 0.8,
              .select("doc_id", F.explode(bands).alias("band_hash")))
     if cap is not None:
         keyed = cap_hot_buckets(keyed, cap)
-    keyed = keyed.localCheckpoint(eager=False)
+    keyed = keyed.persist()   # self-join consumes it twice; lazy pin
     a, b = keyed.alias("a"), keyed.alias("b")
     return (a.join(b, "band_hash")
             .where(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -193,7 +193,7 @@ def containment_pairs(docs: DataFrame, *,
     db = payload.select(F.col("doc_id").alias("id_b"),
                         F.col(shingles_col).alias("_sh_b"))
     if broadcast_pairs:
-        candidates = candidates.localCheckpoint(eager=False)
+        candidates = candidates.persist()   # 2 broadcast builds read it
         db = db.join(F.broadcast(candidates.select("id_b").distinct()),
                      "id_b", "left_semi")
         joined = F.broadcast(candidates).join(da, "id_a").join(db, "id_b")

@@ -58,24 +58,25 @@ def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
     ex = base.select("doc_id", F.posexplode("t").alias("pos", "w"))
 
     # train: unigram occurrence counts + vocabulary size (uni feeds both
-    # the scoring join and the vocab count — checkpoint once, vocab-sized)
+    # the scoring join and the vocab count — pinned once, vocab-sized)
     uni = (ex.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
-             .localCheckpoint())
+             .persist())
     vdf = uni.agg(F.count(F.lit(1)).alias("vs"))
 
     # bigram occurrences -> per-doc multiplicities (map-side combine).
     # docbg and uni are each consumed by TWO downstream branches (the
-    # count-table derivation and the scoring join); localCheckpoint cuts
-    # the plan so the explode/window lineage runs once per frame instead
-    # of once per branch (same reuse barrier the dedup pipeline puts
-    # before the band self-join).
+    # count-table derivation and the scoring join); a lazy persist pin
+    # makes the explode/window lineage run once per frame instead of once
+    # per branch (same reuse barrier the dedup pipeline puts before the
+    # band self-join) without the eager execution an RDD-converting
+    # localCheckpoint pays under AQE.
     wspec = Window.partitionBy("doc_id").orderBy("pos")
     bg = (ex.select("doc_id", F.col("w").alias("w1"),
                     F.lead("w").over(wspec).alias("w2"))
             .where(F.col("w2").isNotNull()))
     docbg = (bg.groupBy("doc_id", "w1", "w2")
                .agg(F.count(F.lit(1)).alias("m"))
-               .localCheckpoint())
+               .persist())
     bgc = docbg.groupBy("w1", "w2").agg(F.sum("m").alias("cb"))
 
     p = ((F.col("cb") + 1).cast("double") /

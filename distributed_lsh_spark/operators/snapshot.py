@@ -92,8 +92,9 @@ def dedup_against_corpus(corpus: DataFrame, new: DataFrame,
     if prefilter is not None:
         # the capped batch bands feed BOTH the filter build and the band
         # join — pin them once (round-2 lesson: a self-referenced subplan
-        # re-executes per consumer)
-        bands_n = bands_n.localCheckpoint(eager=False)
+        # re-executes per consumer); lazy persist, not an RDD-converting
+        # localCheckpoint (which executes the subplan eagerly under AQE)
+        bands_n = bands_n.persist()
         if prefilter == "semi":
             probe_keys = bands_n.select("band_hash").distinct()
             bands_c = bands_c.join(F.broadcast(probe_keys), "band_hash",
@@ -103,7 +104,7 @@ def dedup_against_corpus(corpus: DataFrame, new: DataFrame,
                 bloom_filter_col, bloom_parameters, build_bloom)
 
             keys = bands_n.select("band_hash").distinct() \
-                .localCheckpoint(eager=False)
+                .persist()   # the count right below materializes it
             n_bits, n_hashes = bloom_parameters(keys.count(), bloom_fpp)
             bloom = build_bloom(keys, "band_hash", n_bits, n_hashes)
             bands_c = bloom_filter_col(bands_c, "band_hash", bloom, n_hashes)
@@ -179,15 +180,15 @@ def retract_components(labels: DataFrame, edges: DataFrame,
     if driver_max_edges is None:
         driver_max_edges = DRIVER_CC_MAX_EDGES
     d = deleted.select(F.col("doc_id").cast("long").alias("doc_id")) \
-        .distinct().localCheckpoint(eager=False)
+        .distinct().persist()   # feeds several broadcast builds
     affected = (labels.join(F.broadcast(d), "doc_id", "left_semi")
                 .select("cluster_id").distinct()
-                .localCheckpoint(eager=False))
+                .persist())   # 2 consumers
     untouched = labels.join(F.broadcast(affected), "cluster_id",
                             "left_anti").select("doc_id", "cluster_id")
     members = (labels.join(F.broadcast(affected), "cluster_id",
                            "left_semi")
-               .select("doc_id").localCheckpoint(eager=False))
+               .select("doc_id").persist())   # 2 consumers
     survivors = members.join(F.broadcast(d), "doc_id", "left_anti")
     # both endpoints of an archived edge share a component, so ONE
     # endpoint semi-join prunes the archive to the affected components
@@ -248,7 +249,7 @@ def incremental_components(labels: DataFrame, new_edges: DataFrame,
                           F.col("id_b").cast("long").alias("id_b"))
          .where(F.col("id_a") != F.col("id_b"))
          .distinct()
-         .localCheckpoint(eager=False))
+         .persist())   # isEmpty materializes; 3 consumers downstream
     if e.isEmpty():          # e is batch-scale; a no-edge batch is a no-op
         return labels.select("doc_id", "cluster_id")
     ends = (e.select(F.col("id_a").alias("doc_id"))
@@ -257,7 +258,7 @@ def incremental_components(labels: DataFrame, new_edges: DataFrame,
     # archive touched once: broadcast semi-prune to the batch's endpoints
     rep = (labels.join(F.broadcast(ends), "doc_id")
            .select("doc_id", F.col("cluster_id").alias("rep"))
-           .localCheckpoint(eager=False))
+           .persist())   # ra/rb/rep_set all read it
     ra = rep.select(F.col("doc_id").alias("id_a"), F.col("rep").alias("rep_a"))
     rb = rep.select(F.col("doc_id").alias("id_b"), F.col("rep").alias("rep_b"))
     contracted = (e.join(F.broadcast(ra), "id_a", "left")
@@ -265,7 +266,7 @@ def incremental_components(labels: DataFrame, new_edges: DataFrame,
                    .select(F.coalesce("rep_a", F.col("id_a")).alias("id_a"),
                            F.coalesce("rep_b", F.col("id_b")).alias("id_b")))
     cc = connected_components(contracted, driver_max_edges=driver_max_edges) \
-        .localCheckpoint(eager=False)
+        .persist()   # moved + fresh both read it
 
     rep_set = rep.select(F.col("rep").alias("doc_id")).distinct()
     # reps whose component merged into a lower-id one

@@ -195,7 +195,7 @@ def substring_span_pairs(df: DataFrame, text_col: str = "text",
 
     ta = toks.select(F.col("doc_id").alias("id_a"), F.col("_toks").alias("_ta"))
     tb = toks.select(F.col("doc_id").alias("id_b"), F.col("_toks").alias("_tb"))
-    cands = cands.localCheckpoint(eager=False)
+    cands = cands.persist()   # lazy pin; broadcast build materializes it
     return (F.broadcast(cands).join(ta, "id_a").join(tb, "id_b")
             .withColumn("max_span", _span("_ta", "_tb"))
             .where(F.col("max_span") >= window)
@@ -313,7 +313,7 @@ def remove_shared_spans(df: DataFrame, text_col: str = "text",
                  "_r", F.row_number().over(
                      Window.partitionBy("id_b").orderBy("id_a")))
                   .where(F.col("_r") <= max_partners).drop("_r")
-                  .localCheckpoint(eager=False))
+                  .persist())   # lazy pin; broadcast build materializes it
     toks = df.select("doc_id", F.expr(
         _NORMALIZE_SQL.format(col=text_col)).alias("_toks"))
     ta = toks.select(F.col("doc_id").alias("id_a"),

@@ -157,7 +157,7 @@ def cosine_pairs_lsh(points: DataFrame, tau: float, dim: int | None = None,
     cands = (a.join(b, ["table_id", "code"])
              .where(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b").dropDuplicates()
-             .localCheckpoint(eager=False))
+             .persist())   # lazy pin; payload joins read it once each
     va = p.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("qe"))
     vb = p.select(F.col("vec_id").alias("id_b"), "emb")
     return (cands.join(va, "id_a").join(vb, "id_b")

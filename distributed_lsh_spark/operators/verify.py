@@ -42,9 +42,10 @@ def verify_pairs(pairs: DataFrame, docs: DataFrame, cfg: DedupConfig,
     (id_a, id_b, jaccard[, hamming]) filtered at cfg.jaccard_threshold.
 
     `broadcast_pairs=None` (default) SIZE-DISPATCHES: the pair list is
-    pinned with a persist and counted in one job (the count
-    materializes the cache; the candidate plan had to run once
-    anyway), then routed to the broadcast plan at or under
+    pinned with a localCheckpoint and counted (the checkpoint leaf
+    truncates the lineage every downstream consumer replans; the
+    candidate plan had to run once anyway), then routed to the
+    broadcast plan at or under
     BROADCAST_PAIRS_MAX_ROWS rows, the shuffle join above — same routing
     pattern as operators/vector_ann.cosine_pairs and
     operators/connected_components.  `n_pairs` is an optional size hint
@@ -70,14 +71,17 @@ def verify_pairs(pairs: DataFrame, docs: DataFrame, cfg: DedupConfig,
 
     pinned = False
     if broadcast_pairs is None:
-        # persist + count = ONE job that both materializes the cache
-        # (candidate plan runs once) and returns the routing count.
-        # persist, NOT localCheckpoint: under AQE a "lazy" localCheckpoint
-        # converts the plan to an RDD, which executes the candidate
-        # subplan immediately as its own driver-synchronized job BEFORE
-        # the count job — two sequential executions for the same bytes;
-        # persist defers everything to the count.
-        pairs = pairs.persist()
+        # localCheckpoint (which under AQE executes the candidate subplan
+        # as its own job) + a leaf-scan count.  Deliberately NOT a lazy
+        # persist pin: the checkpoint LEAF is load-bearing — it truncates
+        # the lineage every downstream consumer replans.  With a persist
+        # here on top of the persisted band/signature caches, funnel-style
+        # callers plan the whole nested InMemoryRelation tree once per
+        # downstream action; a matched-load A/B measured the all-persist
+        # variant +1.2-1.4 s on each funnel composition, and restoring
+        # this ONE leaf recovered it (either this leaf or the band leaf
+        # suffices; this is the smaller frame).
+        pairs = pairs.localCheckpoint(eager=False)
         pinned = True
         if n_pairs is None:
             n_pairs = pairs.count()
@@ -94,10 +98,10 @@ def verify_pairs(pairs: DataFrame, docs: DataFrame, cfg: DedupConfig,
         # actually appear in pairs (a broadcast of bare longs) so the one
         # shuffle join moves only needed payloads.
         # pairs feeds TWO broadcast builds (the prune + the join); the
-        # persist stops the whole upstream candidate plan from
+        # pin stops the whole upstream candidate plan from
         # executing once per build (measured ~2x the verify stage at 400k).
         if not pinned:
-            pairs = pairs.persist()
+            pairs = pairs.localCheckpoint(eager=False)
         db = db.join(F.broadcast(pairs.select("id_b").distinct()),
                      "id_b", "left_semi")
         joined = F.broadcast(pairs).join(da, "id_a").join(db, "id_b")
@@ -131,7 +135,7 @@ def hamming_pairs(pairs: DataFrame, docs: DataFrame, cfg: DedupConfig,
     da = docs.select(F.col("doc_id").alias("id_a"), F.col(simhash_col).alias("_sim_a"))
     db = docs.select(F.col("doc_id").alias("id_b"), F.col(simhash_col).alias("_sim_b"))
     if broadcast_pairs is None:
-        pairs = pairs.persist()          # lazy pin (see verify_pairs)
+        pairs = pairs.localCheckpoint(eager=False)  # leaf pin (see verify_pairs)
         if n_pairs is None:
             n_pairs = pairs.count()      # one job: materialize + count
         broadcast_pairs = n_pairs <= BROADCAST_PAIRS_MAX_ROWS

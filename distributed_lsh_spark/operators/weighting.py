@@ -79,7 +79,7 @@ def soft_dedup_weights(docs: DataFrame, clusters: DataFrame,
     """
     # labeled feeds both the size groupBy and the final join — checkpoint
     # the 16-B (id, cluster_id) frame so the label join runs once
-    labeled = with_cluster_ids(docs, clusters, id_col).localCheckpoint()
+    labeled = with_cluster_ids(docs, clusters, id_col).persist()
     sizes = (labeled.groupBy("cluster_id")
                     .agg(F.count(F.lit(1)).alias("cluster_size")))
     return (labeled.join(sizes, "cluster_id")

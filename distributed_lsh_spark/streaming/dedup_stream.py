@@ -217,7 +217,12 @@ def incremental_dedup_stream(spark: SparkSession, input_dir: str, state_dir: str
             pairs = cross.unionByName(within) \
                          .where(F.col("id_a") != F.col("id_b")) \
                          .dropDuplicates(["id_a", "id_b"])
-            verified = verify_pairs(pairs, all_sigs, cfg) \
+            # broadcast_pairs=True: per-micro-batch candidate pair counts
+            # are bounded far below BROADCAST_PAIRS_MAX_ROWS (a batch only
+            # pairs against colliding band buckets), so the size dispatch's
+            # routing count would be a wasted extra job on EVERY batch
+            verified = verify_pairs(pairs, all_sigs, cfg,
+                                    broadcast_pairs=True) \
                 .withColumn("batch_id", F.lit(batch_id))
             if maintain_labels:
                 # two consumers below (pairs write + label fold): pin once
