@@ -311,8 +311,6 @@ def _search_loop(spark: SparkSession, points: DataFrame, queries: DataFrame,
     if tables is None:
         tables = _exploded_buckets(points, "point_id", "p_vec", model) \
             .localCheckpoint(eager=False)
-    q_tables = _exploded_buckets(queries, "query_id", "q_vec", model) \
-        .localCheckpoint(eager=False)
 
     radii = model.radii()
     driver_state = (n_queries * search_threshold * len(radii)
@@ -321,21 +319,53 @@ def _search_loop(spark: SparkSession, points: DataFrame, queries: DataFrame,
     accepted_rows: list[tuple[int, int, float]] = []
     acc_counts: dict[int, int] = {}
 
+    if driver_state:
+        # The query set is driver-resident in this mode (bounded by the
+        # dispatch), exactly the reference's distributed-cache query set
+        # (S4): collect it once, compute its bucket ids with the SAME
+        # NumPy model the executor UDF runs (bit-identical by
+        # construction), and feed each radius a LocalRelation — its
+        # broadcast builds straight from driver memory, with no scan job
+        # and no q-side UDF pass at all.
+        q_rows = queries.collect()
+        q_ids = [int(r["query_id"]) for r in q_rows]
+        q_vecs = np.asarray([list(r["q_vec"]) for r in q_rows],
+                            dtype=np.int64)
+        q_schema = queries.schema
+        q_buckets_all: dict[int, list[tuple[int, int, int]]] = {}
+        for rid, radius in enumerate(radii):
+            rows = []
+            for tid in range(model.L):
+                for qid, b in zip(q_ids,
+                                  model.bucket_ids(tid, radius, q_vecs)):
+                    rows.append((qid, tid, int(b)))
+            q_buckets_all[rid] = rows
+    else:
+        q_tables = _exploded_buckets(queries, "query_id", "q_vec", model) \
+            .localCheckpoint(eager=False)
+
     for rid, radius in enumerate(radii):
         if len(finished_ids) >= n_queries:
             break
         ratio_radius = model.ratio * radius
-        remaining = _drop_finished(queries, finished_ids, spark)
 
         p_buckets = tables.where(F.col("radius_id") == rid) \
                           .select("point_id", "table_id", "bucket")
-        q_buckets = _drop_finished(
-            q_tables.where(F.col("radius_id") == rid)
-                    .select("query_id", "table_id", "bucket"),
-            finished_ids, spark)
         if driver_state:
+            remaining = spark.createDataFrame(
+                [r for r in q_rows
+                 if int(r["query_id"]) not in finished_ids], q_schema)
+            q_buckets = spark.createDataFrame(
+                [t for t in q_buckets_all[rid] if t[0] not in finished_ids],
+                "query_id long, table_id int, bucket long")
             checked = spark.createDataFrame(
                 checked_rows, "query_id long, point_id long")
+        else:
+            remaining = _drop_finished(queries, finished_ids, spark)
+            q_buckets = _drop_finished(
+                q_tables.where(F.col("radius_id") == rid)
+                        .select("query_id", "table_id", "bucket"),
+                finished_ids, spark)
         # probe: tiny query side broadcast (S4/J1).  ONE exchange per
         # radius: hash-repartition the collisions by query_id FIRST —
         # HashPartitioning(query_id) satisfies both the (query_id,

@@ -74,14 +74,16 @@ def _signature(e: DataFrame) -> tuple[int, int]:
 DRIVER_CC_MAX_EDGES = 50_000
 
 
-def _driver_components(e: DataFrame) -> DataFrame:
+def _driver_components(e: DataFrame, pdf=None) -> DataFrame:
     """Exact same labeling contract as the distributed loop, computed by
     union-find (union-by-min-id + path halving) on the driver after one
-    Arrow collect.  Only reachable under DRIVER_CC_MAX_EDGES."""
+    Arrow collect.  Only reachable under DRIVER_CC_MAX_EDGES.  `pdf`: the
+    already-collected edge frame, when the routing probe fetched it."""
     import numpy as np
     import pandas as pd
 
-    pdf = e.toPandas()
+    if pdf is None:
+        pdf = e.toPandas()
     if not len(pdf):
         return e.sparkSession.createDataFrame([], "doc_id long, cluster_id long")
     src = pdf["src"].to_numpy(np.int64)
@@ -134,13 +136,22 @@ def connected_components(pairs: DataFrame, max_iter: int = 50,
     e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")) \
              .where(F.col("src") != F.col("dst")).distinct()
     if checkpoint:
-        # persist, not an eager localCheckpoint: the routing count right
+        # persist, not an eager localCheckpoint: the routing probe right
         # below is the job that materializes the cache, so pinning the
         # edge set costs ZERO extra driver round-trips (an eager
         # checkpoint ran its own job first, and under AQE even a lazy one
         # executes the upstream stages at RDD-conversion time)
         e = e.persist()
     if n_edges is None:
+        # ONE bounded probe job routes AND fetches: collect at most
+        # driver_max_edges+1 rows — if everything fit, that IS the edge
+        # set and the driver path needs no second job; an overflowing
+        # probe (big graph) falls through to the exact count and the
+        # distributed loop.  The probe is driver-safe by construction
+        # (<= ~1.2 MB at the default bound).
+        probe = e.limit(driver_max_edges + 1).toPandas()
+        if len(probe) <= driver_max_edges:
+            return _driver_components(e, pdf=probe)
         n_edges = e.count()          # materializes the pinned edge set
     if n_edges <= driver_max_edges:
         return _driver_components(e)
