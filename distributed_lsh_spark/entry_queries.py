@@ -5082,7 +5082,7 @@ def q_vocab_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.lower("text"), "[^a-z0-9]+", " "), " "))
                       .alias("token"))
             .where(F.col("token") != ""))
-    toks = toks.persist()                      # feeds sketch AND exact
+    toks = toks.localCheckpoint(eager=False)   # feeds sketch AND exact
     summ = hll_summary(hll_registers(toks, ["source"], "token"),
                        ["source"])
     exact = toks.groupBy("source") \
@@ -5170,9 +5170,9 @@ def q_source_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.lower("text"), "[^a-z0-9]+", " "), " "))
                       .alias("token"))
             .where(F.col("token") != ""))
-    toks = toks.persist()                      # feeds sketch AND exact
+    toks = toks.localCheckpoint(eager=False)   # feeds sketch AND exact
     regs = hll_registers(toks, ["source"], "token") \
-        .persist()                             # consumed 3x below
+        .localCheckpoint(eager=False)          # consumed 3x below
     srcs = regs.select("source").distinct()
     pairs = (srcs.select(F.col("source").alias("src_a"))
              .crossJoin(srcs.select(F.col("source").alias("src_b")))

@@ -39,30 +39,37 @@ from pyspark.sql import functions as F
 from distributed_lsh_spark.conf import DedupConfig
 
 
-def cap_hot_buckets(bands: DataFrame, cap: int) -> DataFrame:
+def cap_hot_buckets(bands: DataFrame, cap: int,
+                    probe: bool = True) -> DataFrame:
     """Deterministically cap per-bucket membership of a (doc_id, band_hash)
     frame at `cap` docs.
 
-    Routed two-path deterministic cap: persist the bands, aggregate bucket
-    counts (map-side combinable) and probe for ANY oversized bucket in one
-    routing job; when none exists — the common case on a corpus whose
-    byte-identical families were already collapsed by the exact-first
-    pre-pass — return the persisted bands untouched, so the self-join plan
-    carries ZERO cap stages.  Otherwise window-sort ONLY the oversized
-    buckets and pass everything else through a broadcast anti-join.
-    A plain window over all bands was measured 2.8x slower at 400k
-    docs: the full 11.9M-row sort ran once per self-join side
-    (41.4s vs 14.5s uncapped) — sorting rows that no cap will ever
+    Routed two-path deterministic cap (`probe=True`): persist the bands,
+    aggregate bucket counts (map-side combinable) and probe for ANY
+    oversized bucket in one routing job; when none exists — the common
+    case on a corpus whose byte-identical families were already collapsed
+    by the exact-first pre-pass — return the persisted bands untouched,
+    so the self-join plan carries ZERO cap stages.  Otherwise window-sort
+    ONLY the oversized buckets and pass everything else through a
+    broadcast anti-join.  A plain window over all bands was measured 2.8x
+    slower at 400k docs: the full 11.9M-row sort ran once per self-join
+    side (41.4s vs 14.5s uncapped) — sorting rows that no cap will ever
     drop.  The ordering is BAND-DEPENDENT (band_hash embeds band_id;
-    see module docstring)."""
-    bands = bands.persist()
+    see module docstring).
+
+    `probe=False` keeps the one-plan inline shape (no routing job, no
+    persist): right for single-consumer callers whose downstream action
+    folds the cap subplan anyway (the snapshot probe joins — a routing
+    job per side measured slower than the stages it saved)."""
+    if probe:
+        bands = bands.persist()
     counts = bands.groupBy("band_hash").agg(F.count("*").alias("_n"))
     hot_df = counts.where(F.col("_n") > cap).select("band_hash")
     # routing job: materializes the bands cache (both self-join sides and
     # the non-empty path below reuse it) and answers "any hot bucket?" —
     # the partial aggregate collapses map-side, so the probe moves
     # O(distinct buckets) rows at most
-    if hot_df.isEmpty():
+    if probe and hot_df.isEmpty():
         return bands
     hot = F.broadcast(hot_df)
     w = Window.partitionBy("band_hash") \

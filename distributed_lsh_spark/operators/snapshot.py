@@ -85,9 +85,13 @@ def dedup_against_corpus(corpus: DataFrame, new: DataFrame,
         .select("doc_id", "shingles", "minhash").persist()
 
     bands_c = band_keys(corpus_sigs, cfg).select("doc_id", "band_hash")
+    # probed caps only pay off when the prefilter branch reuses the
+    # persisted bands (the routing job doubles as its materialization);
+    # on the plain path the inline one-plan cap folds into the band join
+    # (A/B: plain 2.58 -> 1.84 s inline, bloom 3.0 -> 2.2 s probed)
     bands_n = cap_hot_buckets(
         band_keys(new_sigs, cfg).select("doc_id", "band_hash"),
-        cfg.hot_band_cap)
+        cfg.hot_band_cap, probe=prefilter is not None)
 
     if prefilter is not None:
         # the capped batch bands feed BOTH the filter build and the band
@@ -111,7 +115,8 @@ def dedup_against_corpus(corpus: DataFrame, new: DataFrame,
         else:
             raise ValueError(f"unknown prefilter {prefilter!r}")
 
-    bands_c = cap_hot_buckets(bands_c, cfg.hot_band_cap)
+    bands_c = cap_hot_buckets(bands_c, cfg.hot_band_cap,
+                              probe=prefilter is not None)
 
     cand = (bands_c.select(F.col("doc_id").alias("id_a"), "band_hash")
             .join(bands_n.select(F.col("doc_id").alias("id_b"), "band_hash"),
@@ -249,7 +254,7 @@ def incremental_components(labels: DataFrame, new_edges: DataFrame,
                           F.col("id_b").cast("long").alias("id_b"))
          .where(F.col("id_a") != F.col("id_b"))
          .distinct()
-         .persist())   # isEmpty materializes; 3 consumers downstream
+         .localCheckpoint(eager=False))
     if e.isEmpty():          # e is batch-scale; a no-edge batch is a no-op
         return labels.select("doc_id", "cluster_id")
     ends = (e.select(F.col("id_a").alias("doc_id"))
@@ -258,7 +263,7 @@ def incremental_components(labels: DataFrame, new_edges: DataFrame,
     # archive touched once: broadcast semi-prune to the batch's endpoints
     rep = (labels.join(F.broadcast(ends), "doc_id")
            .select("doc_id", F.col("cluster_id").alias("rep"))
-           .persist())   # ra/rb/rep_set all read it
+           .localCheckpoint(eager=False))
     ra = rep.select(F.col("doc_id").alias("id_a"), F.col("rep").alias("rep_a"))
     rb = rep.select(F.col("doc_id").alias("id_b"), F.col("rep").alias("rep_b"))
     contracted = (e.join(F.broadcast(ra), "id_a", "left")
@@ -266,7 +271,7 @@ def incremental_components(labels: DataFrame, new_edges: DataFrame,
                    .select(F.coalesce("rep_a", F.col("id_a")).alias("id_a"),
                            F.coalesce("rep_b", F.col("id_b")).alias("id_b")))
     cc = connected_components(contracted, driver_max_edges=driver_max_edges) \
-        .persist()   # moved + fresh both read it
+        .localCheckpoint(eager=False)
 
     rep_set = rep.select(F.col("rep").alias("doc_id")).distinct()
     # reps whose component merged into a lower-id one
