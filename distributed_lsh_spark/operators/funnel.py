@@ -200,15 +200,27 @@ def curation_funnel(pages: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG, *,
     # non-representative member (cluster_id = min doc_id in component).
     # exact_first=False: tier 2 already collapsed byte-identical texts.
     prev = cur
+    # the dedup stages computed here are stashed for the optional
+    # containment tier: its shingle sets are byte-identical per doc to
+    # the near-dup tier's (shingling does not depend on the minhash
+    # scheme), so re-running the signature UDF pass over the survivors
+    # would recompute data the persisted signature cache already holds
+    nd_state: dict[str, DataFrame] = {}
 
     def build_near_dup() -> DataFrame:
+        from distributed_lsh_spark.operators.connected_components import (
+            connected_components,
+        )
         # probe_partitions=False: prev went through the url/exact tier
         # shuffles, so its width is the session shuffle width — always
         # below the 3x-parallelism target.  Probing would EXECUTE the
         # whole tier chain once (AQE runs shuffle stages at
         # RDD-conversion time) just to confirm that.
-        clusters = run_dedup(prev, cfg, exact_first=False,
-                             probe_partitions=False)
+        from distributed_lsh_spark.pipeline import build_stages
+        st = build_stages(prev, cfg, persist=True, probe_partitions=False)
+        clusters = connected_components(
+            st.verified.select("id_a", "id_b"))
+        nd_state["docs"] = st.docs
         if rep_rank is None:
             non_reps = (clusters
                         .where(F.col("doc_id") != F.col("cluster_id"))
@@ -221,6 +233,7 @@ def curation_funnel(pages: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG, *,
                     .select(F.col("rep_doc").alias("doc_id")))
             non_reps = clusters.select("doc_id") \
                                .join(reps, "doc_id", "left_anti")
+        nd_state["non_reps"] = non_reps
         return prev.join(non_reps, "doc_id", "left_anti")
 
     cur = checkpointed("near_dup", build_near_dup)
@@ -250,11 +263,23 @@ def curation_funnel(pages: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG, *,
         prev2 = cur
 
         def build_containment() -> DataFrame:
-            shingle_cfg = dataclasses.replace(
-                cfg, minhash_scheme="oph", num_perm=1,
-                num_bands=1, rows_per_band=1)
-            docs = with_signatures(prev2.select("doc_id", "text"),
-                                   shingle_cfg)
+            if "docs" in nd_state:
+                # reuse the near-dup tier's persisted shingle sets (they
+                # are a per-doc function of the text, identical across
+                # minhash configs); the survivors are prev anti non_reps,
+                # so the same anti-join restricts the signature frame —
+                # no second tokenize+shingle pass over the corpus
+                docs = (nd_state["docs"].select("doc_id", "shingles")
+                        .join(nd_state["non_reps"], "doc_id", "left_anti"))
+            else:
+                # checkpoint-resume path: the near-dup stage was read back
+                # from its manifest, so the signature frame was never
+                # built this run — recompute shingles for the survivors
+                shingle_cfg = dataclasses.replace(
+                    cfg, minhash_scheme="oph", num_perm=1,
+                    num_bands=1, rows_per_band=1)
+                docs = with_signatures(prev2.select("doc_id", "text"),
+                                       shingle_cfg)
             pairs = containment_pairs(docs, tau=drop_contained,
                                       df_cap=cfg.hot_band_cap)
             drops = pairs.select(F.col("contained_id").alias("doc_id")) \
