@@ -268,21 +268,30 @@ def ann_search_spark(spark: SparkSession, points: DataFrame, queries: DataFrame,
     checked = spark.createDataFrame([], "query_id long, point_id long")
     accepted = spark.createDataFrame([], "query_id long, point_id long, dist double")
 
-    # AQE is disabled for the duration of the loop (restored after): under
-    # AQE, converting a plan to an RDD — which every lazy localCheckpoint
-    # barrier must do — executes the intermediate query stages immediately,
-    # so each barrier became its own driver-synchronized job and every
-    # radius paid ~3 sequential executions (~8 jobs with broadcast builds)
-    # instead of the designed ONE counts action.  With AQE off the barriers
-    # are genuinely lazy; every join in the loop carries an explicit
-    # broadcast hint so the static planner keeps the broadcast plans AQE
-    # would have chosen.  AQE never changes results — latency-only.
+    # In DISTRIBUTED-state mode, AQE is disabled for the duration of the
+    # loop (restored after): under AQE, converting a plan to an RDD —
+    # which every lazy localCheckpoint barrier must do — executes the
+    # intermediate query stages immediately, so each barrier became its
+    # own driver-synchronized job and every radius paid ~3 sequential
+    # executions (~8 jobs with broadcast builds) instead of the designed
+    # ONE counts action.  With AQE off the barriers are genuinely lazy;
+    # every join in the loop carries an explicit broadcast hint so the
+    # static planner keeps the plans AQE would have chosen.  AQE never
+    # changes results — latency-only.
+    # DRIVER-state mode keeps AQE ON: that loop has no per-radius
+    # DataFrame barriers at all (the bookkeeping lives in Python sets),
+    # so the toggle's rationale does not apply, and AQE's partition
+    # coalescing keeps the one per-radius exchange at the width the tiny
+    # capped frame deserves.
+    driver_state = (n_queries * search_threshold * len(model.radii())
+                    <= ANN_DRIVER_STATE_MAX_ROWS)
     aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    if not driver_state:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         return _search_loop(spark, points, queries, tables, model, k,
                             search_threshold, n_queries, finished_ids,
-                            checked, accepted)
+                            checked, accepted, driver_state)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
         points.unpersist()
@@ -300,12 +309,47 @@ def ann_search_spark(spark: SparkSession, points: DataFrame, queries: DataFrame,
 #: run in Spark in BOTH modes — only the bounded bookkeeping moves.
 ANN_DRIVER_STATE_MAX_ROWS = 200_000
 
+#: Row bound under which driver-resident bookkeeping frames are emitted as
+#: SQL VALUES literals (a true LocalRelation: broadcast builds copy straight
+#: from driver memory, no job, no task scheduling) instead of
+#: `createDataFrame` (which parallelizes the rows into an RDD, so every
+#: broadcast build over it schedules a real task-based job — measured
+#: ~0.3-0.4 s of pure latency per build).  Above the bound the SQL text
+#: would dominate parse time; the RDD path takes over.
+_VALUES_MAX_ROWS = 20_000
+
+
+def _values_df(spark: SparkSession, rows: list[tuple],
+               cols: list[tuple[str, str]], schema) -> DataFrame:
+    """Bounded driver-local frame as a VALUES LocalRelation.
+
+    `cols`: [(name, SQL type)] — every cell is CAST to its column's
+    declared type so the frame is schema-identical to the
+    `createDataFrame(rows, schema)` it replaces (`schema` stays the
+    empty/overflow fallback).  Values must be numerics or lists of ints
+    (rendered as array literals)."""
+    if not rows or len(rows) > _VALUES_MAX_ROWS:
+        return spark.createDataFrame(rows, schema)
+
+    def lit(v, typ: str) -> str:
+        if isinstance(v, (list, tuple)):
+            body = "array(" + ",".join(str(int(x)) for x in v) + ")"
+            return f"CAST({body} AS {typ})"
+        return f"CAST({v!r} AS {typ})"
+
+    types = [t for _, t in cols]
+    names = ",".join(n for n, _ in cols)
+    vals = ",".join(
+        "(" + ",".join(lit(v, t) for v, t in zip(r, types)) + ")"
+        for r in rows)
+    return spark.sql(f"SELECT * FROM VALUES {vals} AS t({names})")
+
 
 def _search_loop(spark: SparkSession, points: DataFrame, queries: DataFrame,
                  tables: DataFrame | None, model, k: int,
                  search_threshold: int, n_queries: int,
                  finished_ids: set[int], checked: DataFrame,
-                 accepted: DataFrame) -> DataFrame:
+                 accepted: DataFrame, driver_state: bool) -> DataFrame:
     # bucket tables for ALL radii in ONE UDF pass each (the reference's -b
     # build shape); the radius loop below is then pure JVM over these
     if tables is None:
@@ -313,8 +357,6 @@ def _search_loop(spark: SparkSession, points: DataFrame, queries: DataFrame,
             .localCheckpoint(eager=False)
 
     radii = model.radii()
-    driver_state = (n_queries * search_threshold * len(radii)
-                    <= ANN_DRIVER_STATE_MAX_ROWS)
     checked_rows: list[tuple[int, int]] = []    # driver-state mode only
     accepted_rows: list[tuple[int, int, float]] = []
     acc_counts: dict[int, int] = {}
@@ -332,6 +374,7 @@ def _search_loop(spark: SparkSession, points: DataFrame, queries: DataFrame,
         q_vecs = np.asarray([list(r["q_vec"]) for r in q_rows],
                             dtype=np.int64)
         q_schema = queries.schema
+        q_vec_sql = q_schema["q_vec"].dataType.simpleString().upper()
         q_buckets_all: dict[int, list[tuple[int, int, int]]] = {}
         for rid, radius in enumerate(radii):
             rows = []
@@ -352,14 +395,25 @@ def _search_loop(spark: SparkSession, points: DataFrame, queries: DataFrame,
         p_buckets = tables.where(F.col("radius_id") == rid) \
                           .select("point_id", "table_id", "bucket")
         if driver_state:
-            remaining = spark.createDataFrame(
-                [r for r in q_rows
-                 if int(r["query_id"]) not in finished_ids], q_schema)
-            q_buckets = spark.createDataFrame(
+            # every driver-side frame is a VALUES LocalRelation (not an
+            # RDD-backed createDataFrame): its broadcast builds copy from
+            # driver memory with no job at all — measured ~0.3-0.4 s of
+            # scheduling latency saved per build, x3 builds per radius
+            remaining = _values_df(
+                spark,
+                [(int(r["query_id"]), list(r["q_vec"])) for r in q_rows
+                 if int(r["query_id"]) not in finished_ids],
+                [("query_id", "BIGINT"), ("q_vec", q_vec_sql)], q_schema)
+            q_buckets = _values_df(
+                spark,
                 [t for t in q_buckets_all[rid] if t[0] not in finished_ids],
+                [("query_id", "BIGINT"), ("table_id", "INT"),
+                 ("bucket", "BIGINT")],
                 "query_id long, table_id int, bucket long")
-            checked = spark.createDataFrame(
-                checked_rows, "query_id long, point_id long")
+            checked = _values_df(
+                spark, checked_rows,
+                [("query_id", "BIGINT"), ("point_id", "BIGINT")],
+                "query_id long, point_id long")
         else:
             remaining = _drop_finished(queries, finished_ids, spark)
             q_buckets = _drop_finished(
@@ -426,8 +480,11 @@ def _search_loop(spark: SparkSession, points: DataFrame, queries: DataFrame,
         finished_ids.update(int(r["query_id"]) for r in counts if r["n"] >= k)
 
     if driver_state:
-        accepted = spark.createDataFrame(
-            accepted_rows, "query_id long, point_id long, dist double")
+        accepted = _values_df(
+            spark, accepted_rows,
+            [("query_id", "BIGINT"), ("point_id", "BIGINT"),
+             ("dist", "DOUBLE")],
+            "query_id long, point_id long, dist double")
     wk = Window.partitionBy("query_id").orderBy("dist", "point_id")
     out = (_keep_finished(accepted, finished_ids, spark)
            .withColumn("rank", F.row_number().over(wk))

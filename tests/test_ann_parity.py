@@ -241,3 +241,47 @@ def test_ann_accuracy_dataframe_matches_oracle(spark, model, fx):
     want_ratio, want_missing = avg_ratio(oracle_res, fx.ground_truth, k=k)
     assert row["n_missing"] == want_missing
     assert math.isclose(row["avg_ratio"], want_ratio, rel_tol=1e-9)
+
+
+def test_values_df_matches_createdataframe(spark):
+    """_values_df (the VALUES-LocalRelation fast path for bounded
+    driver-state frames) is schema- and value-identical to the
+    createDataFrame frame it replaces, for every column shape the search
+    loop feeds it; oversized and empty inputs fall back to
+    createDataFrame."""
+    from distributed_lsh_spark.operators.ann import _VALUES_MAX_ROWS, _values_df
+
+    rows = [(1, 3, 42), (2, 0, -7)]
+    cols = [("query_id", "BIGINT"), ("table_id", "INT"), ("bucket", "BIGINT")]
+    schema = "query_id long, table_id int, bucket long"
+    a = _values_df(spark, rows, cols, schema)
+    b = spark.createDataFrame(rows, schema)
+
+    def nt(df):     # names+types; VALUES literals are non-nullable, which
+        return [(f.name, f.dataType) for f in df.schema.fields]
+
+    assert nt(a) == nt(b)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # LocalRelation, not an RDD scan
+    assert "LocalRelation" in a._jdf.queryExecution().logical().toString()
+
+    # typed array column + exact double round-trip (dist bookkeeping)
+    rows2 = [(5, [1, 2, 3], 0.1 + 0.2), (6, [0, -4, 9], 1e-17)]
+    cols2 = [("query_id", "BIGINT"), ("q_vec", "ARRAY<INT>"),
+             ("dist", "DOUBLE")]
+    schema2 = "query_id long, q_vec array<int>, dist double"
+    a2 = _values_df(spark, rows2, cols2, schema2)
+    b2 = spark.createDataFrame(rows2, schema2)
+    assert nt(a2) == nt(b2)
+    ra, rb = (sorted(x.collect(), key=lambda r: r["query_id"])
+              for x in (a2, b2))
+    for x, y in zip(ra, rb):
+        assert x["q_vec"] == y["q_vec"]
+        assert x["dist"] == y["dist"]          # bit-exact, not isclose
+
+    # empty and overflow inputs take the createDataFrame path unchanged
+    e = _values_df(spark, [], cols, schema)
+    assert nt(e) == nt(b) and e.count() == 0
+    big = [(i, 0, i) for i in range(_VALUES_MAX_ROWS + 1)]
+    o = _values_df(spark, big, cols, schema)
+    assert o.count() == _VALUES_MAX_ROWS + 1
