@@ -201,10 +201,28 @@ class CheckpointManager:
         # bucket metadata that lets downstream doc_id joins skip their
         # Exchange; the bare-directory read (fresh session: the in-memory
         # catalog is gone) returns identical DATA, just without co-location.
+        # The catalog entry is only trusted when its LOCATION is this
+        # stage's data dir: two managers sharing a run_id but different
+        # base dirs collide on the table name, and preferring the other
+        # manager's table would silently return another directory's data.
         tbl = self._bucket_table(stage)
-        if self.spark.catalog.tableExists(tbl):
+        data_dir = _join(self._dir(stage), "data")
+        if self.spark.catalog.tableExists(tbl) \
+                and self._table_location(tbl) == _strip_scheme(data_dir):
             return self.spark.read.table(tbl)
-        return self.spark.read.parquet(_join(self._dir(stage), "data"))
+        return self.spark.read.parquet(data_dir)
+
+    def _table_location(self, tbl: str) -> str | None:
+        """Filesystem location of a session-catalog table (scheme
+        stripped), or None when it cannot be determined."""
+        try:
+            for r in self.spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}") \
+                               .collect():
+                if r["col_name"] == "Location":
+                    return _strip_scheme(r["data_type"])
+        except Exception:
+            pass
+        return None
 
     def stage(self, name: str, build: Callable[[], DataFrame],
               partition_by: list[str] | None = None,
@@ -255,6 +273,12 @@ class CheckpointManager:
         tmp_dir = _join(stage_dir, "_tmp")
         self.fs.delete(stage_dir)
         self.fs.mkdirs(stage_dir)
+        # drop any stale catalog entry for this stage in EVERY rewrite
+        # path, not just the bucketed branch: a stage rewritten without
+        # bucket_by (or with partition_by, which disables the bucketed
+        # branch) must not leave an old bucketed table behind for read()
+        # to prefer over the fresh directory
+        self.spark.sql(f"DROP TABLE IF EXISTS {self._bucket_table(name)}")
         if bucket_by and not partition_by:
             # Native Spark bucketed table (Hive bucketing spec): the same
             # join-co-location contract as the Iceberg bucket(N, col)
@@ -269,7 +293,6 @@ class CheckpointManager:
             # directory (identical data, no co-location) — read().
             n, col = bucket_by
             tbl = self._bucket_table(name)
-            self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
             (df.write.mode("overwrite")
                .bucketBy(n, col).sortBy(col)
                .option("path", data_dir).saveAsTable(tbl))
@@ -311,6 +334,15 @@ class CheckpointManager:
         return (self.read(name)
                 .withColumn("partition_id", F.spark_partition_id())
                 .groupBy("partition_id").agg(F.count("*").alias("rows")))
+
+
+def _strip_scheme(path: str) -> str:
+    """file:/a/b, file:///a/b and /a/b all compare equal (the catalog
+    reports locations with a scheme; _join builds bare paths)."""
+    from urllib.parse import urlparse
+
+    p = urlparse(path)
+    return (p.path or path).rstrip("/")
 
 
 def _json_normalize(d: dict) -> dict:

@@ -139,6 +139,40 @@ def test_checkpoint_config_change_rebuilds(spark, tmp_path):
     assert calls["n"] == 2
 
 
+def test_checkpoint_stale_bucket_table_not_preferred(spark, tmp_path):
+    """read() must not serve a stale session-catalog bucketed table: (a) a
+    stage rewritten WITHOUT bucket_by drops the old catalog entry; (b) a
+    manager with the same run_id but a different base dir does not read
+    another directory's table just because the generated name collides."""
+    from distributed_lsh_spark.sources.checkpoint import CheckpointManager
+
+    # (a) bucketed write, then a re-write of the same stage unbucketed
+    ck = CheckpointManager(spark, str(tmp_path / "a"), run_id="rr")
+    ck.write("st", spark.range(5).withColumnRenamed("id", "doc_id"),
+             bucket_by=(4, "doc_id"))
+    assert ck.read("st").count() == 5
+    ck.write("st", spark.range(8).withColumnRenamed("id", "doc_id"))
+    assert ck.read("st").count() == 8          # fresh data, not the stale table
+    assert not spark.catalog.tableExists(ck._bucket_table("st"))
+
+    # (b) same run_id, different base dirs -> colliding table name; the
+    # second manager's read() must return ITS directory's data
+    ck1 = CheckpointManager(spark, str(tmp_path / "b1"), run_id="rr2")
+    ck1.write("st", spark.range(3).withColumnRenamed("id", "doc_id"),
+              bucket_by=(2, "doc_id"))
+    ck2 = CheckpointManager(spark, str(tmp_path / "b2"), run_id="rr2")
+    # simulate the second manager's stage data existing on disk only
+    # (written by another session): bare parquet at its data dir
+    spark.range(7).withColumnRenamed("id", "doc_id").write.parquet(
+        str(tmp_path / "b2" / "rr2" / "st" / "data"))
+    # the catalog holds ck1's table under the SAME generated name; ck2
+    # must not prefer it (location mismatch) and must read its own dir
+    assert ck1._bucket_table("st") == ck2._bucket_table("st")
+    assert ck2.read("st").count() == 7
+    assert ck1.read("st").count() == 3         # ck1 still reads its table
+    spark.sql(f"DROP TABLE IF EXISTS {ck1._bucket_table('st')}")
+
+
 def test_checkpoint_file_uri_roundtrip(spark, tmp_path):
     """The resume contract must survive a NON-os.path filesystem: drive the
     whole manifest/write/rename/resume cycle through a `file:` URI — the
