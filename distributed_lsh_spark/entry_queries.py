@@ -7304,7 +7304,28 @@ FROM p GROUP BY batch_id ORDER BY batch_id"""
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # Registry order IS the driver's 50-row correctness-stamp prefix
+    # rotation: the flagship stays first; the 16 rows that had never
+    # carried a driver stamp through r5 (r4/r5 judges replicated them
+    # green) come next so every roster row has been driver-oracled
+    # within three rounds (r5 verdict, "Next round" item 1).
     "minhash_lsh_dup_pairs": q_minhash_lsh_dup_pairs,
+    "host_boilerplate": q_host_boilerplate,
+    "gopher_quality": q_gopher_quality,
+    "url_latest_dedup": q_url_latest_dedup,
+    "dedup_funnel": q_dedup_funnel,
+    "dedup_funnel_contained": q_dedup_funnel_contained,
+    "dedup_funnel_dsir": q_dedup_funnel_dsir,
+    "semantic_dedup": q_semantic_dedup,
+    "kmeans_topics": q_kmeans_topics,
+    "link_pagerank": q_link_pagerank,
+    "cms_term_counts": q_cms_term_counts,
+    "robots_filter": q_robots_filter,
+    "main_content_extract": q_main_content_extract,
+    "dsir_select": q_dsir_select,
+    "substring_removal": q_substring_removal,
+    "perplexity_buckets": q_perplexity_buckets,
+    "events_asof_join": q_events_asof_join,
     "stream_dedup_parity": q_stream_dedup_parity,
     "gopher_repetition": q_gopher_repetition,
     "token_rarity": q_token_rarity,
@@ -7354,22 +7375,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "export_shards": q_export_shards,
     "ngram_novelty": q_ngram_novelty,
     "host_token_budget": q_host_token_budget,
-    "host_boilerplate": q_host_boilerplate,
-    "gopher_quality": q_gopher_quality,
-    "url_latest_dedup": q_url_latest_dedup,
-    "dedup_funnel": q_dedup_funnel,
-    "dedup_funnel_contained": q_dedup_funnel_contained,
-    "semantic_dedup": q_semantic_dedup,
-    "kmeans_topics": q_kmeans_topics,
-    "link_pagerank": q_link_pagerank,
-    "cms_term_counts": q_cms_term_counts,
-    "robots_filter": q_robots_filter,
-    "main_content_extract": q_main_content_extract,
-    "dsir_select": q_dsir_select,
-    "dedup_funnel_dsir": q_dedup_funnel_dsir,
-    "substring_removal": q_substring_removal,
-    "perplexity_buckets": q_perplexity_buckets,
-    "events_asof_join": q_events_asof_join,
     "minhash_oph_dup_pairs": q_minhash_oph_dup_pairs,
     "ngram_jaccard_dup_pairs": q_ngram_jaccard_dup_pairs,
     "containment_dup_pairs": q_containment_dup_pairs,
